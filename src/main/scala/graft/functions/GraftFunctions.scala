@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the operator layer.
+  *
+  * All of these compose built-in (codegen'd) Catalyst expressions —
+  * no Scala UDFs in hot paths.
+  */
+object GraftFunctions {
+
+  /** Key-group assignment, the routing unit of the reference's control
+    * plane: `keyGroup = murmur(key.hashCode) % maxParallelism` with
+    * maxParallelism defaulting to 128
+    * (reference: flink-runtime/.../state/KeyGroupRangeAssignment.java:60-76,
+    * DEFAULT_LOWER_BOUND_MAX_PARALLELISM at :31).
+    *
+    * Spark's `hash()` is Murmur3 x86_32, so `pmod(hash(col), n)` is the
+    * direct analog and stays inside whole-stage codegen.
+    */
+  def keygroup(key: Column, maxParallelism: Int = 128): Column =
+    pmod(hash(key), lit(maxParallelism))
+
+  /** Contiguous range assignment of key-groups to `parallelism` operator
+    * instances (KeyGroupRangeAssignment.computeOperatorIndexForKeyGroup). */
+  def keygroupToTask(kg: Column, maxParallelism: Int, parallelism: Int): Column =
+    (kg * parallelism) / maxParallelism
+
+  /** Dot product of two equal-length numeric arrays, accumulated
+    * left-to-right in double (deterministic order ⇒ reproducible to the
+    * bit across engines). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm (same sequential-fold determinism as dotProduct). */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity between two embedding arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Whitespace tokenizer shared by the text-analysis operators. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (space-joined), for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => s.isNotNull)
+  }
+
+  /** Register SQL-callable forms for spark.sql users. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("keygroup", (k: Long, n: Int) => {
+      // mirror pmod(hash, n) — driver-side scalar convenience only
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(k, 42)
+      ((h % n) + n) % n
+    })
+  }
+}

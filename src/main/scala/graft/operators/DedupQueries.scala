@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.{shingles, tokens}
+
+/** Deduplication operators over `documents`: exact hash dedup, exact
+  * n-gram Jaccard near-dup, MinHash+LSH, SimHash — the standard
+  * large-corpus dedup ladder.
+  *
+  * Scale notes (100 TB): exact dedup is a hash groupBy (one shuffle on
+  * the digest). The pairwise operators never materialize the O(n²)
+  * cross product — candidates come from an inverted index (shingle,
+  * MinHash band, or SimHash byte-block join) and only candidates are
+  * verified. All hashing is md5-derived so the DuckDB oracle can
+  * reproduce signatures bit-for-bit.
+  */
+object DedupQueries {
+
+  /** Portable 32-bit-ish hash: first 8 hex chars of md5, as a long.
+    * (Spark's murmur `hash()` is faster but engine-specific; md5 keeps
+    * the oracle exact. The production fast path can swap in `hash()`
+    * without touching the pipeline shape.) */
+  private def mdHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: md5 digest groupBy; keeps min doc_id per digest. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("digest"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
+
+  /** Distinct shingle inventory per doc (shared CTE of the near-dup
+    * operators). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.7) via a shingle
+    * inverted index: explode → self-join on shingle → count
+    * intersections → Jaccard from |A|,|B|,|A∩B|. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM toks)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) AS jaccard
+      |FROM inter
+      |JOIN counts c1 ON c1.doc_id = id1
+      |JOIN counts c2 ON c2.doc_id = id2
+      |WHERE CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) >= 0.7
+      |ORDER BY id1, id2""".stripMargin
+
+  /** MinHash signatures (16 portable hash functions over 3-gram
+    * shingles) + banded LSH (4 bands × 4 rows): candidate pairs share
+    * at least one band, then are verified with exact Jaccard ≥ 0.7.
+    * At scale this replaces the full shingle self-join with a
+    * band-bucket join whose fan-out is controlled by the banding. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 16
+    val rowsPerBand = 4
+    val sh = docShingles(s, dir)
+    // signature: for each seed, min hash over the doc's shingles
+    val seeds = (0 until numHashes).map(i =>
+      min(mdHash(col("sh"), i)).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(seeds.head, seeds.tail: _*)
+    // bands: concat the hashes of each band into one bucket key
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i").cast("string"))
+      struct(lit(b).as("band"),
+        concat_ws("_", cols: _*).as("bucket"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("id1"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("id2") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Oracle: reproduces signatures/bands/verification with the same
+    * md5-derived hashes. */
+  val minhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM toks)),
+      |hashes AS (
+      |  SELECT doc_id, seed,
+      |    MIN(CAST(('0x' || substr(md5(seed || ':' || sh), 1, 8)) AS BIGINT)) AS h
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band,
+      |    string_agg(CAST(h AS VARCHAR), '_' ORDER BY seed) AS bucket
+      |  FROM hashes GROUP BY doc_id, seed // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT id1, id2, COUNT(*) AS inter
+      |  FROM cand JOIN sh sa ON sa.doc_id = id1
+      |  JOIN sh sb ON sb.doc_id = id2 AND sa.sh = sb.sh
+      |  GROUP BY id1, id2)
+      |SELECT id1, id2,
+      |  CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) AS jaccard
+      |FROM inter
+      |JOIN counts c1 ON c1.doc_id = id1
+      |JOIN counts c2 ON c2.doc_id = id2
+      |WHERE CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) >= 0.7
+      |ORDER BY id1, id2""".stripMargin
+
+  /** 32-bit SimHash per document from distinct tokens, via portable
+    * hex-digit bit arithmetic (identical in both engines). Emits the
+    * signature; the pairing variant joins on byte blocks. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h8", substring(md5(col("tok").cast("binary")), 1, 8))
+    // bit b of the 32-bit value = bit (3 - b%4) of hex digit b/4
+    val bits = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(31))).as("b"),
+        col("h8"))
+      .withColumn("digit",
+        conv(col("h8").substr((col("b") / 4).cast("int") + 1, lit(1)),
+          16, 10).cast("int"))
+      .withColumn("bit",
+        floor(col("digit") / pow(lit(2), lit(3) - col("b") % 4)).cast("long") % 2)
+    bits.groupBy(col("doc_id"), col("b"))
+      .agg((sum(col("bit") * 2 - 1) >= 0).cast("long").as("sbit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sbit") * pow(lit(2), col("b")).cast("long")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)),
+      |hx AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    (strpos('0123456789abcdef', substr(h8, CAST(b // 4 + 1 AS INT), 1)) - 1) AS digit
+      |  FROM hx CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+      |sbits AS (
+      |  SELECT doc_id, b,
+      |    CAST(SUM((CAST(FLOOR(digit / POWER(2, 3 - b % 4)) AS BIGINT) % 2) * 2 - 1) >= 0 AS BIGINT) AS sbit
+      |  FROM bits GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  SUM(sbit * CAST(POWER(2, b) AS BIGINT)) AS simhash
+      |FROM sbits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactDedupSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql)
+}

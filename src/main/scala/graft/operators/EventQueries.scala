@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Batch twins of the reference's streaming query surface (Nexmark
+  * Q1/Q2/Q3/Q5/Q8/Q11 analogs), expressed over the driver's `events`
+  * table. The streaming forms (graft.streaming) share these exact
+  * DataFrame expressions over a streaming source; the batch twins are
+  * what the DuckDB oracle checks (SURVEY §5).
+  */
+object EventQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Nexmark Q1 analog — per-record mapping (currency conversion).
+    * Reference: Query1.java:62-85 `dollarToEuro`, truncating
+    * `(long)(0.82*price)`; floor() mirrors the truncation for
+    * non-negative values and is IEEE-deterministic per row. */
+  def e1MapCurrency(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 0.82).cast("long").as("eur"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  val e1MapCurrencySql: String =
+    """SELECT event_id, user_id, CAST(FLOOR(value * 0.82) AS BIGINT) AS eur, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Nexmark Q2 analog — selection (auction % k) + projection.
+    * Reference: Query2.java:59-69. */
+  def e2Filter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id") % 5 === 0 && col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  val e2FilterSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE user_id % 5 = 0 AND event_type = 'click'
+      |ORDER BY event_id""".stripMargin
+
+  /** Nexmark Q3 analog — filtered stream ⋈ dimension (persons⋈auctions
+    * becomes events⋈customer). Reference: Query3.java:71-155. The
+    * customer side is broadcast (small dim). */
+  def e3JoinDim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    e.join(broadcast(c), e("user_id") === c("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"))
+      .orderBy(col("event_id"))
+  }
+
+  val e3JoinDimSql: String =
+    """SELECT event_id, user_id, c_name, c_mktsegment
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'purchase' AND c_mktsegment IN ('BUILDING','AUTOMOBILE')
+      |ORDER BY event_id""".stripMargin
+
+  /** Nexmark Q5 analog — tumbling-window count ("hot items").
+    * Reference: Query5.java:79-143 (sliding variant below). */
+  def e5TumblingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val e5TumblingHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Nexmark Q5 analog, sliding window (size 2h, slide 1h): each event
+    * lands in 2 hourly-aligned windows. The oracle expands the slide
+    * explicitly via UNION ALL of the two shifted assignments. */
+  def e5SlidingHot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val e5SlidingHotSql: String =
+    """SELECT strftime(win_start, '%Y-%m-%d %H:00') AS win_start, event_type, COUNT(*) AS n
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type FROM events)
+      |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin
+
+  /** Nexmark Q8 analog — windowed stream-stream equi-join: users who
+    * signed up and purchased within the same tumbling hour.
+    * Reference: Query8.java:101-120 (join on window equality). */
+  def e8WindowJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"),
+        window(col("ts"), "1 hour").getField("start").as("su_win"),
+        col("event_id").as("su_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu_user"),
+        window(col("ts"), "1 hour").getField("start").as("pu_win"),
+        col("event_id").as("pu_event"))
+    signups.join(purchases,
+        col("su_user") === col("pu_user") && col("su_win") === col("pu_win"))
+      .select(col("su_user").as("user_id"),
+        date_format(col("su_win"), "yyyy-MM-dd HH:00").as("hour"),
+        col("su_event"), col("pu_event"))
+      .orderBy(col("user_id"), col("su_event"), col("pu_event"))
+  }
+
+  val e8WindowJoinSql: String =
+    """SELECT s.user_id AS user_id,
+      |  strftime(date_trunc('hour', s.ts), '%Y-%m-%d %H:00') AS hour,
+      |  s.event_id AS su_event, p.event_id AS pu_event
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | AND date_trunc('hour', s.ts) = date_trunc('hour', p.ts)
+      |ORDER BY user_id, su_event, pu_event""".stripMargin
+
+  /** Nexmark Q11 analog — session windows (30 min gap) per user.
+    * Reference: Query11.java:72-81 (EventTimeSessionWindows). The
+    * oracle reconstructs sessions with the gaps-and-islands pattern. */
+  def e11Sessions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val e11SessionsSql: String =
+    """SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, sess_id ORDER BY user_id, session_start""".stripMargin
+
+  /** Word-count analog over event props (the reference's
+    * StatefulWordCount batch twin): tokenize + per-word counts.
+    * Reference: flinkapp/wordcount/StatefulWordCount.java:82-133. */
+  def eWordCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  val eWordCountSql: String =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |  FROM documents)
+      |WHERE length(word) > 0 GROUP BY word ORDER BY word""".stripMargin
+
+  /** Key-group distribution audit — mirrors the reference's key-group
+    * routing unit (KeyGroupRangeAssignment.java) with a portable
+    * modulo assignment so the oracle can reproduce it. The
+    * murmur-based production form is GraftFunctions.keygroup. */
+  def eKeygroups(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(128)).as("keygroup"))
+      .groupBy(col("keygroup")).agg(count(lit(1)).as("n"))
+      .orderBy(col("keygroup"))
+
+  val eKeygroupsSql: String =
+    """SELECT user_id % 128 AS keygroup, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY keygroup""".stripMargin
+
+  /** JSON extraction from the props payload — per-row semi-structured
+    * access (get_json_object ⇒ codegen'd path). */
+  def eJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
+  val eJsonPropsSql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_map_currency" -> (e1MapCurrency _),
+    "e2_filter" -> (e2Filter _),
+    "e3_join_dim" -> (e3JoinDim _),
+    "e5_tumbling_hourly" -> (e5TumblingHourly _),
+    "e5_sliding_hot" -> (e5SlidingHot _),
+    "e8_window_join" -> (e8WindowJoin _),
+    "e11_sessions" -> (e11Sessions _),
+    "e_word_count" -> (eWordCount _),
+    "e_keygroups" -> (eKeygroups _),
+    "e_json_props" -> (eJsonProps _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_map_currency" -> e1MapCurrencySql,
+    "e2_filter" -> e2FilterSql,
+    "e3_join_dim" -> e3JoinDimSql,
+    "e5_tumbling_hourly" -> e5TumblingHourlySql,
+    "e5_sliding_hot" -> e5SlidingHotSql,
+    "e8_window_join" -> e8WindowJoinSql,
+    "e11_sessions" -> e11SessionsSql,
+    "e_word_count" -> eWordCountSql,
+    "e_keygroups" -> eKeygroupsSql,
+    "e_json_props" -> eJsonPropsSql)
+}

@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Batch relational query surface over the driver test tables.
+  *
+  * Design rules for oracle (DuckDB) hash-parity:
+  *  - never aggregate raw doubles (parallel FP summation is
+  *    order-nondeterministic): cast to DECIMAL first (exact,
+  *    associative), cast the final result back to double;
+  *  - every query ends in a total ORDER BY with a unique tie-break;
+  *  - counts as BIGINT, ratios as double computed from exact inputs.
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Pricing-summary aggregate (running-aggregate family of the
+    * reference: sum/count/avg accumulators, SURVEY §2.8). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-revenue orders: 3-way join (customer ⋈ orders ⋈ lineitem).
+    * customer is small ⇒ broadcast; lineitem⋈orders shuffles on the
+    * orderkey only after the lineitem agg is partially pushed. */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopRevenueSql: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Revenue by nation: 5-way star join; all dims broadcast. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5NationRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Forecast-revenue-change: tight filter + single aggregate. The
+    * filters are pushed to the parquet scan. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Left-semi join: customers that have at least one order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no orders. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full-outer join orders↔lineitem orderkeys, classifying matches —
+    * exercises outer-join semantics. */
+  def joinOuterAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_ord"))
+    val li = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_li"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNull, "lineitem_only")
+          .when(col("l_orderkey").isNull, "order_only")
+          .otherwise("both").as("side"))
+      .groupBy(col("side")).agg(count(lit(1)).as("n"))
+      .orderBy(col("side"))
+  }
+
+  val joinOuterAuditSql: String =
+    """SELECT side, COUNT(*) AS n FROM (
+      |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only'
+      |              WHEN li.l_orderkey IS NULL THEN 'order_only'
+      |              ELSE 'both' END AS side
+      |  FROM (SELECT o_orderkey, COUNT(*) AS n_ord FROM orders GROUP BY o_orderkey) o
+      |  FULL OUTER JOIN (SELECT l_orderkey, COUNT(*) AS n_li FROM lineitem GROUP BY l_orderkey) li
+      |    ON o.o_orderkey = li.l_orderkey)
+      |GROUP BY side ORDER BY side""".stripMargin
+
+  /** Ranking window function: top-3 orders per customer by price. */
+  def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running (cumulative) per-key aggregate — the batch twin of the
+    * reference's ReducingState running count
+    * (StatefulWordCount.java:102-133). */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("running_spend",
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRunningSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ROLLUP aggregate — multi-level grouping in one pass. */
+  def rollupReturns(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  val rollupReturnsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Distinct aggregation: exact distinct parts/suppliers per flag. */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** min/max/avg over DECIMAL — the reference's BigDecimal accumulator
+    * family (megaphone/.../accumulators/BigDecimal{Minimum,Maximum,Counter}).
+    */
+  def decimalAccumulators(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice").cast(dec)).cast("double").as("min_price"),
+        max(col("o_totalprice").cast(dec)).cast("double").as("max_price"),
+        (sum(col("o_totalprice").cast(dec)).cast("double") /
+          count(lit(1))).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val decimalAccumulatorsSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_revenue" -> (q3TopRevenue _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "q6_forecast" -> (q6Forecast _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_outer_audit" -> (joinOuterAudit _),
+    "window_top_orders" -> (windowTopOrders _),
+    "window_running_sum" -> (windowRunningSum _),
+    "rollup_returns" -> (rollupReturns _),
+    "distinct_counts" -> (distinctCounts _),
+    "decimal_accumulators" -> (decimalAccumulators _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "q3_top_revenue" -> q3TopRevenueSql,
+    "q5_nation_revenue" -> q5NationRevenueSql,
+    "q6_forecast" -> q6ForecastSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_outer_audit" -> joinOuterAuditSql,
+    "window_top_orders" -> windowTopOrdersSql,
+    "window_running_sum" -> windowRunningSumSql,
+    "rollup_returns" -> rollupReturnsSql,
+    "distinct_counts" -> distinctCountsSql,
+    "decimal_accumulators" -> decimalAccumulatorsSql)
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.{cosine, dotProduct, l2Norm}
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Determinism contract with the oracle: every dot product is a
+  * sequential left-to-right fold in double precision (`aggregate` in
+  * Spark, `list_reduce` in DuckDB) — bit-identical accumulation order,
+  * so even raw doubles hash-match.
+  *
+  * Scale path: brute-force top-k broadcasts the (small) query set and
+  * makes one pass over the candidates — shuffle only on query_id for
+  * the final top-k. The LSH variant (SimilaritySearch.annLsh) cuts the
+  * candidate set by hyperplane bucketing before the exact re-rank.
+  */
+object SimilarityQueries {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-5 neighbors for each query vector
+    * (vec_id < 10) among the rest of the corpus. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = cands.join(broadcast(queries))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+        col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val cosineTopKSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_transform(range(1, 65), i -> c.v[i] * c.v[i]), (a, b) -> a + b))) AS cos
+      |  FROM emb q CROSS JOIN emb c
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cos FROM (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** kNN classification: majority label among the top-5 neighbors
+    * (tie → smaller label). */
+  def knnLabel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("label"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(cosine(col("qv"), col("cv")).desc, col("cid"))
+    val top = cands.join(broadcast(queries))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    top.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("qid"))
+  }
+
+  val knnLabelSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS label
+      |  FROM embeddings),
+      |top AS (
+      |  SELECT qid, label FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS cid, c.label,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (a, b) -> a + b)
+      |          / (sqrt(list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (a, b) -> a + b))
+      |           * sqrt(list_reduce(list_transform(range(1, 65), i -> c.v[i] * c.v[i]), (a, b) -> a + b))) DESC,
+      |        c.vec_id) AS rank
+      |    FROM emb q CROSS JOIN emb c
+      |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+      |  WHERE rank <= 5)
+      |SELECT qid, label AS pred_label, votes FROM (
+      |  SELECT qid, label, COUNT(*) AS votes,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY COUNT(*) DESC, label) AS rn
+      |  FROM top GROUP BY qid, label)
+      |WHERE rn = 1 ORDER BY qid""".stripMargin
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.9 over all pairs.
+    * (Batch-exact form; the LSH-bucketed variant is the scale path.) */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= 0.9)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (x, y) -> x + y))) AS cos
+      |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (x, y) -> x + y))) >= 0.9
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Per-label corpus stats: count + norm extremes (order-independent
+    * aggregates only). */
+  def labelStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        l2Norm(asDouble(col("embedding"))).as("norm"))
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  val labelStatsSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+      |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
+      |FROM (
+      |  SELECT label,
+      |    sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS norm
+      |  FROM embeddings)
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_knn_label" -> (knnLabel _),
+    "sim_embedding_near_dup" -> (embeddingNearDup _),
+    "sim_label_stats" -> (labelStats _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> cosineTopKSql,
+    "sim_knn_label" -> knnLabelSql,
+    "sim_embedding_near_dup" -> embeddingNearDupSql,
+    "sim_label_stats" -> labelStatsSql)
+}

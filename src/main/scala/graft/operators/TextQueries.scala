@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, fingerprinting — the
+  * building blocks of a training-data curation pipeline. All stay in
+  * whole-stage codegen (built-in functions only).
+  */
+object TextQueries {
+
+  /** Token/char statistics per document. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  n_chars,
+      |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, mean token length, type-token ratio,
+    * stopword ratio — the heuristics a pretraining pipeline uses to
+    * filter low-quality text. All ratios are double divisions of exact
+    * integers (deterministic). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val stop = size(filter(t, w => w.isin("the", "a", "of", "and", "to", "in")))
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        (col("n_chars").cast("double") / nTok).as("mean_tok_len"),
+        (size(array_distinct(t)).cast("double") / nTok).as("ttr"),
+        (stop.cast("double") / nTok).as("stop_ratio"))
+      .withColumn("keep",
+        (col("n_tokens") >= 10 && col("ttr") >= 0.2 && col("stop_ratio") <= 0.5)
+          .cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_chars, n_tokens,
+      |  CAST(n_chars AS DOUBLE) / n_tokens AS mean_tok_len,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  (n_tokens >= 10 AND CAST(n_distinct AS DOUBLE)/n_tokens >= 0.2
+      |    AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5) AS keep
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+      |  FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: score each candidate language by marker-word
+    * hits, pick argmax with a fixed precedence order. (A real system
+    * uses char n-gram profiles; the scoring skeleton is identical and
+    * the oracle reproduces this heuristic exactly.) */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(col("text")))
+    def hits(ws: String*): Column =
+      size(filter(t, w => w.isin(ws.map(lit): _*))).cast("long")
+    val en = hits("the", "a", "of", "and", "is")
+    val fr = hits("le", "la", "et", "les", "des")
+    val es = hits("el", "los", "las", "y", "que")
+    val de = hits("der", "die", "das", "und", "ist")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        en.as("s_en"), fr.as("s_fr"), es.as("s_es"), de.as("s_de"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= greatest(col("s_fr"), col("s_es"), col("s_de")) &&
+          col("s_en") > 0, "en")
+          .when(col("s_fr") >= greatest(col("s_es"), col("s_de")) &&
+            col("s_fr") > 0, "fr")
+          .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+          .when(col("s_de") > 0, "de")
+          .otherwise("unk"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id, lang, s_en, s_fr, s_es, s_de,
+      |  CASE WHEN s_en >= greatest(s_fr, s_es, s_de) AND s_en > 0 THEN 'en'
+      |       WHEN s_fr >= greatest(s_es, s_de) AND s_fr > 0 THEN 'fr'
+      |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+      |       WHEN s_de > 0 THEN 'de'
+      |       ELSE 'unk' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(w, x -> x IN ('el','los','las','y','que'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Order-insensitive document fingerprint: md5 over the sorted
+    * distinct token set — catches shuffled/reordered duplicates that
+    * exact-hash dedup misses. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          sort_array(array_distinct(tokens(col("text"))))).cast("binary"))
+          .as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("fp"))
+
+  val fingerprintSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Top-3 words per source (frequency ranking within group). */
+  def topWordsPerSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("word"))
+    words.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("word"), col("n"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val topWordsPerSourceSql: String =
+    """SELECT source, word, n, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT source, word, n,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, word) AS rn
+      |  FROM (
+      |    SELECT source, word, COUNT(*) AS n FROM (
+      |      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |      FROM documents)
+      |    WHERE length(word) > 0 GROUP BY source, word))
+      |WHERE rn <= 3 ORDER BY source, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tokenStats _),
+    "t_quality_score" -> (qualityScore _),
+    "t_langid" -> (langId _),
+    "t_fingerprint" -> (fingerprint _),
+    "t_top_words_per_source" -> (topWordsPerSource _))
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" -> tokenStatsSql,
+    "t_quality_score" -> qualityScoreSql,
+    "t_langid" -> langIdSql,
+    "t_fingerprint" -> fingerprintSql,
+    "t_top_words_per_source" -> topWordsPerSourceSql)
+}
