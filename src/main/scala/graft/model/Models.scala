@@ -1,0 +1,72 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Typed data model of the engine's streaming surface.
+  *
+  * Nexmark entities mirror the reference's vendored Beam model
+  * (reference: examples/src/main/java/Nexmark/sources/generator/model/
+  * BidGenerator.java:45-72, PersonGenerator.java:58-67,
+  * AuctionGenerator.java); the stock `Order` mirrors
+  * stock/Order.java:10-66 (prices as int cents, volumes truncated to
+  * int); `KeyedTuple` mirrors the test sources of
+  * flinkapp/StatefulDemoLongRun.java:162-230.
+  */
+case class Bid(auction: Long, bidder: Long, price: Long,
+    dateTime: Timestamp, extra: String)
+
+case class Person(id: Long, name: String, emailAddress: String,
+    creditCard: String, city: String, state: String,
+    dateTime: Timestamp, extra: String)
+
+case class Auction(id: Long, itemName: String, description: String,
+    initialBid: Long, reserve: Long, dateTime: Timestamp,
+    expires: Timestamp, seller: Long, category: Long, extra: String)
+
+/** Stock-exchange order (pipe-separated SSE line; field indices per
+  * reference stock/InAppStatefulStockExchange.java:31-38; parse
+  * semantics per stock/Order.java:32-46: price ×100 truncated to int
+  * cents, volumes truncated to int). */
+case class Order(orderNo: String, tranMaintCode: String,
+    lastUpdTime: String, orderPriceCents: Int, orderExecVol: Int,
+    orderVol: Int, secCode: String, tradeDir: String)
+
+object Order {
+  /** Parse one pipe-separated SSE line. */
+  def parse(line: String): Order = {
+    val f = line.split("\\|", -1)
+    Order(
+      orderNo = f(0),
+      tranMaintCode = f(1),
+      lastUpdTime = f(2),
+      orderPriceCents = (f(3).toDouble * 100).toInt,
+      orderExecVol = if (f(4).isEmpty) 0 else f(4).toDouble.toInt,
+      orderVol = if (f(5).isEmpty) 0 else f(5).toDouble.toInt,
+      secCode = f(6),
+      tradeDir = f(7))
+  }
+
+  /** Continuous-auction open: HHMMSS 09:25:00 (rows before it only
+    * build the book; reference InAppStatefulStockExchange.java:143-160). */
+  val ContinuousOpenHHMMSS = 92500
+
+  def hhmmss(t: String): Int = t.replace(":", "").toInt
+}
+
+/** A matched trade emitted by the order-book operator. */
+case class Trade(secCode: String, buyNo: String, sellNo: String,
+    priceCents: Int, volume: Int, tsHHMMSS: Int)
+
+/** Oracle-embedding keyed tuple (key, expected running count) used by
+  * the invariance-under-reconfiguration tests (reference
+  * flinkapp/test/TestingWorkload.java:228-290). */
+case class KeyedTuple(key: String, value: Long)
+
+/** Dynamic-rule model (reference
+  * megaphone/dynamicrules/ControlMessage.java:33-122). */
+case class Rule(ruleId: Int, ruleState: String,
+    groupingKeyNames: Seq[String], aggregateFieldName: String,
+    aggregatorFunctionType: String, limitOperatorType: String,
+    limit: BigDecimal, windowMinutes: Int)
+
+case class Alert(ruleId: Int, key: String, triggeringValue: BigDecimal)

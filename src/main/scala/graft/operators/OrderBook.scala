@@ -1,0 +1,162 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{Order, Trade}
+
+/** Per-security limit-order-book matching — the reference's hardest
+  * stateful operator (`MatchMaker`,
+  * reference stock/InAppStatefulStockExchange.java:99-459 with pools
+  * stock/OrderPool.java:1-39).
+  *
+  * Semantics reproduced:
+  *  - `Tran_Maint_Code` "X"/"" rows are dropped (filter :143-145),
+  *    "D" deletes the referenced order from its side's pool (:297-345),
+  *    anything else is an add;
+  *  - rows with HHMMSS < 92500 only build the book (pre-open);
+  *    later rows trigger continuous matching (:211-290);
+  *  - matching crosses buy ≥ sell, FIFO within a price level, partial
+  *    fills update the resting order in place; the trade prices at the
+  *    resting order's price.
+  *
+  * The core is a pure per-key fold (`OrderBookState.process`), so the
+  * same logic backs (a) the streaming operator
+  * (`flatMapGroupsWithState` keyed by secCode — state moves with the
+  * shuffle partition, so rescaling Spark-side re-distributes books
+  * automatically) and (b) a deterministic batch twin (groupByKey +
+  * flatMapGroups over time-sorted orders).
+  */
+object OrderBook {
+
+  /** One side of the book: price → FIFO queue of resting orders. */
+  type Side = mutable.SortedMap[Int, mutable.ArrayBuffer[Order]]
+
+  case class BookSnapshot(buys: List[Order], sells: List[Order])
+
+  final class OrderBookState extends Serializable {
+    /** Buy side: best price = highest ⇒ iterate descending. */
+    val buyPool: Side = mutable.SortedMap.empty(Ordering[Int].reverse)
+    /** Sell side: best price = lowest ⇒ natural ascending order. */
+    val sellPool: Side = mutable.SortedMap.empty
+
+    private def pool(dir: String): Side =
+      if (dir == "B") buyPool else sellPool
+
+    private def insert(o: Order): Unit =
+      pool(o.tradeDir).getOrElseUpdate(o.orderPriceCents,
+        mutable.ArrayBuffer.empty) += o
+
+    private def delete(o: Order): Unit = {
+      val p = pool(o.tradeDir)
+      p.get(o.orderPriceCents).foreach { q =>
+        val i = q.indexWhere(_.orderNo == o.orderNo)
+        if (i >= 0) q.remove(i)
+        if (q.isEmpty) p.remove(o.orderPriceCents)
+      }
+      // reference falls back to scanning the whole side when the
+      // delete row carries no/odd price (Order_Price 0)
+      if (o.orderPriceCents == 0) {
+        p.keys.toList.foreach { price =>
+          val q = p(price)
+          val i = q.indexWhere(_.orderNo == o.orderNo)
+          if (i >= 0) q.remove(i)
+          if (q.isEmpty) p.remove(price)
+        }
+      }
+    }
+
+    /** Match an incoming order against the opposite side; returns the
+      * trades and leaves any residual volume resting in the book. */
+    private def matchOrder(incoming: Order): List[Trade] = {
+      val trades = mutable.ListBuffer.empty[Trade]
+      var remaining = incoming.orderVol - incoming.orderExecVol
+      val isBuy = incoming.tradeDir == "B"
+      val opposite = if (isBuy) sellPool else buyPool
+      val ts = Order.hhmmss(incoming.lastUpdTime)
+
+      def crosses(restingPrice: Int): Boolean =
+        if (isBuy) incoming.orderPriceCents >= restingPrice
+        else incoming.orderPriceCents <= restingPrice
+
+      while (remaining > 0 && opposite.nonEmpty &&
+          crosses(opposite.firstKey)) {
+        val price = opposite.firstKey
+        val queue = opposite(price)
+        val resting = queue.head
+        val restingVol = resting.orderVol - resting.orderExecVol
+        val vol = math.min(remaining, restingVol)
+        trades += Trade(incoming.secCode,
+          buyNo = if (isBuy) incoming.orderNo else resting.orderNo,
+          sellNo = if (isBuy) resting.orderNo else incoming.orderNo,
+          priceCents = price, volume = vol, tsHHMMSS = ts)
+        remaining -= vol
+        if (vol == restingVol) queue.remove(0)
+        else queue(0) = resting.copy(orderExecVol = resting.orderExecVol + vol)
+        if (queue.isEmpty) opposite.remove(price)
+      }
+      if (remaining > 0)
+        insert(incoming.copy(orderExecVol = incoming.orderVol - remaining))
+      trades.toList
+    }
+
+    /** Process one order; returns emitted trades. */
+    def process(o: Order): List[Trade] = o.tranMaintCode match {
+      case "X" | "" => Nil // filtered upstream too; defensive
+      case "D" => delete(o); Nil
+      case _ =>
+        if (Order.hhmmss(o.lastUpdTime) < Order.ContinuousOpenHHMMSS) {
+          insert(o); Nil // pre-open: book build only
+        } else matchOrder(o)
+    }
+
+    def snapshot: BookSnapshot = BookSnapshot(
+      buyPool.values.flatten.toList, sellPool.values.flatten.toList)
+  }
+
+  /** Fold a time-ordered sequence of orders through a fresh book. */
+  def processAll(orders: Iterator[Order]): (OrderBookState, List[Trade]) = {
+    val st = new OrderBookState
+    val trades = orders.flatMap(st.process).toList
+    (st, trades)
+  }
+
+  /** Batch form: per-security matching over time-sorted orders. */
+  def batch(orders: Dataset[Order]): Dataset[Trade] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .filter(o => o.tranMaintCode != "X" && o.tranMaintCode.nonEmpty)
+      .groupByKey(_.secCode)
+      .flatMapGroups { (_, os) =>
+        val sorted = os.toSeq.sortBy(o =>
+          (Order.hhmmss(o.lastUpdTime), o.orderNo.length, o.orderNo))
+        processAll(sorted.iterator)._2
+      }
+  }
+
+  /** Streaming form: keyed state per security, matching incrementally
+    * across micro-batches. Within a batch, orders are applied in
+    * event-time order (the reference relies on Kafka per-key ordering;
+    * the sort keeps replay deterministic). */
+  def streaming(orders: Dataset[Order]): Dataset[Trade] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[OrderBookState]
+    orders
+      .filter(o => o.tranMaintCode != "X" && o.tranMaintCode.nonEmpty)
+      .groupByKey(_.secCode)
+      .flatMapGroupsWithState[OrderBookState, Trade](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, os, state: GroupState[OrderBookState]) =>
+          val st = state.getOption.getOrElse(new OrderBookState)
+          val sorted = os.toSeq.sortBy(o =>
+            (Order.hhmmss(o.lastUpdTime), o.orderNo.length, o.orderNo))
+          val trades = sorted.flatMap(st.process)
+          state.update(st)
+          trades.iterator
+      }
+  }
+}

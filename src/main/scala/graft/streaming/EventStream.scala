@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Replay of the driver's `events` table through Structured Streaming,
+  * plus the streaming forms of the windowed event queries (SURVEY §2.6).
+  * The transforms are the same DataFrame expressions as the batch twins
+  * in EventQueries — one definition of query semantics, two execution
+  * modes.
+  */
+object EventStream {
+
+  /** Raw schema of events.parquet with ns-timestamps read as long
+    * (nanosAsLong), converted to a µs TimestampType column. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table (file-replay source — the
+    * analog of the reference's SSERealRateSourceFunction file replay,
+    * stock/sources/SSERealRateSourceFunctionKV.java:14-100). */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file streaming source requires a directory; stage the single
+    // table file behind a symlink in a temp dir.
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft-events-replay")
+    Files.createSymbolicLink(stage.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming hourly tumbling counts (Q5 analog) with a watermark;
+    * same aggregation expression as EventQueries.e5TumblingHourly. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"))
+
+  /** Streaming session windows per user (Q11 built-in variant). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+
+  /** Windowed stream-stream join (Q8 analog): signups ⋈ purchases in
+    * the same hour, with watermarks on both sides (built-in SS
+    * stream-stream join; reference Query8.java:101-120). */
+  def windowJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("su_user"), col("ts").as("su_ts"),
+        window(col("ts"), "1 hour").getField("start").as("su_win"),
+        col("event_id").as("su_event"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("pu_user"), col("ts").as("pu_ts"),
+        window(col("ts"), "1 hour").getField("start").as("pu_win"),
+        col("event_id").as("pu_event"))
+    signups.join(purchases,
+      col("su_user") === col("pu_user") && col("su_win") === col("pu_win"))
+      .select(col("su_user").as("user_id"),
+        date_format(col("su_win"), "yyyy-MM-dd HH:00").as("hour"),
+        col("su_event"), col("pu_event"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Observability surface (SURVEY §2.10).
+  *
+  * The reference publishes per-epoch true processing rate/utilization
+  * from a task-side MetricsManager (reference
+  * flink-runtime/.../util/profiling/KafkaMetricsManager.java:185-250)
+  * and measures end-to-end latency with periodic latency markers logged
+  * at the sink (Nexmark/sinks/DummyLatencyCountingSink.java:30-47).
+  *
+  * Spark-side: `StreamingQueryListener` progress events already carry
+  * processedRowsPerSecond and batch durations (the per-epoch rate
+  * analog); latency ≈ per-batch `now − max(event ts seen)` captured in
+  * `foreachBatch` (no marker mechanism exists in Structured Streaming).
+  */
+object Metrics {
+
+  case class BatchProgress(batchId: Long, numInputRows: Long,
+      processedRowsPerSecond: Double, durationMs: Long)
+
+  /** Collects per-batch progress — the MetricsManager analog. */
+  final class ProgressCollector extends StreamingQueryListener {
+    private val buf = new ConcurrentLinkedQueue[BatchProgress]()
+    def progresses: List[BatchProgress] = buf.asScala.toList
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      buf.add(BatchProgress(p.batchId, p.numInputRows,
+        p.processedRowsPerSecond, p.batchDuration))
+    }
+  }
+
+  case class LatencySample(batchId: Long, rows: Long, latencyMs: Long)
+
+  /** Latency-counting sink: a `foreachBatch` function recording
+    * `now − max(tsCol)` per micro-batch — the
+    * DummyLatencyCountingSink analog. Samples are accumulated
+    * driver-side (same as the reference's sink-side logging). */
+  final class LatencySink(tsCol: String) extends Serializable {
+    val samples = new ConcurrentLinkedQueue[LatencySample]()
+    def apply(df: DataFrame, batchId: Long): Unit = {
+      val agg = df.agg(count(lit(1)), max(col(tsCol))).collect()(0)
+      val rows = agg.getLong(0)
+      if (rows > 0 && !agg.isNullAt(1)) {
+        val maxTs = agg.getTimestamp(1).getTime
+        samples.add(LatencySample(batchId, rows,
+          System.currentTimeMillis() - maxTs))
+      }
+    }
+    def all: List[LatencySample] = samples.asScala.toList
+  }
+
+  /** Reconfiguration-phase timer log — ReconfigurationProfiler analog
+    * (reference util/profiling/ReconfigurationProfiler.java:31-90):
+    * named phase timers accumulated per reconfiguration. */
+  final class ReconfigProfiler {
+    private val timers =
+      scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def time[T](phase: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      try body
+      finally timers.updateWith(phase) {
+        case Some(acc) => Some(acc + (System.nanoTime() - t0))
+        case None => Some(System.nanoTime() - t0)
+      }
+    }
+    def reportMs: Map[String, Double] =
+      timers.map { case (k, ns) => k -> ns / 1e6 }.toMap
+  }
+}

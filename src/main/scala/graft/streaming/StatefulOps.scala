@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.KeyedTuple
+
+/** Keyed stateful operators mirroring the reference's per-key state
+  * surface (SURVEY §2.5). */
+object StatefulOps {
+
+  /** State of the payload micro-bench operator. */
+  case class Payload(count: Long, payload: Array[Byte])
+
+  /** Count-window buffer. */
+  case class Buf(count: Int, sum: Long)
+
+  /** Per-key running count — the reference's `CountWords` ReducingState
+    * (StatefulWordCount.java:102-133) / `sum(1)` rolling aggregate.
+    * Emits the updated count for each key touched in the batch. */
+  def runningCount(words: Dataset[String]): Dataset[KeyedTuple] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.groupByKey(identity)
+      .flatMapGroupsWithState[Long, KeyedTuple](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(KeyedTuple(key, n))
+      }
+  }
+
+  /** Per-key payload state of configurable size — the reference's
+    * `MyStatefulMap` micro-bench operator
+    * (StatefulDemoLongRun.java:82-123): holds `perKeySize` bytes per
+    * key, returns the per-key touch count. Used to measure
+    * state-migration/scale-out cost. */
+  def statefulPayload(tuples: Dataset[KeyedTuple], perKeyBytes: Int)
+      : Dataset[KeyedTuple] = {
+    val spark = tuples.sparkSession
+    import spark.implicits._
+    tuples.groupByKey(_.key)
+      .flatMapGroupsWithState[Payload, KeyedTuple](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Payload]) =>
+          val prev = state.getOption.getOrElse(
+            Payload(0L, new Array[Byte](perKeyBytes)))
+          val n = prev.count + rows.size
+          state.update(Payload(n, prev.payload))
+          Iterator.single(KeyedTuple(key, n))
+      }
+  }
+
+  /** Count windows of size n with a reduce — reference
+    * `countWindow(10).reduce` (TestingWorkload.java:109-117): buffer n
+    * elements per key, emit the reduction when full. */
+  def countWindowReduce(tuples: Dataset[KeyedTuple], n: Int)
+      : Dataset[KeyedTuple] = {
+    val spark = tuples.sparkSession
+    import spark.implicits._
+    tuples.groupByKey(_.key)
+      .flatMapGroupsWithState[Buf, KeyedTuple](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Buf]) =>
+          var buf = state.getOption.getOrElse(Buf(0, 0L))
+          val out = List.newBuilder[KeyedTuple]
+          rows.foreach { t =>
+            buf = Buf(buf.count + 1, buf.sum + t.value)
+            if (buf.count == n) {
+              out += KeyedTuple(key, buf.sum)
+              buf = Buf(0, 0L)
+            }
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+
+  /** Timestamped event for session windowing. */
+  case class TimedEvent(key: Long, ts: Timestamp)
+
+  case class SessionOut(key: Long, count: Long, isFinal: Boolean)
+
+  /** Hand-rolled session state (public: Catalyst codegen must be able
+    * to reach the constructor when (de)serializing state rows). */
+  case class SessionState(start: Long, lastTs: Long, count: Long,
+      sinceFire: Long)
+
+  /** Session window (gap-based) with count-based early firing —
+    * Nexmark Q11's `EventTimeSessionWindows.withGap` +
+    * `MaxLogEventsTrigger` (reference Query11.java:72-144): the session
+    * aggregate fires early every `maxEvents` events (FIRE) and fires
+    * and purges at session end (event-time timeout past gap).
+    *
+    * Structured Streaming's built-in `session_window` cannot fire
+    * early, so this is a faithful hand-rolled session over
+    * flatMapGroupsWithState with EventTimeTimeout. Requires a watermark
+    * on `ts` upstream.
+    */
+  def sessionWithEarlyFire(events: Dataset[TimedEvent], gapMs: Long,
+      maxEvents: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[SessionState]) =>
+          val out = List.newBuilder[SessionOut]
+          if (state.hasTimedOut) {
+            // session gap elapsed: FIRE_AND_PURGE
+            state.getOption.foreach(s => out += SessionOut(key, s.count, true))
+            state.remove()
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st =
+                if (st == null) SessionState(t, t, 1L, 1L)
+                else if (t - st.lastTs > gapMs) {
+                  // gap inside the batch: close previous session
+                  out += SessionOut(key, st.count, true)
+                  SessionState(t, t, 1L, 1L)
+                } else SessionState(st.start, math.max(st.lastTs, t),
+                  st.count + 1, st.sinceFire + 1)
+              if (st.sinceFire >= maxEvents) {
+                out += SessionOut(key, st.count, false) // early FIRE
+                st = st.copy(sinceFire = 0L)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs)
+            }
+          }
+          out.result().iterator
+      }
+  }
+}

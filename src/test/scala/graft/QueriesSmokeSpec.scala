@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry yields rows; queries/oracles stay in
+  * sync; a representative query from each family runs at sf0.001. */
+class QueriesSmokeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL (or is explicitly rows-only)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without query: $dangling")
+  }
+
+  test("one query per family runs and yields rows at sf0.001") {
+    val picks = Seq("q1_pricing_summary", "e5_tumbling_hourly",
+      "t_token_stats", "dedup_simhash", "sim_cosine_topk")
+    picks.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

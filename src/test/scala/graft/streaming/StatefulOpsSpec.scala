@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.KeyedTuple
+
+class StatefulOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("runningCount accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StatefulOps.runningCount(in.toDS())
+      .writeStream.format("memory").queryName("rc")
+      .outputMode("update").start()
+    try {
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("a", "c")
+      q.processAllAvailable()
+      val rows = spark.table("rc").as[KeyedTuple].collect()
+      val last = rows.groupBy(_.key).map { case (k, v) =>
+        k -> v.map(_.value).max }
+      assert(last === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    } finally q.stop()
+  }
+
+  test("countWindowReduce emits per full window of n") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[KeyedTuple]
+    val q = StatefulOps.countWindowReduce(in.toDS(), 3)
+      .writeStream.format("memory").queryName("cw")
+      .outputMode("append").start()
+    try {
+      in.addData(KeyedTuple("k", 1), KeyedTuple("k", 2))
+      q.processAllAvailable()
+      assert(spark.table("cw").count() === 0)
+      in.addData(KeyedTuple("k", 3), KeyedTuple("k", 10))
+      q.processAllAvailable()
+      val rows = spark.table("cw").as[KeyedTuple].collect().toList
+      assert(rows === List(KeyedTuple("k", 6))) // 1+2+3; 10 buffered
+    } finally q.stop()
+  }
+
+  test("sessionWithEarlyFire: early fire at maxEvents, final at gap") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StatefulOps.TimedEvent]
+    def ev(key: Long, sec: Long) =
+      StatefulOps.TimedEvent(key, new Timestamp(sec * 1000))
+    val withWm = in.toDS().withWatermark("ts", "0 seconds")
+    val q = StatefulOps.sessionWithEarlyFire(withWm, gapMs = 10000,
+        maxEvents = 2)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // note: rows at/before the current watermark are dropped by the
+      // stateful operator, so start strictly after epoch 0
+      in.addData(ev(1, 100), ev(1, 101), ev(1, 102))
+      q.processAllAvailable()
+      // early fire after 2 events, no final yet
+      val early = spark.table("sess").as[StatefulOps.SessionOut].collect()
+      assert(early.toList === List(StatefulOps.SessionOut(1, 2, false)))
+      // advance watermark far past key 1's session gap
+      in.addData(ev(99, 200))
+      q.processAllAvailable()
+      in.addData(ev(98, 300))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[StatefulOps.SessionOut].collect()
+      assert(all.contains(StatefulOps.SessionOut(1, 3, true)))
+    } finally q.stop()
+  }
+}
