@@ -1,0 +1,70 @@
+package graft.controlplane
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+import graft.functions.GraftFunctions
+
+/** Explicit keygroup → partition routing — the analog of the
+  * reference's mutable `AssignedKeyGroupStreamPartitioner`
+  * (flink-streaming-java/.../partitioner/AssignedKeyGroupStreamPartitioner.java:15-90:
+  * `selectChannel` consults a `Map<keyGroupId, subTaskIndex>` that the
+  * control plane rewrites at runtime).
+  *
+  * Spark's DataFrame exchanges only offer hash/range partitioning, so
+  * identity placement of a keygroup onto a chosen partition needs the
+  * RDD path with a custom [[Partitioner]] — the documented
+  * "mapPartitions as a last resort" case. Used for explicit
+  * load-balancing experiments; regular keyed operators stay on the
+  * hash-partitioned DataFrame path.
+  */
+object KeygroupRouter {
+
+  /** Routes keygroup kg to partition assignment(kg). */
+  final class AssignedKeygroupPartitioner(
+      assignment: Array[Int], override val numPartitions: Int)
+    extends Partitioner {
+    override def getPartition(key: Any): Int = key match {
+      case kg: Int => assignment(kg)
+      case other => throw new IllegalArgumentException(s"not a keygroup: $other")
+    }
+  }
+
+  def keygroup(key: String, maxParallelism: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashUnsafeBytes(key.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        key.getBytes("UTF-8").length, 42)
+    ((h % maxParallelism) + maxParallelism) % maxParallelism
+  }
+
+  /** Re-route a keyed dataset so each keygroup lands on its assigned
+    * partition. Returns the routed dataset (same rows, controlled
+    * placement). */
+  def route[T: Encoder: scala.reflect.ClassTag](
+      ds: Dataset[T], keyOf: T => String,
+      assignment: Vector[Int], numPartitions: Int,
+      maxParallelism: Int = 128): Dataset[T] = {
+    val spark = ds.sparkSession
+    val part = new AssignedKeygroupPartitioner(assignment.toArray, numPartitions)
+    val routed = ds.rdd
+      .keyBy(t => keygroup(keyOf(t), maxParallelism))
+      .partitionBy(part)
+      .values
+    spark.createDataset(routed)
+  }
+
+  /** Per-partition keygroup inventory (for tests / balance metrics). */
+  def partitionInventory[T](ds: Dataset[T], keyOf: T => String,
+      maxParallelism: Int = 128): Map[Int, Set[Int]] = {
+    ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(t => keygroup(keyOf(t), maxParallelism)).toSet)
+    }.collect().toMap
+  }
+
+  /** Balanced round-robin remap `kg → kg mod p` — the reference's
+    * PerformanceEvaluator round-robin policy
+    * (udm/PerformanceEvaluator.java:149-176). */
+  def roundRobin(maxParallelism: Int, parallelism: Int): Vector[Int] =
+    Vector.tabulate(maxParallelism)(_ % parallelism)
+}

@@ -1,0 +1,171 @@
+package graft.controlplane
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StreamingQuery}
+
+import graft.model.KeyedTuple
+import graft.streaming.Metrics.ReconfigProfiler
+
+/** State of the reconfigurable running-count operator. */
+case class CountState(count: Long)
+
+/** The controller-facing API — the analog of the reference's
+  * `ReconfigurationExecutor` (reference
+  * controlplane/streammanager/abstraction/ReconfigurationExecutor.java:45-47):
+  * controllers read the plan, stage changes, and `execute()` applies
+  * them atomically.
+  */
+trait ReconfigurationExecutor {
+  def getPlan: QueryPlanDescriptor
+  def assignExecutionLogic(operator: String, udfName: String): Unit
+  def assignResources(operator: String, parallelism: Int): Unit
+  def assignWorkload(operator: String, keygroupAssignment: Vector[Int]): Unit
+  def execute(reason: String): ReconfigReport
+}
+
+/** A reconfigurable stateful pipeline: per-key running count behind the
+  * control-plane API.
+  *
+  * The reference applies reconfigurations to *running* tasks through a
+  * pause/sync/update/resume protocol
+  * (flink-runtime/.../controlplane/PrimitiveOperation.java:46-129,
+  * sequence StreamManager.java:371-476). In Spark the micro-batch
+  * boundary *is* the synchronization barrier (SURVEY §3.2), so the
+  * primitive pipeline becomes:
+  *
+  *  - prepare  — diff the staged plan against the running one;
+  *  - sync     — stop the trigger (query.stop() between batches);
+  *  - update   — state migration: read the operator state out of the
+  *               old checkpoint with the `statestore` batch reader and
+  *               re-feed it as `initialState` of the restarted query
+  *               (the Spark-native form of key-group state migration —
+  *               state is re-bucketed by the new hash partitioning on
+  *               load); change-of-logic: rebind via [[UdfRegistry]];
+  *               rescale: new shuffle-partition count for the new
+  *               query generation;
+  *  - resume   — start the new generation from the repositioned source.
+  *
+  * `sourceFactory` must return a stream positioned at the current head
+  * (e.g. a fresh Kafka reader with group offsets, or the next
+  * MemoryStream in tests) — offsets of the old generation are not
+  * carried into the new checkpoint.
+  */
+final class ReconfigurableCountQuery(
+    spark: SparkSession,
+    sourceFactory: () => Dataset[KeyedTuple],
+    checkpointRoot: String,
+    sinkTable: String,
+    maxParallelism: Int = 128,
+    initialParallelism: Int = 4)
+  extends ReconfigurationExecutor {
+
+  import spark.implicits._
+
+  val OperatorName = "running-count"
+
+  @volatile private var plan: QueryPlanDescriptor =
+    QueryPlanDescriptor(maxParallelism, Map(OperatorName ->
+      OperatorDescriptor.contiguous(OperatorName, initialParallelism,
+        "countV1", maxParallelism)))
+  @volatile private var staged: QueryPlanDescriptor = plan
+
+  private var generation = 0
+  private var query: StreamingQuery = _
+  private var initState: Option[Dataset[(String, CountState)]] = None
+  val profiler = new ReconfigProfiler
+
+  private def checkpointDir(gen: Int) = s"$checkpointRoot/gen$gen"
+
+  override def getPlan: QueryPlanDescriptor = plan
+
+  override def assignExecutionLogic(op: String, udfName: String): Unit = {
+    require(UdfRegistry.names.contains(udfName), s"unknown UDF $udfName")
+    staged = staged.withOperator(staged.operators(op).copy(udfName = udfName))
+  }
+
+  override def assignResources(op: String, parallelism: Int): Unit =
+    staged = staged.withOperator(
+      OperatorDescriptor.contiguous(op, parallelism,
+        staged.operators(op).udfName, maxParallelism))
+
+  override def assignWorkload(op: String, assignment: Vector[Int]): Unit =
+    staged = staged.withOperator(
+      staged.operators(op).copy(keygroupAssignment = assignment))
+
+  /** Build and start the current generation's query. */
+  def start(): Unit = {
+    val desc = plan.operators(OperatorName)
+    val logicName = desc.udfName
+    spark.conf.set("spark.sql.shuffle.partitions", desc.parallelism)
+    val grouped = sourceFactory().groupByKey(_.key)
+    val fn = (key: String, rows: Iterator[KeyedTuple],
+        state: GroupState[CountState]) => {
+      val logic = UdfRegistry(logicName)
+      val prev = state.getOption.map(_.count).getOrElse(0L)
+      val next = logic(key, prev, rows.size.toLong)
+      state.update(CountState(next))
+      Iterator.single(KeyedTuple(key, next))
+    }
+    val stream = initState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+    }
+    query = stream.writeStream
+      .format("memory").queryName(sinkTable)
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir(generation))
+      .start()
+  }
+
+  def processAllAvailable(): Unit = query.processAllAvailable()
+  def stop(): Unit = if (query != null) query.stop()
+
+  /** Read the running count state out of a checkpoint with the batch
+    * `statestore` reader (key-group state migration, Spark-native). */
+  def readState(checkpoint: String): Dataset[(String, CountState)] = {
+    val raw = spark.read.format("statestore").load(checkpoint)
+    val valueFields = raw.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val countCol =
+      if (valueFields.contains("groupState")) col("value.groupState.count")
+      else col("value.count")
+    raw.select(col("key.value").as("key"), countCol.as("count"))
+      .as[(String, Long)]
+      .map { case (k, c) => (k, CountState(c)) }
+  }
+
+  /** Apply staged changes: the four primitives at the batch boundary. */
+  override def execute(reason: String): ReconfigReport = {
+    val before = plan
+    profiler.time("prepare") {
+      // diff is trivial here: staged vs running descriptor
+      require(staged != plan || initState.isEmpty, "nothing staged")
+    }
+    profiler.time("synchronize") {
+      query.processAllAvailable() // drain in-flight batch = sync barrier
+      query.stop()
+    }
+    profiler.time("updateState") {
+      val st = readState(checkpointDir(generation)).cache()
+      st.count() // materialize before the old checkpoint goes stale
+      initState = Some(st)
+    }
+    profiler.time("updateKeyMapping") {
+      plan = staged
+      generation += 1
+    }
+    profiler.time("resume") {
+      start()
+    }
+    ReconfigReport(reason, profiler.reportMs, before, plan)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.controlplane
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.KeyedTuple
+
+/** Reconfiguration scenarios — ports of the reference's scripted tests
+  * (StatefulWindowOpTest "scale out 3 to 4", TestingWorkload oracle
+  * invariance): per-key counts must be preserved across rescale with
+  * state migration and across change-of-logic. */
+class ReconfigurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tuples(keys: Range, reps: Int): Seq[KeyedTuple] =
+    (0 until reps).flatMap(_ => keys.map(k => KeyedTuple(s"A$k", 1L)))
+
+  test("rescale 4→8 migrates state; counts continue exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig").toString
+    var stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "reconfig_sink", initialParallelism = 4)
+    rq.start()
+
+    // phase 1: 10 keys × 3
+    stream.addData(tuples(0 until 10, 3): _*)
+    rq.processAllAvailable()
+
+    // controller: scale out 4 → 8 (new generation, migrated state)
+    stream = MemoryStream[KeyedTuple] // repositioned source for gen 1
+    rq.assignResources(rq.OperatorName, 8)
+    val report = rq.execute("scale-out 4 to 8")
+    assert(report.planAfter.operators(rq.OperatorName).parallelism === 8)
+    assert(report.phasesMs.keySet === Set("prepare", "synchronize",
+      "updateState", "updateKeyMapping", "resume"))
+
+    // phase 2: same 10 keys × 2 — counts must continue at 3, not restart
+    stream.addData(tuples(0 until 10, 2): _*)
+    rq.processAllAvailable()
+
+    val finalCounts = spark.table("reconfig_sink").as[KeyedTuple]
+      .collect().groupBy(_.key).map { case (k, v) => k -> v.map(_.value).max }
+    rq.stop()
+    assert(finalCounts === (0 until 10).map(k => s"A$k" -> 5L).toMap)
+  }
+
+  test("change-of-logic swaps UDF, preserves state") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-col").toString
+    var stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "col_sink", initialParallelism = 4)
+    rq.start()
+
+    stream.addData(tuples(0 until 4, 2): _*) // counts = 2 under countV1
+    rq.processAllAvailable()
+
+    stream = MemoryStream[KeyedTuple]
+    rq.assignExecutionLogic(rq.OperatorName, "countV2")
+    rq.execute("hot-swap countV1 -> countV2")
+
+    stream.addData(tuples(0 until 4, 1): _*) // +2 per event under countV2
+    rq.processAllAvailable()
+
+    val finalCounts = spark.table("col_sink").as[KeyedTuple]
+      .collect().groupBy(_.key).map { case (k, v) => k -> v.map(_.value).max }
+    rq.stop()
+    assert(finalCounts === (0 until 4).map(k => s"A$k" -> 4L).toMap)
+  }
+
+  test("scripted TestingController triggers at the right batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-tc").toString
+    var stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "tc_sink", initialParallelism = 2)
+    rq.start()
+    val controller = new TestingController(Seq(
+      (0L, (e: ReconfigurationExecutor) =>
+        e.assignResources("running-count", 4))))
+
+    stream.addData(KeyedTuple("A0", 1))
+    rq.processAllAvailable()
+    stream = MemoryStream[KeyedTuple]
+    val r = controller.onBatch(rq, 0L, Map.empty)
+    assert(r.isDefined)
+    assert(rq.getPlan.operators("running-count").parallelism === 4)
+    // second call: script exhausted
+    assert(controller.onBatch(rq, 1L, Map.empty).isEmpty)
+    rq.stop()
+  }
+}
