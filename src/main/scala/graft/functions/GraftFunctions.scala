@@ -27,14 +27,12 @@ object GraftFunctions {
   def keygroupToTask(kg: Column, maxParallelism: Int, parallelism: Int): Column =
     (kg * parallelism) / maxParallelism
 
-  /** Dot product of two equal-length numeric arrays, accumulated
+  /** Dot product of two equal-length ARRAY<DOUBLE> columns, accumulated
     * left-to-right in double (deterministic order ⇒ reproducible to the
-    * bit across engines). */
+    * bit across engines). Backed by a codegen'd native expression; the
+    * accumulation order matches the HOF fold and DuckDB list_reduce. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    VectorExpressions.arrayDot(a, b)
 
   /** L2 norm (same sequential-fold determinism as dotProduct). */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))

@@ -39,11 +39,14 @@ object DedupQueries {
       |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
 
   /** Distinct shingle inventory per doc (shared CTE of the near-dup
-    * operators). */
+    * operators). Cached: each near-dup query scans it 3-4 times
+    * (signatures, counts, both sides of the inverted-index self-join)
+    * and the shingling expression is the expensive part. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .cache()
 
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.7) via a shingle
     * inverted index: explode → self-join on shingle → count

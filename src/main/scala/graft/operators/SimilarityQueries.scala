@@ -22,18 +22,25 @@ object SimilarityQueries {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** vec_id, v (double array), norm — norms computed once per vector
+    * BEFORE any pairwise join (identical FP value, 1/Nth the work). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+
   /** Brute-force cosine top-5 neighbors for each query vector
     * (vec_id < 10) among the rest of the corpus. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb = withNorm(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val cands = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val scored = cands.join(broadcast(queries))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -63,15 +70,17 @@ object SimilarityQueries {
     * (tie → smaller label). */
   def knnLabel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
-        col("label").cast("long").as("label"))
+    val emb = withNorm(s, dir)
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val cands = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("label"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("norm").as("cn"), col("label"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(cosine(col("qv"), col("cv")).desc, col("cid"))
+      .orderBy((dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).desc,
+        col("cid"))
     val top = cands.join(broadcast(queries))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -109,10 +118,10 @@ object SimilarityQueries {
   /** Embedding near-duplicate pairs: cosine ≥ 0.9 over all pairs.
     * (Batch-exact form; the LSH-bucketed variant is the scale path.) */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb = withNorm(s, dir)
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
       .filter(col("cos") >= 0.9)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
