@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupQueries, EventQueries, RelationalQueries,
-  SimilarityQueries, TextQueries}
+import graft.operators.{AnnLsh, DedupQueries, DynamicRules, EventQueries,
+  MediaPipeline, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,18 @@ object SparkEntry {
       EventQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      DynamicRules.queries ++
+      MediaPipeline.queries ++
+      AnnLsh.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       EventQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++
+      DynamicRules.oracles ++
+      MediaPipeline.oracles ++
+      AnnLsh.oracles
 }

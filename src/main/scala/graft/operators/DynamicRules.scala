@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.model.Rule
+
+/** Rule-driven dynamic aggregation — the reference's megaphone fraud
+  * engine (reference megaphone/dynamicrules/ControlMessage.java:33-122:
+  * a rule declares groupingKeyNames, aggregateFieldName,
+  * aggregatorFunctionType ∈ {SUM,AVG,MIN,MAX}, limitOperatorType ∈
+  * {=,!=,>,<,>=,<=}, limit and windowMinutes; the engine evaluates
+  * every ACTIVE rule over event-time windows per key and emits an
+  * Alert when agg ⊕ limit holds).
+  *
+  * Spark-first: each rule compiles to a windowed groupBy aggregation —
+  * the plan is *generated from the rule set* per micro-batch (or batch
+  * run), so rules can be added/paused without code changes. Alerts of
+  * all rules union into one output. Aggregates run on DECIMAL(18,2)
+  * for exactness (the reference accumulates BigDecimal).
+  */
+object DynamicRules {
+
+  private val dec = DecimalType(18, 2)
+
+  private def aggExpr(r: Rule, valueCol: Column): Column = {
+    val d = valueCol.cast(dec)
+    r.aggregatorFunctionType match {
+      case "SUM" => sum(d).cast("double")
+      case "AVG" => sum(d).cast("double") / count(lit(1))
+      case "MIN" => min(d).cast("double")
+      case "MAX" => max(d).cast("double")
+      case other => throw new IllegalArgumentException(s"agg $other")
+    }
+  }
+
+  private def limitPredicate(r: Rule, value: Column): Column =
+    r.limitOperatorType match {
+      case "=" => value === r.limit.toDouble
+      case "!=" => value =!= r.limit.toDouble
+      case ">" => value > r.limit.toDouble
+      case "<" => value < r.limit.toDouble
+      case ">=" => value >= r.limit.toDouble
+      case "<=" => value <= r.limit.toDouble
+      case other => throw new IllegalArgumentException(s"op $other")
+    }
+
+  /** Evaluate all ACTIVE rules over an event-time window per key.
+    * `events` needs a `ts` timestamp column plus the rules' grouping
+    * and aggregate columns. Output: (rule_id, win_start, key, value). */
+  def evaluate(events: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val alerts = rules.filter(_.ruleState == "ACTIVE").map { r =>
+      val win = window(col("ts"), s"${r.windowMinutes} minutes")
+      val keyCols = r.groupingKeyNames.map(col)
+      events
+        .groupBy(win +: keyCols: _*)
+        .agg(aggExpr(r, col(r.aggregateFieldName)).as("value"))
+        .filter(limitPredicate(r, col("value")))
+        .select(lit(r.ruleId).cast("long").as("rule_id"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          concat_ws("|", keyCols.map(_.cast("string")): _*).as("key"),
+          col("value"))
+    }
+    alerts.reduce(_ unionByName _)
+      .orderBy(col("rule_id"), col("win_start"), col("key"))
+  }
+
+  /** The fixed demo rule set the oracle checks (rules arrive on a
+    * control stream in the streaming deployment; see
+    * graft.streaming docs). */
+  val demoRules: Seq[Rule] = Seq(
+    Rule(1, "ACTIVE", Seq("user_id"), "value", "SUM", ">",
+      BigDecimal(700), 24 * 60),
+    Rule(2, "ACTIVE", Seq("event_type"), "value", "AVG", "<=",
+      BigDecimal(95), 24 * 60),
+    Rule(3, "ACTIVE", Seq("event_type"), "value", "MAX", ">=",
+      BigDecimal(190), 6 * 60),
+    Rule(4, "PAUSE", Seq("user_id"), "value", "MIN", "<",
+      BigDecimal(1), 60))
+
+  def rulesAlerts(s: SparkSession, dir: String): DataFrame =
+    evaluate(Tables.events(s, dir), demoRules)
+
+  /** Oracle. Window starts via floor(epoch) (a bare ::BIGINT cast
+    * rounds and can flip bucket at window boundaries) and
+    * make_timestamp (naive, unlike tz-aware to_timestamp). */
+  val rulesAlertsSql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS rule_id,
+      |    strftime(make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 * 86400 * 1000000), '%Y-%m-%d %H:%M') AS win_start,
+      |    CAST(user_id AS VARCHAR) AS key,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |  FROM events GROUP BY 1, 2, 3
+      |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 700
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT),
+      |    strftime(make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 * 86400 * 1000000), '%Y-%m-%d %H:%M'),
+      |    event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM events GROUP BY 1, 2, 3
+      |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) <= 95
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT),
+      |    strftime(make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600 * 21600 * 1000000), '%Y-%m-%d %H:%M'),
+      |    event_type,
+      |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM events GROUP BY 1, 2, 3
+      |  HAVING CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) >= 190)
+      |ORDER BY rule_id, win_start, key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rules_alerts" -> (rulesAlerts _))
+
+  val oracles: Map[String, String] = Map(
+    "rules_alerts" -> rulesAlertsSql)
+}
