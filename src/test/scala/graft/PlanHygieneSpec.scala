@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventQueries, RelationalQueries}
+
+/** Physical-plan assertions: what must hold for the 100 TB scale-up —
+  * filters reach the parquet scan, small dimensions broadcast, scans
+  * read only the referenced columns, aggregates run inside
+  * whole-stage codegen. */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6 pushes filters into the parquet scan") {
+    val p = plan(RelationalQueries.q6Forecast(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q6 scan prunes to the referenced columns only") {
+    val p = plan(RelationalQueries.q6Forecast(spark, dir))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") &&
+      readSchema.contains("l_discount"), readSchema)
+    assert(!readSchema.contains("l_partkey") &&
+      !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan(EventQueries.e3JoinDim(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val p5 = plan(RelationalQueries.q5NationRevenue(spark, dir))
+    assert(p5.contains("BroadcastHashJoin"), p5)
+  }
+
+  test("aggregations run in whole-stage codegen") {
+    val df = RelationalQueries.q1PricingSummary(spark, dir)
+    df.collect() // materialize the AQE final plan
+    val p = plan(df)
+    // codegen'd operators carry the "*(n)" stage prefix in plan strings
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("filter pushdown applies to the events replay path too") {
+    val p = plan(EventQueries.e2Filter(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    // user_id %5 can't push, but event_type equality must
+    assert(p.contains("EqualTo(event_type,click)") ||
+      p.contains("IsNotNull(event_type)"), p)
+  }
+}
