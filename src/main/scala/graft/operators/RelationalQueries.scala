@@ -277,7 +277,120 @@ object RelationalQueries {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Order-priority checking: orders with at least one late line item,
+    * counted per priority (correlated EXISTS → left-semi join). */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val late = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Volume shipping between nation pairs (customer nation × supplier
+    * nation revenue) — two broadcast dim joins on one fact pass. */
+  def q7NationPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val custNation = c.join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNation = su.join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
+  val q7NationPairsSql: String =
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin
+
+  /** Returned-item reporting: revenue lost to returns per customer,
+    * top 20. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Promotion revenue share: conditional aggregation over a join
+    * (promo part types vs total revenue), expressed with exact decimal
+    * sums so the ratio is deterministic. */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val rev = col("l_extendedprice").cast(dec) *
+      (lit(1).cast(dec) - col("l_discount").cast(dec))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast(dec))).cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        col("promo_revenue") / col("total_revenue"))
+  }
+
+  val q14PromoShareSql: String =
+    """SELECT promo_revenue, total_revenue,
+      |  promo_revenue / total_revenue AS promo_share
+      |FROM (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q7_nation_pairs" -> (q7NationPairs _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_share" -> (q14PromoShare _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_revenue" -> (q3TopRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -292,6 +405,10 @@ object RelationalQueries {
     "decimal_accumulators" -> (decimalAccumulators _))
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q7_nation_pairs" -> q7NationPairsSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "q14_promo_share" -> q14PromoShareSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q3_top_revenue" -> q3TopRevenueSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
