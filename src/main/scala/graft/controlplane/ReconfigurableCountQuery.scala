@@ -96,12 +96,17 @@ final class ReconfigurableCountQuery(
     staged = staged.withOperator(
       staged.operators(op).copy(keygroupAssignment = assignment))
 
-  /** Build and start the current generation's query. */
+  /** Build and start the current generation's query. The source is
+    * instrumented with per-keygroup observed metrics so controllers
+    * see keygroup load per batch (Metrics.observeKeygroups). */
   def start(): Unit = {
     val desc = plan.operators(OperatorName)
     val logicName = desc.udfName
     spark.conf.set("spark.sql.shuffle.partitions", desc.parallelism)
-    val grouped = sourceFactory().groupByKey(_.key)
+    val observed = graft.streaming.Metrics
+      .observeKeygroups(sourceFactory().toDF(), "key", maxParallelism)
+      .as[KeyedTuple]
+    val grouped = observed.groupByKey(_.key)
     val fn = (key: String, rows: Iterator[KeyedTuple],
         state: GroupState[CountState]) => {
       val logic = UdfRegistry(logicName)

@@ -24,7 +24,24 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object Metrics {
 
   case class BatchProgress(batchId: Long, numInputRows: Long,
-      processedRowsPerSecond: Double, durationMs: Long)
+      processedRowsPerSecond: Double, durationMs: Long,
+      rowsPerKeygroup: Map[Int, Long] = Map.empty)
+
+  /** Per-keygroup load instrumentation, the analog of the reference's
+    * per-key-group rate metrics (KafkaMetricsManager.java:242-250):
+    * `observe()` attaches conditional counts per keygroup to the
+    * streaming plan, and the listener reads them back per batch from
+    * `observedMetrics` — Spark's native task→driver metrics channel. */
+  val KeygroupMetricName = "keygroups"
+
+  def observeKeygroups(df: DataFrame, keyCol: String,
+      groups: Int = 32): DataFrame = {
+    val counts = (0 until groups).map { kg =>
+      count(when(pmod(hash(col(keyCol)), lit(groups)) === kg, 1))
+        .as(s"kg$kg")
+    }
+    df.observe(KeygroupMetricName, counts.head, counts.tail: _*)
+  }
 
   /** Collects per-batch progress — the MetricsManager analog. */
   final class ProgressCollector extends StreamingQueryListener {
@@ -38,8 +55,16 @@ object Metrics {
     override def onQueryProgress(
         e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
+      val kg = Option(p.observedMetrics.get(KeygroupMetricName)) match {
+        case Some(row) =>
+          row.schema.fieldNames.zipWithIndex.collect {
+            case (name, i) if name.startsWith("kg") && !row.isNullAt(i) =>
+              name.drop(2).toInt -> row.getLong(i)
+          }.toMap
+        case None => Map.empty[Int, Long]
+      }
       buf.add(BatchProgress(p.batchId, p.numInputRows,
-        p.processedRowsPerSecond, p.batchDuration))
+        p.processedRowsPerSecond, p.batchDuration, kg))
     }
   }
 
