@@ -83,6 +83,24 @@ object DynamicRules {
   def rulesAlerts(s: SparkSession, dir: String): DataFrame =
     evaluate(Tables.events(s, dir), demoRules)
 
+  /** Streaming deployment: the rule set is consulted per micro-batch
+    * (the reference broadcasts ControlMessages to all tasks,
+    * MegaphoneEvaluator.java:90,133-140 — here the rules supplier is
+    * read at every batch, so rule ACTIVE/PAUSE/DELETE transitions from
+    * a control stream apply at the next trigger). Each batch's alerts
+    * are appended through `sink`. */
+  def streaming(events: DataFrame, currentRules: () => Seq[Rule],
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rules = currentRules().filter(_.ruleState == "ACTIVE")
+        if (rules.nonEmpty && !batch.isEmpty)
+          sink(evaluate(batch.toDF(), rules), batchId)
+      }
+      .start()
+
   /** Oracle. Window starts via floor(epoch) (a bare ::BIGINT cast
     * rounds and can flip bucket at window boundaries) and
     * make_timestamp (naive, unlike tz-aware to_timestamp). */

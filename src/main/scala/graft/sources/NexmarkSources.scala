@@ -92,6 +92,22 @@ object NexmarkSources {
       .map(i => bidAt(i))
   }
 
+  /** Streaming auction/person sources (same pattern;
+    * reference AuctionSourceFunction/PersonSourceFunction). */
+  def auctionStream(spark: SparkSession, rowsPerBatch: Int): Dataset[Auction] = {
+    import spark.implicits._
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch).load()
+      .select(col("value")).as[Long].map(i => auctionAt(i))
+  }
+
+  def personStream(spark: SparkSession, rowsPerBatch: Int): Dataset[Person] = {
+    import spark.implicits._
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch).load()
+      .select(col("value")).as[Long].map(i => personAt(i))
+  }
+
   /** Keyed variant (reference sources/keyed/KeyedBidSourceFunction). */
   def keyedBidStream(spark: SparkSession, rowsPerBatch: Int): DataFrame =
     bidStream(spark, rowsPerBatch).toDF()

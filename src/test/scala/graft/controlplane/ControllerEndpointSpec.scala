@@ -1,0 +1,58 @@
+package graft.controlplane
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ControllerEndpointSpec extends AnyFunSuite {
+
+  private val plan = QueryPlanDescriptor(128, Map("op" ->
+    OperatorDescriptor.contiguous("op", 4, "countV1", 128)))
+  private val executor = new ReconfigurationExecutor {
+    def getPlan: QueryPlanDescriptor = plan
+    def assignExecutionLogic(o: String, u: String): Unit = ()
+    def assignResources(o: String, p: Int): Unit = ()
+    def assignWorkload(o: String, a: Vector[Int]): Unit = ()
+    def execute(reason: String): ReconfigReport =
+      ReconfigReport(reason, Map.empty, plan, plan)
+  }
+
+  private def http(method: String, url: String, body: Option[String] = None)
+      : (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    (code, new String(is.readAllBytes(), StandardCharsets.UTF_8))
+  }
+
+  test("controller registration and plan inspection over REST") {
+    val endpoint = new ControllerEndpoint(executor,
+      Map("dummy" -> (() => new DummyController),
+        "load-balance" -> (() => new LoadBalanceController("op", 4))),
+      port = 0) // ephemeral port for the test; 8520 in production
+    val port = endpoint.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // no controller active initially
+      assert(http("GET", s"$base/jobs/controller")._2.contains("none"))
+      // register by name
+      val (code, body) = http("POST", s"$base/jobs/controller",
+        Some("load-balance"))
+      assert(code === 200 && body.contains("load-balance"))
+      assert(endpoint.active.exists(_.name == "load-balance"))
+      // unknown name → 404
+      assert(http("POST", s"$base/jobs/controller", Some("nope"))._1 === 404)
+      // plan inspection
+      val (pc, pb) = http("GET", s"$base/jobs/plan")
+      assert(pc === 200 && pb.contains("\"parallelism\":4") &&
+        pb.contains("countV1"))
+    } finally endpoint.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.Rule
+
+/** Streaming rules evaluation: the rule set is consulted per
+  * micro-batch, so control-stream transitions (ACTIVE/PAUSE) apply at
+  * the next trigger without a restart. */
+class DynamicRulesStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  case class Ev(ts: Timestamp, user_id: Long, value: Double)
+
+  test("rule transitions apply at the next micro-batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    @volatile var rules: Seq[Rule] = Seq(
+      Rule(1, "ACTIVE", Seq("user_id"), "value", "SUM", ">",
+        BigDecimal(100), 60))
+    val alerts = new ConcurrentLinkedQueue[Row]()
+    val q = DynamicRules.streaming(in.toDF(), () => rules,
+      (df, _) => df.collect().foreach(alerts.add))
+    try {
+      def ev(sec: Long, user: Long, v: Double) =
+        Ev(new Timestamp(sec * 1000), user, v)
+      in.addData(ev(100, 1, 150.0), ev(101, 2, 50.0))
+      q.processAllAvailable()
+      // rule 1 fires for user 1 only
+      assert(alerts.asScala.map(_.getString(2)).toSet === Set("1"))
+
+      // control message: pause rule 1, activate a MAX rule
+      rules = Seq(
+        Rule(1, "PAUSE", Seq("user_id"), "value", "SUM", ">",
+          BigDecimal(100), 60),
+        Rule(2, "ACTIVE", Seq("user_id"), "value", "MAX", ">=",
+          BigDecimal(200), 60))
+      alerts.clear()
+      in.addData(ev(200, 3, 250.0), ev(201, 4, 150.0))
+      q.processAllAvailable()
+      val byRule = alerts.asScala.groupBy(_.getLong(0))
+      assert(!byRule.contains(1L), "paused rule still fired")
+      assert(byRule(2L).map(_.getString(2)).toSet === Set("3"))
+    } finally q.stop()
+  }
+}
