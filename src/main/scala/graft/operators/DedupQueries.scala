@@ -19,14 +19,6 @@ import graft.functions.GraftFunctions.{shingles, tokens}
   */
 object DedupQueries {
 
-  /** Portable 32-bit-ish hash: first 8 hex chars of md5, as a long.
-    * (Spark's murmur `hash()` is faster but engine-specific; md5 keeps
-    * the oracle exact. The production fast path can swap in `hash()`
-    * without touching the pipeline shape.) */
-  private def mdHash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)
-      .cast("binary")), 1, 8), 16, 10).cast("long")
-
   /** Exact dedup: md5 digest groupBy; keeps min doc_id per digest. */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -92,7 +84,19 @@ object DedupQueries {
       |WHERE CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) >= 0.7
       |ORDER BY id1, id2""".stripMargin
 
-  /** MinHash signatures (16 portable hash functions over 3-gram
+  /** Universal-hash family over one md5 base hash:
+    * h_i(s) = (a_i·H(s) + b_i) mod 2^32 with H = first 8 md5 hex chars.
+    * One digest per shingle instead of one per (shingle, seed) — 16×
+    * fewer md5s on the hot path; a_i·H < 2^63 so the arithmetic is
+    * exact BIGINT in both engines (oracle reproduces it verbatim). */
+  private def universalHashes(base: Column, n: Int): Seq[Column] =
+    (0 until n).map { i =>
+      val a = 2 * i + 1 // odd multipliers
+      val b = 0x9e3779b9L + i * 0x85ebca6bL
+      pmod(base * a + b, lit(4294967296L))
+    }
+
+  /** MinHash signatures (16 universal hash functions over 3-gram
     * shingles) + banded LSH (4 bands × 4 rows): candidate pairs share
     * at least one band, then are verified with exact Jaccard ≥ 0.7.
     * At scale this replaces the full shingle self-join with a
@@ -101,9 +105,12 @@ object DedupQueries {
     val numHashes = 16
     val rowsPerBand = 4
     val sh = docShingles(s, dir)
-    // signature: for each seed, min hash over the doc's shingles
-    val seeds = (0 until numHashes).map(i =>
-      min(mdHash(col("sh"), i)).as(s"h$i"))
+      .withColumn("hbase",
+        conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+    // signature: for each hash fn, min over the doc's shingles
+    val seeds = universalHashes(col("hbase"), numHashes).zipWithIndex
+      .map { case (h, i) => min(h).as(s"h$i") }
     val sig = sh.groupBy(col("doc_id")).agg(seeds.head, seeds.tail: _*)
     // bands: concat the hashes of each band into one bucket key
     val bandCols = (0 until numHashes / rowsPerBand).map { b =>
@@ -152,10 +159,13 @@ object DedupQueries {
       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |    FROM toks)),
+      |based AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS hbase
+      |  FROM sh),
       |hashes AS (
       |  SELECT doc_id, seed,
-      |    MIN(CAST(('0x' || substr(md5(seed || ':' || sh), 1, 8)) AS BIGINT)) AS h
-      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
+      |    MIN(((2*seed+1) * hbase + 2654435769 + seed * 2245772395) % 4294967296) AS h
+      |  FROM based CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
       |  GROUP BY doc_id, seed),
       |bands AS (
       |  SELECT doc_id, seed // 4 AS band,
