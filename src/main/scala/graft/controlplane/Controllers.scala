@@ -44,6 +44,55 @@ final class TestingController(
   }
 }
 
+/** Periodic reconfiguration exerciser — the PerformanceEvaluator
+  * (reference udm/PerformanceEvaluator.java:40-62: fires a remap /
+  * rescale / logic test every interval; round-robin remap policy at
+  * :149-176). Used to measure reconfiguration cost under load. */
+final class PeriodicReconfigController(operator: String,
+    everyNBatches: Long, maxParallelism: Int = 128)
+  extends Controller {
+  val name = "performance-evaluator"
+  private var last = -1L
+
+  def onBatch(executor: ReconfigurationExecutor, batchId: Long,
+      m: Map[Int, Long]): Option[ReconfigReport] = {
+    if (batchId == 0 || batchId - last < everyNBatches) return None
+    last = batchId
+    val p = executor.getPlan.operators(operator).parallelism
+    executor.assignWorkload(operator,
+      KeygroupRouter.roundRobin(maxParallelism, p))
+    Some(executor.execute(s"$name@batch$batchId round-robin remap"))
+  }
+}
+
+/** ±1 scaling on sustained load change — the StockController policy
+  * (reference udm/StockController.java:41-78: rebalance-all or scale
+  * by one task when per-task load crosses thresholds). */
+final class ScalingController(operator: String,
+    highRowsPerTask: Long, lowRowsPerTask: Long,
+    maxParallelismTasks: Int = 32)
+  extends Controller {
+  val name = "scaling"
+
+  def onBatch(executor: ReconfigurationExecutor, batchId: Long,
+      rowsPerKeygroup: Map[Int, Long]): Option[ReconfigReport] = {
+    val total = rowsPerKeygroup.values.sum
+    if (total == 0) return None
+    val desc = executor.getPlan.operators(operator)
+    val perTask = total.toDouble / desc.parallelism
+    val target =
+      if (perTask > highRowsPerTask && desc.parallelism < maxParallelismTasks)
+        desc.parallelism + 1
+      else if (perTask < lowRowsPerTask && desc.parallelism > 1)
+        desc.parallelism - 1
+      else desc.parallelism
+    if (target == desc.parallelism) return None
+    executor.assignResources(operator, target)
+    Some(executor.execute(
+      s"$name@batch$batchId ${desc.parallelism} -> $target (perTask=$perTask)"))
+  }
+}
+
 /** Load-balancing policy in the spirit of StreamSwitch: if the hottest
   * task carries more than `imbalanceFactor` × the mean keygroup load,
   * remap keygroups to tasks by greedy bin packing of observed rates. */
