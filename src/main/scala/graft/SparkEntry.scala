@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnLsh, DedupQueries, DynamicRules, EventQueries,
-  MediaPipeline, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AnnLsh, AsofJoin, DedupQueries, DynamicRules,
+  EventQueries, MediaPipeline, RelationalQueries, SimilarityQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +27,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       DynamicRules.queries ++
       MediaPipeline.queries ++
-      AnnLsh.queries
+      AnnLsh.queries ++
+      AsofJoin.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -36,5 +38,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       DynamicRules.oracles ++
       MediaPipeline.oracles ++
-      AnnLsh.oracles
+      AnnLsh.oracles ++
+      AsofJoin.oracles
 }
