@@ -33,6 +33,20 @@ object StatefulOps {
       }
   }
 
+  /** Two-input word count — the reference's CoFlatMapFunction
+    * tokenizer over two text streams feeding one running count
+    * (TwoInputsWordCount.java:50-96): union the sources, tokenize,
+    * count per word incrementally. */
+  def twoInputWordCount(lines1: Dataset[String], lines2: Dataset[String])
+      : Dataset[KeyedTuple] = {
+    val spark = lines1.sparkSession
+    import spark.implicits._
+    val words = lines1.unionByName(lines2)
+      .flatMap(_.toLowerCase.split("\\W+"))
+      .filter(_.nonEmpty)
+    runningCount(words)
+  }
+
   /** Per-key payload state of configurable size — the reference's
     * `MyStatefulMap` micro-bench operator
     * (StatefulDemoLongRun.java:82-123): holds `perKeySize` bytes per

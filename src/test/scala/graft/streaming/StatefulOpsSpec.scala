@@ -30,6 +30,25 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twoInputWordCount merges both streams into one running count") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in1 = MemoryStream[String]
+    val in2 = MemoryStream[String]
+    val q = StatefulOps.twoInputWordCount(in1.toDS(), in2.toDS())
+      .writeStream.format("memory").queryName("twowc")
+      .outputMode("update").start()
+    try {
+      in1.addData("spark streams data")
+      in2.addData("data streams fast")
+      q.processAllAvailable()
+      val last = spark.table("twowc").as[KeyedTuple].collect()
+        .groupBy(_.key).map { case (k, v) => k -> v.map(_.value).max }
+      assert(last === Map("spark" -> 1L, "streams" -> 2L, "data" -> 2L,
+        "fast" -> 1L))
+    } finally q.stop()
+  }
+
   test("countWindowReduce emits per full window of n") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
