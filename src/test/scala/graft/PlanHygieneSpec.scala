@@ -48,6 +48,30 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  /** Brute-force similarity ops intentionally score all pairs (their
+    * scale path is the LSH variant). */
+  private val intentionalCrossJoins = Set("sim_cosine_topk",
+    "sim_knn_label", "sim_embedding_near_dup", "sim_ann_lsh")
+
+  test("no query plan degrades to an unintended cross product") {
+    SparkEntry.queries.keys
+      .filterNot(intentionalCrossJoins)
+      .foreach { name =>
+        val p = plan(SparkEntry.queries(name)(spark, dir))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+      }
+  }
+
+  test("asof join is one shuffle + sort, not a range cross product") {
+    val p = plan(graft.operators.AsofJoin.asofLatestOrder(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("filter pushdown applies to the events replay path too") {
     val p = plan(EventQueries.e2Filter(spark, dir))
     assert(p.contains("PushedFilters: ["), p)
