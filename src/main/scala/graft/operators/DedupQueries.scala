@@ -231,13 +231,68 @@ object DedupQueries {
       |  SUM(sbit * CAST(POWER(2, b) AS BIGINT)) AS simhash
       |FROM sbits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup pairs: hamming distance ≤ 3 on the 32-bit
+    * signature. Candidates come from a byte-block join — 4 bands of
+    * 8 bits; by pigeonhole, ≤3 differing bits leave at least one band
+    * identical — so the exact answer needs no O(n²) pass. The oracle
+    * brute-forces all pairs (feasible at oracle scale). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir).cache()
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("block"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.block").as("block"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val simhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)),
+      |hx AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    (strpos('0123456789abcdef', substr(h8, CAST(b // 4 + 1 AS INT), 1)) - 1) AS digit
+      |  FROM hx CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+      |sbits AS (
+      |  SELECT doc_id, b,
+      |    CAST(SUM((CAST(FLOOR(digit / POWER(2, 3 - b % 4)) AS BIGINT) % 2) * 2 - 1) >= 0 AS BIGINT) AS sbit
+      |  FROM bits GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id, SUM(sbit * CAST(POWER(2, b) AS BIGINT)) AS simhash
+      |  FROM sbits GROUP BY doc_id)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
