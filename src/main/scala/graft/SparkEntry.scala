@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnLsh, AsofJoin, DedupQueries, DynamicRules,
-  EventQueries, MediaPipeline, RelationalQueries, SimilarityQueries,
-  TextQueries}
+import graft.operators.{AnnIvf, AnnLsh, AsofJoin, DedupQueries,
+  DynamicRules, EventQueries, MediaPipeline, RelationalQueries,
+  SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
       DynamicRules.queries ++
       MediaPipeline.queries ++
       AnnLsh.queries ++
+      AnnIvf.queries ++
       AsofJoin.queries
 
   def oracleSql: Map[String, String] =
@@ -39,5 +40,6 @@ object SparkEntry {
       DynamicRules.oracles ++
       MediaPipeline.oracles ++
       AnnLsh.oracles ++
+      AnnIvf.oracles ++
       AsofJoin.oracles
 }

@@ -67,6 +67,32 @@ object DynamicRules {
       .orderBy(col("rule_id"), col("win_start"), col("key"))
   }
 
+  /** Parse rules from JSON control messages — the RuleParser analog
+    * (reference megaphone/dynamicrules/RuleParser.java; messages
+    * arrive on the control stream as JSON). Uses Spark's from_json so
+    * a whole control-stream batch parses distributed. */
+  def parseRules(s: SparkSession, jsonLines: Seq[String]): Seq[Rule] = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ruleId", IntegerType),
+      StructField("ruleState", StringType),
+      StructField("groupingKeyNames", ArrayType(StringType)),
+      StructField("aggregateFieldName", StringType),
+      StructField("aggregatorFunctionType", StringType),
+      StructField("limitOperatorType", StringType),
+      StructField("limit", DecimalType(38, 18)),
+      StructField("windowMinutes", IntegerType)))
+    import s.implicits._
+    s.createDataset(jsonLines)
+      .select(from_json(col("value"), schema).as("r"))
+      .select(col("r.*"))
+      .collect()
+      .toSeq
+      .map(r => Rule(r.getInt(0), r.getString(1),
+        r.getSeq[String](2), r.getString(3), r.getString(4),
+        r.getString(5), BigDecimal(r.getDecimal(6)), r.getInt(7)))
+  }
+
   /** The fixed demo rule set the oracle checks (rules arrive on a
     * control stream in the streaming deployment; see
     * graft.streaming docs). */

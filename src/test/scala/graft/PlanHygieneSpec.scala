@@ -51,7 +51,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   /** Brute-force similarity ops intentionally score all pairs (their
     * scale path is the LSH variant). */
   private val intentionalCrossJoins = Set("sim_cosine_topk",
-    "sim_knn_label", "sim_embedding_near_dup", "sim_ann_lsh")
+    "sim_knn_label", "sim_embedding_near_dup", "sim_ann_lsh",
+    "sim_ann_ivf")
 
   test("no query plan degrades to an unintended cross product") {
     SparkEntry.queries.keys

@@ -14,7 +14,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   /** Approximate operators with no SQL-expressible oracle (driver
     * falls back to a rows-only check). */
-  private val rowsOnly = Set("sim_ann_lsh")
+  private val rowsOnly = Set("sim_ann_lsh", "sim_ann_ivf")
 
   test("every query has oracle SQL (or is explicitly rows-only)") {
     val missing =

@@ -20,6 +20,16 @@ class DynamicRulesStreamingSpec extends AnyFunSuite {
 
   case class Ev(ts: Timestamp, user_id: Long, value: Double)
 
+  test("rules parse from JSON control messages") {
+    val parsed = DynamicRules.parseRules(spark, Seq(
+      """{"ruleId":7,"ruleState":"ACTIVE","groupingKeyNames":["user_id"],
+        |"aggregateFieldName":"value","aggregatorFunctionType":"SUM",
+        |"limitOperatorType":">","limit":42.5,"windowMinutes":30}"""
+        .stripMargin.replace("\n", "")))
+    assert(parsed === Seq(Rule(7, "ACTIVE", Seq("user_id"), "value",
+      "SUM", ">", BigDecimal("42.5"), 30)))
+  }
+
   test("rule transitions apply at the next micro-batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
