@@ -22,6 +22,13 @@ import graft.model.{Order, Trade}
   *    fills update the resting order in place; the trade prices at the
   *    resting order's price.
   *
+  * The book state holds plain immutable maps (price → FIFO list) and
+  * picks the best crossing price at match time: mutable sorted
+  * collections do NOT survive the state store's Kryo round-trip (they
+  * deserialize as plain HashMaps and crash on the SortedMap
+  * interface), and per-security price-level counts are small enough
+  * that an O(levels) min/max beats maintaining a sorted structure.
+  *
   * The core is a pure per-key fold (`OrderBookState.process`), so the
   * same logic backs (a) the streaming operator
   * (`flatMapGroupsWithState` keyed by secCode — state moves with the
@@ -32,40 +39,48 @@ import graft.model.{Order, Trade}
 object OrderBook {
 
   /** One side of the book: price → FIFO queue of resting orders. */
-  type Side = mutable.SortedMap[Int, mutable.ArrayBuffer[Order]]
+  type Side = Map[Int, List[Order]]
 
   case class BookSnapshot(buys: List[Order], sells: List[Order])
 
   final class OrderBookState extends Serializable {
-    /** Buy side: best price = highest ⇒ iterate descending. */
-    val buyPool: Side = mutable.SortedMap.empty(Ordering[Int].reverse)
-    /** Sell side: best price = lowest ⇒ natural ascending order. */
-    val sellPool: Side = mutable.SortedMap.empty
+    var buyPool: Side = Map.empty
+    var sellPool: Side = Map.empty
 
-    private def pool(dir: String): Side =
+    private def getSide(dir: String): Side =
       if (dir == "B") buyPool else sellPool
 
-    private def insert(o: Order): Unit =
-      pool(o.tradeDir).getOrElseUpdate(o.orderPriceCents,
-        mutable.ArrayBuffer.empty) += o
+    private def setSide(dir: String, s: Side): Unit =
+      if (dir == "B") buyPool = s else sellPool = s
+
+    private def insert(o: Order): Unit = {
+      val p = getSide(o.tradeDir)
+      setSide(o.tradeDir,
+        p.updated(o.orderPriceCents,
+          p.getOrElse(o.orderPriceCents, Nil) :+ o))
+    }
+
+    private def removeFrom(s: Side, price: Int, orderNo: String): Side = {
+      s.get(price) match {
+        case Some(q) =>
+          val trimmed = {
+            val i = q.indexWhere(_.orderNo == orderNo)
+            if (i < 0) q else q.patch(i, Nil, 1)
+          }
+          if (trimmed.isEmpty) s - price else s.updated(price, trimmed)
+        case None => s
+      }
+    }
 
     private def delete(o: Order): Unit = {
-      val p = pool(o.tradeDir)
-      p.get(o.orderPriceCents).foreach { q =>
-        val i = q.indexWhere(_.orderNo == o.orderNo)
-        if (i >= 0) q.remove(i)
-        if (q.isEmpty) p.remove(o.orderPriceCents)
-      }
+      var p = removeFrom(getSide(o.tradeDir), o.orderPriceCents, o.orderNo)
       // reference falls back to scanning the whole side when the
       // delete row carries no/odd price (Order_Price 0)
-      if (o.orderPriceCents == 0) {
+      if (o.orderPriceCents == 0)
         p.keys.toList.foreach { price =>
-          val q = p(price)
-          val i = q.indexWhere(_.orderNo == o.orderNo)
-          if (i >= 0) q.remove(i)
-          if (q.isEmpty) p.remove(price)
+          p = removeFrom(p, price, o.orderNo)
         }
-      }
+      setSide(o.tradeDir, p)
     }
 
     /** Match an incoming order against the opposite side; returns the
@@ -74,28 +89,41 @@ object OrderBook {
       val trades = mutable.ListBuffer.empty[Trade]
       var remaining = incoming.orderVol - incoming.orderExecVol
       val isBuy = incoming.tradeDir == "B"
-      val opposite = if (isBuy) sellPool else buyPool
       val ts = Order.hhmmss(incoming.lastUpdTime)
 
-      def crosses(restingPrice: Int): Boolean =
-        if (isBuy) incoming.orderPriceCents >= restingPrice
-        else incoming.orderPriceCents <= restingPrice
+      def bestCrossing: Option[Int] = {
+        val opposite = if (isBuy) sellPool else buyPool
+        val crossing =
+          if (isBuy) opposite.keysIterator.filter(_ <= incoming.orderPriceCents)
+          else opposite.keysIterator.filter(_ >= incoming.orderPriceCents)
+        if (!crossing.hasNext) None
+        else Some(if (isBuy) crossing.min else crossing.max)
+      }
 
-      while (remaining > 0 && opposite.nonEmpty &&
-          crosses(opposite.firstKey)) {
-        val price = opposite.firstKey
-        val queue = opposite(price)
-        val resting = queue.head
-        val restingVol = resting.orderVol - resting.orderExecVol
-        val vol = math.min(remaining, restingVol)
-        trades += Trade(incoming.secCode,
-          buyNo = if (isBuy) incoming.orderNo else resting.orderNo,
-          sellNo = if (isBuy) resting.orderNo else incoming.orderNo,
-          priceCents = price, volume = vol, tsHHMMSS = ts)
-        remaining -= vol
-        if (vol == restingVol) queue.remove(0)
-        else queue(0) = resting.copy(orderExecVol = resting.orderExecVol + vol)
-        if (queue.isEmpty) opposite.remove(price)
+      var done = false
+      while (remaining > 0 && !done) {
+        bestCrossing match {
+          case None => done = true
+          case Some(price) =>
+            val opposite = if (isBuy) sellPool else buyPool
+            val queue = opposite(price)
+            val resting = queue.head
+            val restingVol = resting.orderVol - resting.orderExecVol
+            val vol = math.min(remaining, restingVol)
+            trades += Trade(incoming.secCode,
+              buyNo = if (isBuy) incoming.orderNo else resting.orderNo,
+              sellNo = if (isBuy) resting.orderNo else incoming.orderNo,
+              priceCents = price, volume = vol, tsHHMMSS = ts)
+            remaining -= vol
+            val newQueue =
+              if (vol == restingVol) queue.tail
+              else resting.copy(orderExecVol = resting.orderExecVol + vol) ::
+                queue.tail
+            val newSide =
+              if (newQueue.isEmpty) opposite - price
+              else opposite.updated(price, newQueue)
+            if (isBuy) sellPool = newSide else buyPool = newSide
+        }
       }
       if (remaining > 0)
         insert(incoming.copy(orderExecVol = incoming.orderVol - remaining))
@@ -113,7 +141,8 @@ object OrderBook {
     }
 
     def snapshot: BookSnapshot = BookSnapshot(
-      buyPool.values.flatten.toList, sellPool.values.flatten.toList)
+      buyPool.toList.sortBy(-_._1).flatMap(_._2),
+      sellPool.toList.sortBy(_._1).flatMap(_._2))
   }
 
   /** Fold a time-ordered sequence of orders through a fresh book. */

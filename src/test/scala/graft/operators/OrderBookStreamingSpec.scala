@@ -13,6 +13,46 @@ import graft.sources.OrderReplaySource
 class OrderBookStreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("order book resumes from checkpoint with book state intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orders-resume").toString
+    val checkpoint = Files.createTempDirectory("orders-ckpt").toString
+    // file 1: build the book (resting orders, no crossing yet)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part1.txt"),
+      "B1|A|09:30:00|100.00|0|100|S1|B\n" +
+        "S9|A|09:30:01|101.00|0|50|S1|S\n")
+
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    val trades = new java.util.concurrent.ConcurrentLinkedQueue[Trade]()
+    def run() = OrderBook.streaming(
+      OrderReplaySource.readStream(spark, dir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Trade], _: Long) =>
+        batch.collect().foreach(trades.add)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
+    val q1 = run()
+    q1.processAllAvailable()
+    assert(trades.isEmpty) // book built, no trades
+    q1.stop()
+
+    // file 2 arrives while "down"; restart from the same checkpoint —
+    // the sell must cross the RESTING buy from generation 1's state
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part2.txt"),
+      "S2|A|09:31:00|99.00|0|60|S1|S\n")
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(trades.asScala.toList ===
+        List(Trade("S1", "B1", "S2", 10000, 60, 93100)))
+    } finally q2.stop()
+  }
+
   test("streaming order book over file replay == batch twin") {
     val dir = Files.createTempDirectory("orders").toString
     OrderReplaySource.writeSyntheticOrders(s"$dir/orders.txt",
