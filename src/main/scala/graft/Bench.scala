@@ -29,6 +29,9 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // caches are query-scoped working sets — release before the next
+      // query so storage memory never accumulates across the sweep
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -67,9 +67,18 @@ object AnnIvf {
     }.take(n)
 
   /** Approximate top-k: probe the query's nprobe nearest cells, exact
-    * cosine re-rank of the probed candidates. */
+    * cosine re-rank of the probed candidates.
+    *
+    * The quantizer trains on a deterministic md5-mod sample ordered by
+    * vec_id — storage-order-independent (a `.limit()` sample would be
+    * first-partition-biased at scale) and reproducible, so the whole
+    * query is deterministic. With `iters = 0` the centroids are the
+    * sample vectors at evenly spaced ranks (IVF-Flat with random-ish
+    * centers), which a SQL oracle can replay exactly; Lloyd iterations
+    * involve order-sensitive FP mean accumulation, so the oracle-gated
+    * driver entry uses `iters = 0`. */
   def annTopK(s: SparkSession, dir: String, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
 
@@ -78,10 +87,18 @@ object AnnIvf {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
 
-    // train the coarse quantizer on a driver-side sample
-    val sample = emb.select(col("v")).as[Array[Double]]
-      .limit(10000).collect()
-    val cents = kmeans(sample, nlist, iters = 5)
+    // train the coarse quantizer on a deterministic driver-side sample:
+    // keep vec_ids whose md5-derived hash ≡ 0 (mod every), every sized
+    // so the sample is ~10k vectors regardless of storage order
+    val n = emb.count()
+    val every = math.max(1L, n / 10000L)
+    val sample = emb
+      .filter(pmod(
+        conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long"), lit(every)) === 0)
+      .orderBy(col("vec_id"))
+      .select(col("v")).as[Array[Double]].collect()
+    val cents = kmeans(sample, nlist, iters)
     val bc = s.sparkContext.broadcast(cents)
 
     val cands = emb.filter(col("vec_id") >= 10)
@@ -106,11 +123,59 @@ object AnnIvf {
       .orderBy(col("qid"), col("rank"))
   }
 
-  def annIvfQuery(s: SparkSession, dir: String): DataFrame = annTopK(s, dir)
+  /** Driver entry: iters = 0 so the quantizer (rank-spaced sample
+    * vectors) is SQL-replayable — see [[annIvfSql]]. */
+  def annIvfQuery(s: SparkSession, dir: String): DataFrame =
+    annTopK(s, dir, iters = 0)
+
+  /** Exact DuckDB replay of the iters = 0 driver entry. Assumes the
+    * corpus is ≤10k vectors (true at oracle scale), so the training
+    * sample is the full table ordered by vec_id. Distances fold in the
+    * same order as [[nearest]]; argmin ties break to the lower centroid
+    * index in both engines. */
+  val annIvfSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
+      |  FROM emb),
+      |sample AS (
+      |  SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r FROM emb),
+      |scount AS (SELECT COUNT(*) AS n FROM sample),
+      |cents AS (
+      |  SELECT cs.c, sample.v AS cv
+      |  FROM (SELECT unnest(range(0, 16)) AS c) cs, scount, sample
+      |  WHERE sample.r = LEAST(cs.c * scount.n // 16, scount.n - 1)),
+      |dists AS (
+      |  SELECT n.vec_id, c.c,
+      |    list_reduce(list_transform(range(1, 65), i -> (c.cv[i] - n.v[i]) * (c.cv[i] - n.v[i])), (x, y) -> x + y) AS d
+      |  FROM normed n, cents c),
+      |ranked AS (
+      |  SELECT vec_id, c,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |  FROM dists),
+      |assign AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1 AND vec_id >= 10),
+      |probes AS (SELECT vec_id, c AS cell FROM ranked WHERE rn <= 4 AND vec_id < 10),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS qid, a.vec_id AS cid
+      |  FROM probes p JOIN assign a ON p.cell = a.cell),
+      |scored AS (
+      |  SELECT cand.qid, cand.cid,
+      |    list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+      |      / (q.norm * c.norm) AS cos
+      |  FROM cand
+      |  JOIN normed q ON q.vec_id = cand.qid
+      |  JOIN normed c ON c.vec_id = cand.cid)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cos FROM (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf" -> (annIvfQuery _))
 
-  /** Approximate ⇒ rows-only check, like sim_ann_lsh. */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "sim_ann_ivf" -> annIvfSql)
 }

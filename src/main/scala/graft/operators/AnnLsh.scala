@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.util.Random
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,19 +17,30 @@ import graft.functions.GraftFunctions.dotProduct
   * collisions shrink the scored set by orders of magnitude while
   * keeping high recall for genuinely close vectors.
   *
-  * Hyperplanes are generated from a fixed seed (deterministic across
-  * runs/executors); at 100 TB the bucket join shuffles on the compact
-  * (table, bucket) key instead of broadcasting the corpus.
+  * Hyperplanes are Rademacher (±1) vectors derived from md5 of the
+  * plane's name — a valid sign-random-projection family that both
+  * engines reproduce bit-for-bit (products are exactly ±v[i], folded
+  * left-to-right), so the whole approximate query is deterministic and
+  * has an exact DuckDB oracle. At 100 TB the bucket join shuffles on
+  * the compact (table, bucket) key instead of broadcasting the corpus.
   */
 object AnnLsh {
 
   val Dim = 64
 
-  /** Deterministic Gaussian hyperplanes: tables × bits × dim. */
-  def hyperplanes(tables: Int, bits: Int, seed: Long = 42L)
-      : Array[Array[Array[Double]]] = {
-    val rnd = new Random(seed)
-    Array.fill(tables, bits)(Array.fill(Dim)(rnd.nextGaussian()))
+  /** Deterministic Rademacher hyperplanes: component i of plane (t,b)
+    * is +1 if bit i of md5("hp_t_b") is set, else −1 (hex digit i/4,
+    * bit 3 − i%4 — the same convention as the SimHash operators). */
+  def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits) { (t, b) =>
+      val hex = mdig.digest(s"hp_${t}_${b}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Array.tabulate(Dim) { i =>
+        val digit = Character.digit(hex(i / 4), 16)
+        if (((digit >> (3 - i % 4)) & 1) == 1) 1.0 else -1.0
+      }
+    }
   }
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -61,8 +70,9 @@ object AnnLsh {
   }
 
   /** Approximate top-k: candidates sharing ≥1 LSH bucket with the
-    * query, exactly re-ranked by cosine. */
-  /** Defaults tuned for moderate-similarity neighbors (random-ish
+    * query, exactly re-ranked by cosine.
+    *
+    * Defaults tuned for moderate-similarity neighbors (random-ish
     * corpora): many short signatures (16 tables × 6 bits) rather than
     * few long ones — collision probability per table stays usable even
     * when the true top-k sits near cosine ≈ 0.5. `bits` should grow
@@ -93,13 +103,110 @@ object AnnLsh {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Driver entry (approximate ⇒ rows-only check, no SQL oracle). */
+  /** Embedding near-dup pairs via LSH buckets — the scale path for the
+    * pairs shape (the brute-force all-pairs form is the test oracle
+    * only). Candidates share ≥1 (table, bucket); survivors are exactly
+    * verified with cosine ≥ threshold. Plan: equi-join on the compact
+    * (table, bucket) key — no BroadcastNestedLoopJoin, no O(n²). */
+  def nearDupLsh(s: SparkSession, dir: String, threshold: Double = 0.4,
+      tables: Int = 16, bits: Int = 6): DataFrame = {
+    val b = bucketed(s, dir, tables, bits).cache()
+    val cand = b.as("a")
+      .join(b.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("a.v").as("v1"),
+        col("a.norm").as("n1"),
+        col("b.vec_id").as("id2"), col("b.v").as("v2"),
+        col("b.norm").as("n2"))
+      .distinct()
+    cand
+      .withColumn("cos",
+        dotProduct(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Driver entry. */
   def annLshQuery(s: SparkSession, dir: String): DataFrame =
     annTopK(s, dir)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_ann_lsh" -> (annLshQuery _))
+  def nearDupLshQuery(s: SparkSession, dir: String): DataFrame =
+    nearDupLsh(s, dir)
 
-  /** Intentionally no oracle entry: LSH output is approximate. */
-  val oracles: Map[String, String] = Map.empty
+  /** Oracle CTE chain reproducing the md5-Rademacher buckets in DuckDB:
+    * emb → normed (vec_id, v, norm) → planes (t, b, ±1 vector) →
+    * dots → buckets (vec_id, tbl, bucket). Products are exactly ±v[i]
+    * and fold in the same order as [[dotProduct]], so signatures and
+    * cosines are bit-identical across engines. */
+  private def bucketsCte(tables: Int, bits: Int): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
+       |  FROM emb),
+       |planes AS (
+       |  SELECT t, b,
+       |    list_transform(range(0, 64), i ->
+       |      CASE WHEN CAST(FLOOR((strpos('0123456789abcdef',
+       |            substr(md5('hp_' || t || '_' || b), CAST(i // 4 + 1 AS INT), 1)) - 1)
+       |          / POWER(2, 3 - i % 4)) AS BIGINT) % 2 = 1
+       |        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS h
+       |  FROM (SELECT unnest(range(0, $tables)) AS t), (SELECT unnest(range(0, $bits)) AS b)),
+       |dots AS (
+       |  SELECT n.vec_id, p.t AS tbl, p.b,
+       |    list_reduce(list_transform(range(1, 65), i -> n.v[i] * p.h[i]), (x, y) -> x + y) AS d
+       |  FROM normed n, planes p),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN d >= 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl)""".stripMargin
+
+  val annLshSql: String =
+    bucketsCte(16, 6) +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+        |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |scored AS (
+        |  SELECT cand.qid, cand.cid,
+        |    list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+        |      / (q.norm * c.norm) AS cos
+        |  FROM cand
+        |  JOIN normed q ON q.vec_id = cand.qid
+        |  JOIN normed c ON c.vec_id = cand.cid)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cos FROM (
+        |  SELECT qid, cid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  val nearDupLshSql: String =
+    bucketsCte(16, 6) +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM buckets a JOIN buckets b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT cand.id1, cand.id2,
+        |    list_reduce(list_transform(range(1, 65), i -> x.v[i] * y.v[i]), (p, q) -> p + q)
+        |      / (x.norm * y.norm) AS cos
+        |  FROM cand
+        |  JOIN normed x ON x.vec_id = cand.id1
+        |  JOIN normed y ON y.vec_id = cand.id2)
+        |SELECT id1, id2, cos FROM scored
+        |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_lsh" -> (annLshQuery _),
+    "sim_near_dup_lsh" -> (nearDupLshQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_ann_lsh" -> annLshSql,
+    "sim_near_dup_lsh" -> nearDupLshSql)
 }

@@ -33,7 +33,11 @@ object DedupQueries {
   /** Distinct shingle inventory per doc (shared CTE of the near-dup
     * operators). Cached: each near-dup query scans it 3-4 times
     * (signatures, counts, both sides of the inverted-index self-join)
-    * and the shingling expression is the expensive part. */
+    * and the shingling expression is the expensive part. The cache is
+    * harness-scoped — Bench/Verify call `spark.catalog.clearCache()`
+    * after each query materializes, so working sets never accumulate
+    * across queries. At 100 TB this working set would be materialized
+    * to scratch parquet instead of executor memory. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -189,61 +193,84 @@ object DedupQueries {
       |WHERE CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) >= 0.7
       |ORDER BY id1, id2""".stripMargin
 
-  /** 32-bit SimHash per document from distinct tokens, via portable
-    * hex-digit bit arithmetic (identical in both engines). Emits the
-    * signature; the pairing variant joins on byte blocks. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** 64-bit SimHash per document from distinct tokens, carried as two
+    * 32-bit halves (`hi` = md5 hex chars 1-8, `lo` = chars 9-16) so
+    * neither engine needs unsigned 64-bit arithmetic. Bit math is
+    * portable hex-digit extraction; every SUM is cast to BIGINT on the
+    * oracle side (DuckDB SUM(BIGINT) widens to HUGEINT → float in the
+    * driver's frame, which hash-mismatches an int64). */
+  private def sig64(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h8", substring(md5(col("tok").cast("binary")), 1, 8))
-    // bit b of the 32-bit value = bit (3 - b%4) of hex digit b/4
+      .withColumn("h16", substring(md5(col("tok").cast("binary")), 1, 16))
+    // bit b of the 64-bit signature = bit (3 - b%4) of hex digit b/4
     val bits = docs.select(col("doc_id"),
-        explode(sequence(lit(0), lit(31))).as("b"),
-        col("h8"))
+        explode(sequence(lit(0), lit(63))).as("b"),
+        col("h16"))
       .withColumn("digit",
-        conv(col("h8").substr((col("b") / 4).cast("int") + 1, lit(1)),
+        conv(col("h16").substr((col("b") / 4).cast("int") + 1, lit(1)),
           16, 10).cast("int"))
       .withColumn("bit",
         floor(col("digit") / pow(lit(2), lit(3) - col("b") % 4)).cast("long") % 2)
     bits.groupBy(col("doc_id"), col("b"))
       .agg((sum(col("bit") * 2 - 1) >= 0).cast("long").as("sbit"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("sbit") * pow(lit(2), col("b")).cast("long")).as("simhash"))
-      .orderBy(col("doc_id"))
+      .agg(
+        sum(when(col("b") < 32, col("sbit") * pow(lit(2), col("b")).cast("long"))
+          .otherwise(0L)).as("simhash_hi"),
+        sum(when(col("b") >= 32, col("sbit") * pow(lit(2), col("b") - 32).cast("long"))
+          .otherwise(0L)).as("simhash_lo"))
   }
 
-  val simhashSql: String =
+  /** Shared oracle CTE chain computing the same 64-bit signature. */
+  private val sig64Cte: String =
     """WITH toks AS (
       |  SELECT DISTINCT doc_id, tok FROM (
       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
       |    FROM documents)),
-      |hx AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks),
+      |hx AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h16 FROM toks),
       |bits AS (
       |  SELECT doc_id, b,
-      |    (strpos('0123456789abcdef', substr(h8, CAST(b // 4 + 1 AS INT), 1)) - 1) AS digit
-      |  FROM hx CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+      |    (strpos('0123456789abcdef', substr(h16, CAST(b // 4 + 1 AS INT), 1)) - 1) AS digit
+      |  FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
       |sbits AS (
       |  SELECT doc_id, b,
       |    CAST(SUM((CAST(FLOOR(digit / POWER(2, 3 - b % 4)) AS BIGINT) % 2) * 2 - 1) >= 0 AS BIGINT) AS sbit
-      |  FROM bits GROUP BY doc_id, b)
-      |SELECT doc_id,
-      |  SUM(sbit * CAST(POWER(2, b) AS BIGINT)) AS simhash
-      |FROM sbits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM bits GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN b < 32 THEN sbit * CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+      |    CAST(SUM(CASE WHEN b >= 32 THEN sbit * CAST(POWER(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo
+      |  FROM sbits GROUP BY doc_id)""".stripMargin
 
-  /** SimHash near-dup pairs: hamming distance ≤ 3 on the 32-bit
-    * signature. Candidates come from a byte-block join — 4 bands of
-    * 8 bits; by pigeonhole, ≤3 differing bits leave at least one band
-    * identical — so the exact answer needs no O(n²) pass. The oracle
-    * brute-forces all pairs (feasible at oracle scale). */
+  /** Signature query: one row per doc with the 64-bit SimHash. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    sig64(s, dir).orderBy(col("doc_id"))
+
+  val simhashSql: String =
+    sig64Cte + "\nSELECT doc_id, simhash_hi, simhash_lo FROM sig ORDER BY doc_id"
+
+  /** SimHash near-dup pairs: hamming distance ≤ 3 on the 64-bit
+    * signature. Candidates come from a byte-block join — 8 bands of
+    * 8 bits; by pigeonhole, ≤3 differing bits leave ≥5 bands
+    * identical — so the exact answer needs no O(n²) pass, and the
+    * 64-bit signature keeps the per-band buckets discriminative even
+    * on low-entropy corpora (32-bit degenerated to a near-quadratic
+    * candidate set). The oracle brute-forces all pairs (feasible at
+    * oracle scale). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(s, dir).cache()
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
+    // tiny (one row per doc) but expensive to recompute; reused by both
+    // sides of the band self-join. Harness-scoped: Bench/Verify clear
+    // the cache after each query materializes.
+    val sig = sig64(s, dir).cache()
+    val bands = sig.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      explode(array((0 until 8).map { b =>
+        val half = if (b < 4) col("simhash_hi") else col("simhash_lo")
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("block"))
+          shiftright(half, 8 * (b % 4)).bitwiseAND(255).as("block"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
         col("bb.band").as("band"), col("bb.block").as("block"))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -251,37 +278,25 @@ object DedupQueries {
           col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        col("a.simhash_hi").as("h1"), col("a.simhash_lo").as("l1"),
+        col("b.simhash_hi").as("h2"), col("b.simhash_lo").as("l2"))
       .distinct()
     cand
       .withColumn("hamming",
-        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+        (bit_count(col("h1").bitwiseXOR(col("h2"))) +
+          bit_count(col("l1").bitwiseXOR(col("l2")))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("id1"), col("id2"), col("hamming"))
       .orderBy(col("id1"), col("id2"))
   }
 
   val simhashPairsSql: String =
-    """WITH toks AS (
-      |  SELECT DISTINCT doc_id, tok FROM (
-      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |    FROM documents)),
-      |hx AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks),
-      |bits AS (
-      |  SELECT doc_id, b,
-      |    (strpos('0123456789abcdef', substr(h8, CAST(b // 4 + 1 AS INT), 1)) - 1) AS digit
-      |  FROM hx CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
-      |sbits AS (
-      |  SELECT doc_id, b,
-      |    CAST(SUM((CAST(FLOOR(digit / POWER(2, 3 - b % 4)) AS BIGINT) % 2) * 2 - 1) >= 0 AS BIGINT) AS sbit
-      |  FROM bits GROUP BY doc_id, b),
-      |sig AS (
-      |  SELECT doc_id, SUM(sbit * CAST(POWER(2, b) AS BIGINT)) AS simhash
-      |  FROM sbits GROUP BY doc_id)
+    sig64Cte +
+      """
       |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |  CAST(bit_count(xor(a.simhash_hi, b.simhash_hi)) + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+      |WHERE bit_count(xor(a.simhash_hi, b.simhash_hi)) + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
       |ORDER BY id1, id2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
