@@ -15,7 +15,7 @@ import graft.streaming.{Metrics, StatefulOps}
   * rate and reports per-batch throughput (rows/s) and batch duration
   * from the StreamingQueryListener — the MetricsManager surface.
   *
-  * Usage: runMain graft.StreamBench [ratePerSec] [nKeys] [perKeyBytes] [seconds]
+  * Usage: runMain graft.StreamBench [ratePerSec] [nKeys] [perKeyBytes] [seconds] [outFile]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +23,7 @@ object StreamBench {
     val nKeys = args.lift(1).map(_.toInt).getOrElse(10000)
     val perKeyBytes = args.lift(2).map(_.toInt).getOrElse(1024)
     val seconds = args.lift(3).map(_.toInt).getOrElse(30)
+    val outFile = args.lift(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -55,7 +56,11 @@ object StreamBench {
     val totalSec = ps.map(_.durationMs).sum / 1000.0
     val rps = ps.map(_.processedRowsPerSecond)
     val meanRps = if (rps.nonEmpty) rps.sum / rps.size else 0.0
-    println(f"""{"metric":"stream_rows_per_sec","value":$meanRps%.0f,"unit":"rows/sec","batches":${ps.size},"total_rows":$totalRows,"busy_sec":$totalSec%.1f,"config":{"rate":$rate,"keys":$nKeys,"state_bytes":$perKeyBytes}}""")
+    val line = f"""{"metric":"stream_rows_per_sec","value":$meanRps%.0f,"unit":"rows/sec","batches":${ps.size},"total_rows":$totalRows,"busy_sec":$totalSec%.1f,"config":{"rate":$rate,"keys":$nKeys,"state_bytes":$perKeyBytes}}"""
+    println(line)
+    // persist as a repo artifact so the micro-bench gate is auditable
+    outFile.foreach(f => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f), line + "\n"))
     spark.stop()
   }
 }

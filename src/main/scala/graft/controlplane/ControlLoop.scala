@@ -30,7 +30,7 @@ final class ControlLoop(
     val fresh = ps.drop(consumed)
     consumed = ps.size
     val applied = fresh.flatMap { p =>
-      controller.onBatch(executor, p.batchId, p.rowsPerKeygroup)
+      controller.onProgress(executor, p)
     }
     applied.foreach(reportsBuf += _)
     applied.lastOption

@@ -17,6 +17,13 @@ trait Controller {
   def name: String
   def onBatch(executor: ReconfigurationExecutor, batchId: Long,
       rowsPerKeygroup: Map[Int, Long]): Option[ReconfigReport]
+
+  /** Full-progress hook (batch duration, pipeline rate, per-keygroup
+    * rows); the default delegates to [[onBatch]]. Rate-model
+    * controllers (StreamSwitch) override this. */
+  def onProgress(executor: ReconfigurationExecutor,
+      p: graft.streaming.Metrics.BatchProgress): Option[ReconfigReport] =
+    onBatch(executor, p.batchId, p.rowsPerKeygroup)
 }
 
 /** Never reconfigures (DummyController). */
@@ -90,6 +97,107 @@ final class ScalingController(operator: String,
     executor.assignResources(operator, target)
     Some(executor.execute(
       s"$name@batch$batchId ${desc.parallelism} -> $target (perTask=$perTask)"))
+  }
+}
+
+/** The StreamSwitch policy: a rate/utilization model deciding between
+  * migration, scale-out, and scale-in each metrics interval.
+  *
+  * Model (reference metric definitions
+  * flink-runtime/.../util/profiling/DefaultMetricsManager.java:185-193:
+  * trueProcessingRate = recordsIn/usefulTime, utilization =
+  * usefulTime/duration; decision loop StreamSwitch.java:110-154 —
+  * the shipped reference keeps the concrete LatencyGuarantor policy
+  * out of tree, so the decision rule here follows the published
+  * StreamSwitch model on those metrics):
+  *
+  *  - per-keygroup arrival rate λ_kg: EMA of observed rows / batch
+  *    duration (the KafkaMetricsManager per-keygroup rate channel);
+  *  - per-task service rate μ: the true processing rate of one task —
+  *    here a capacity parameter (rows/s/task) estimated by peak
+  *    observed pipeline rate / parallelism when not supplied;
+  *  - per-task utilization u_t = Σ λ_kg(assigned to t) / μ.
+  *
+  * Decision each interval (one action, like the reference's
+  * migration_interval-gated loop):
+  *  1. if max u_t > targetUtilization: try migration — greedy repack
+  *     of keygroups by rate onto the current task count; apply it if
+  *     the packed bottleneck meets the target, otherwise scale OUT by
+  *     one task (with the repacked assignment for the new count);
+  *  2. else if the load would fit p−1 tasks under
+  *     scaleInUtilization: scale IN by one task;
+  *  3. else: no action.
+  */
+final class StreamSwitchController(operator: String,
+    serviceRatePerTask: Double,
+    targetUtilization: Double = 0.8,
+    scaleInUtilization: Double = 0.5,
+    emaAlpha: Double = 0.5,
+    maxParallelism: Int = 128,
+    maxTasks: Int = 32)
+  extends Controller {
+  val name = "stream-switch"
+
+  private val rates = new Array[Double](maxParallelism)
+
+  def onBatch(e: ReconfigurationExecutor, b: Long,
+      m: Map[Int, Long]): Option[ReconfigReport] = None // needs onProgress
+
+  /** Greedy repack of keygroups by rate (descending) onto `p` tasks —
+    * the migration move: hottest groups spread first, each to the
+    * currently lightest task. */
+  private def packByRate(p: Int): (Vector[Int], Double) = {
+    val loads = new Array[Double](p)
+    val assign = new Array[Int](maxParallelism)
+    (0 until maxParallelism).sortBy(kg => -rates(kg)).foreach { kg =>
+      var best = 0
+      var t = 1
+      while (t < p) { if (loads(t) < loads(best)) best = t; t += 1 }
+      assign(kg) = best
+      loads(best) += rates(kg)
+    }
+    (assign.toVector, loads.max)
+  }
+
+  override def onProgress(ex: ReconfigurationExecutor,
+      p: graft.streaming.Metrics.BatchProgress): Option[ReconfigReport] = {
+    if (p.durationMs <= 0 || p.rowsPerKeygroup.values.sum == 0) return None
+    val sec = p.durationMs / 1000.0
+    var kg = 0
+    while (kg < maxParallelism) {
+      val observed = p.rowsPerKeygroup.getOrElse(kg, 0L) / sec
+      rates(kg) = emaAlpha * observed + (1 - emaAlpha) * rates(kg)
+      kg += 1
+    }
+    val desc = ex.getPlan.operators(operator)
+    val par = desc.parallelism
+    val mu = serviceRatePerTask
+    val lambda = new Array[Double](par)
+    desc.keygroupAssignment.zipWithIndex.foreach { case (t, g) =>
+      lambda(math.min(t, par - 1)) += rates(g)
+    }
+    val maxUtil = lambda.max / mu
+    val totalRate = rates.sum
+
+    if (maxUtil > targetUtilization) {
+      val (migrated, migratedMax) = packByRate(par)
+      if (migratedMax / mu <= targetUtilization) {
+        ex.assignWorkload(operator, migrated)
+        Some(ex.execute(f"$name@batch${p.batchId} migrate maxUtil=$maxUtil%.2f"))
+      } else if (par < maxTasks) {
+        val (scaled, _) = packByRate(par + 1)
+        ex.assignResources(operator, par + 1)
+        ex.assignWorkload(operator, scaled)
+        Some(ex.execute(
+          f"$name@batch${p.batchId} scale-out $par->${par + 1} maxUtil=$maxUtil%.2f"))
+      } else None
+    } else if (par > 1 && totalRate / (mu * (par - 1)) < scaleInUtilization) {
+      val (packed, _) = packByRate(par - 1)
+      ex.assignResources(operator, par - 1)
+      ex.assignWorkload(operator, packed)
+      Some(ex.execute(
+        f"$name@batch${p.batchId} scale-in $par->${par - 1}"))
+    } else None
   }
 }
 

@@ -98,7 +98,13 @@ final class ReconfigurableCountQuery(
 
   /** Build and start the current generation's query. The source is
     * instrumented with per-keygroup observed metrics so controllers
-    * see keygroup load per batch (Metrics.observeKeygroups). */
+    * see keygroup load per batch (Metrics.observeKeygroups), and the
+    * stream physically routes through the plan's keygroup → task
+    * assignment: a token-map repartition places each keygroup on its
+    * assigned partition (the Spark form of the reference's mutable
+    * `AssignedKeyGroupStreamPartitioner.java:33-81` — a remap staged
+    * via `assignWorkload` changes where records are processed in the
+    * next generation, observable through [[PlacementObserver]]). */
   def start(): Unit = {
     val desc = plan.operators(OperatorName)
     val logicName = desc.udfName
@@ -106,7 +112,22 @@ final class ReconfigurableCountQuery(
     val observed = graft.streaming.Metrics
       .observeKeygroups(sourceFactory().toDF(), "key", maxParallelism)
       .as[KeyedTuple]
-    val grouped = observed.groupByKey(_.key)
+    // keygroup → routing token whose hash lands on the assigned partition
+    val tokens = KeygroupRouter.routingTokens(desc.parallelism)
+    val kgToken: Map[Int, Int] = desc.keygroupAssignment.zipWithIndex.map {
+      case (task, kg) => kg -> tokens(math.min(task, desc.parallelism - 1))
+    }.toMap
+    val routed = observed.repartition(desc.parallelism,
+      element_at(typedLit(kgToken),
+        pmod(hash(col("key")), lit(maxParallelism)).cast("int")))
+    val (tag, gen, mp) = (sinkTable, generation, maxParallelism)
+    val placed = routed.map { t =>
+      PlacementObserver.record(tag, gen,
+        KeygroupRouter.keygroup(t.key, mp),
+        org.apache.spark.TaskContext.getPartitionId())
+      t
+    }
+    val grouped = placed.groupByKey(_.key)
     val fn = (key: String, rows: Iterator[KeyedTuple],
         state: GroupState[CountState]) => {
       val logic = UdfRegistry(logicName)

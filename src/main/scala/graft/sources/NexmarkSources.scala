@@ -112,4 +112,28 @@ object NexmarkSources {
   def keyedBidStream(spark: SparkSession, rowsPerBatch: Int): DataFrame =
     bidStream(spark, rowsPerBatch).toDF()
       .select(col("auction").as("key"), struct(col("*")).as("bid"))
+
+  /** Streaming bid source whose per-batch row count follows the
+    * reference sine curve *exactly*: micro-batch b carries
+    * `sineRate(base, rate, cycleSec, b)` bids (Util.java:14-20 applied
+    * per epoch as in BidSourceFunction.java:33-140). Implementation:
+    * generate at the curve's peak rate (base + 2·rate per batch) and
+    * keep the sine-sized prefix of each batch's value range — the
+    * generator stays deterministic (same `bidAt` sequence numbers). */
+  def bidStreamSine(spark: SparkSession, base: Int, rate: Int,
+      cycleSec: Int): Dataset[Bid] = {
+    import spark.implicits._
+    val maxR = base + 2 * rate
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", maxR.toLong)
+      .load()
+      .select(col("value")).as[Long]
+      .flatMap { i =>
+        val batch = i / maxR
+        if (i % maxR < sineRate(base, rate, cycleSec, batch))
+          Iterator.single(bidAt(i))
+        else Iterator.empty
+      }
+  }
 }

@@ -19,6 +19,7 @@ class ControlLoopSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val checkpointRoot = Files.createTempDirectory("ctl-loop").toString
+    PlacementObserver.clear("ctl_sink")
     var stream: MemoryStream[KeyedTuple] = null
     val rq = new ReconfigurableCountQuery(spark,
       () => { stream = MemoryStream[KeyedTuple]; stream.toDS() },
@@ -47,14 +48,29 @@ class ControlLoopSpec extends AnyFunSuite {
       assert(report.isDefined, "controller did not react to skew")
       assert(report.get.reason.contains("load-balance"))
 
-      // phase 2 on the remapped plan: counts continue exactly
-      stream.addData(KeyedTuple("A0", 1L), KeyedTuple("A1", 1L))
+      // phase 2 on the remapped plan: counts continue exactly, and the
+      // stream is observed on its new physical placement
+      stream.addData((0 until 20).map(k => KeyedTuple(s"A$k", 1L)): _*)
       rq.processAllAvailable()
       val last = spark.table("ctl_sink").as[KeyedTuple].collect()
         .groupBy(_.key).map { case (k, v) => k -> v.map(_.value).max }
       rq.stop()
       assert(last("A0") === 501L)
       assert(last("A1") === 2L)
+
+      // the remap changed the DATA PLANE: every observed keygroup of the
+      // new generation ran on exactly the partition the plan assigns it,
+      // and at least one keygroup physically moved between generations
+      val planAfter = rq.getPlan.operators(rq.OperatorName).keygroupAssignment
+      val before = PlacementObserver.placement("ctl_sink", 0)
+      val after = PlacementObserver.placement("ctl_sink", 1)
+      assert(after.nonEmpty, "no placement observed after remap")
+      after.foreach { case (kg, part) =>
+        assert(part === planAfter(kg), s"keygroup $kg off-plan")
+      }
+      val common = before.keySet & after.keySet
+      assert(common.exists(kg => before(kg) != after(kg)),
+        s"remap did not move any keygroup (observed ${common.size})")
     } finally spark.streams.removeListener(collector)
   }
 }

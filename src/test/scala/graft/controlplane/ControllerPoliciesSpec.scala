@@ -36,6 +36,61 @@ class ControllerPoliciesSpec extends AnyFunSuite {
       KeygroupRouter.roundRobin(128, 4))
   }
 
+  private def progress(batchId: Long, kgRows: Map[Int, Long],
+      durationMs: Long = 1000) =
+    graft.streaming.Metrics.BatchProgress(batchId,
+      kgRows.values.sum, kgRows.values.sum.toDouble, durationMs, kgRows)
+
+  test("stream-switch migrates when repacking meets the target utilization") {
+    val ex = new FakeExecutor(2)
+    val ctl = new StreamSwitchController("op", serviceRatePerTask = 120,
+      emaAlpha = 1.0)
+    // contiguous(2): kg<64 → task0. λ(task0)=90+20+20=130 → util 1.08;
+    // greedy repack bounds the bottleneck at 90 → util 0.75 ≤ 0.8
+    val r = ctl.onProgress(ex,
+      progress(1, Map(0 -> 90L, 1 -> 20L, 2 -> 20L, 64 -> 20L)))
+    assert(r.isDefined && r.get.reason.contains("migrate"))
+    val a = ex.plan.operators("op").keygroupAssignment
+    assert(ex.plan.operators("op").parallelism === 2)
+    // the hot keygroup sits alone; the three warm ones share the other task
+    assert(a(1) != a(0) && a(2) != a(0) && a(64) != a(0))
+  }
+
+  test("stream-switch scales out when migration cannot meet the target") {
+    val ex = new FakeExecutor(2)
+    val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
+      emaAlpha = 1.0)
+    // four 60 rows/s groups: any 2-task pack has a ≥120 bottleneck
+    // (util 1.2 > 0.8), so the model must add a task
+    val r = ctl.onProgress(ex,
+      progress(1, Map(0 -> 60L, 1 -> 60L, 2 -> 60L, 64 -> 60L)))
+    assert(r.isDefined && r.get.reason.contains("scale-out"))
+    assert(ex.plan.operators("op").parallelism === 3)
+  }
+
+  test("stream-switch scales in when the load fits fewer tasks") {
+    val ex = new FakeExecutor(4)
+    val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
+      emaAlpha = 1.0)
+    // 20 rows/s total over 3 remaining tasks → util 0.07 < 0.5
+    val r = ctl.onProgress(ex, progress(1, Map(0 -> 10L, 64 -> 10L)))
+    assert(r.isDefined && r.get.reason.contains("scale-in"))
+    assert(ex.plan.operators("op").parallelism === 3)
+    // repeated low load keeps shrinking toward 1
+    val r2 = ctl.onProgress(ex, progress(2, Map(0 -> 10L, 64 -> 10L)))
+    assert(r2.isDefined && ex.plan.operators("op").parallelism === 2)
+  }
+
+  test("stream-switch holds steady inside the utilization band") {
+    val ex = new FakeExecutor(2)
+    val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
+      emaAlpha = 1.0)
+    // λ = [70, 70]: util 0.7 ≤ 0.8, and 140/(100·1) = 1.4 ≥ 0.5
+    assert(ctl.onProgress(ex,
+      progress(1, Map(0 -> 70L, 64 -> 70L))).isEmpty)
+    assert(ex.plan.operators("op").parallelism === 2)
+  }
+
   test("scaling controller scales out on high load, in on low") {
     val ex = new FakeExecutor(2)
     val ctl = new ScalingController("op",

@@ -70,6 +70,30 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sine-modulated stream emits sineRate(batchId) rows per batch") {
+    import org.apache.spark.sql.Dataset
+    val counts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = NexmarkSources
+      .bidStreamSine(spark, base = 100, rate = 50, cycleSec = 4)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[graft.model.Bid], id: Long) =>
+        counts.put(id, df.count()); ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (counts.size < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      q.stop()
+      assert(counts.size >= 5, s"only ${counts.size} batches")
+      // per-batch counts trace Util.java's curve: 150, 200, 150, 100, 150…
+      (0L until 4L).foreach { b =>
+        assert(counts.get(b) ===
+          NexmarkSources.sineRate(100, 50, 4, b).toLong, s"batch $b")
+      }
+    } finally if (q.isActive) q.stop()
+  }
+
   test("keygroup column fn == scala-side router keygroup (murmur parity)") {
     import spark.implicits._
     val keys = (0 until 200).map(i => s"K$i")
