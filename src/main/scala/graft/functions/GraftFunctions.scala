@@ -44,16 +44,25 @@ object GraftFunctions {
   /** Whitespace tokenizer shared by the text-analysis operators. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles (space-joined), for Jaccard/MinHash dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles (space-joined) from an ALREADY-MATERIALIZED
+    * token array column. Take the tokens from their own projection —
+    * passing `tokens(text)` directly re-evaluates the split inside the
+    * transform lambda once per position (no common-subexpression
+    * elimination inside higher-order functions), turning shingling
+    * O(len²) per document. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     filter(
       transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => when(i + n <= size(toks),
           concat_ws(" ", slice(toks, i + 1, lit(n))))),
       s => s.isNotNull)
-  }
+
+  /** Word n-gram shingles of a text column — convenience form; hot
+    * paths should project `tokens(text)` first and use
+    * [[shinglesOfTokens]] (see its scaladoc). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
 
   /** Register SQL-callable forms for spark.sql users. */
   def register(spark: SparkSession): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.{shingles, tokens}
+import graft.functions.GraftFunctions.{shinglesOfTokens, tokens}
 
 /** Deduplication operators over `documents`: exact hash dedup, exact
   * n-gram Jaccard near-dup, MinHash+LSH, SimHash — the standard
@@ -40,21 +40,46 @@ object DedupQueries {
     * to scratch parquet instead of executor memory. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // tokens in their own projection: shingling over the raw text
+      // column re-runs the split per position (see shinglesOfTokens)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+        explode(array_distinct(shinglesOfTokens(col("toks"), 3))).as("sh"))
+      .withColumn("kh",
+        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
       .cache()
 
-  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.7) via a shingle
-    * inverted index: explode → self-join on shingle → count
-    * intersections → Jaccard from |A|,|B|,|A∩B|. */
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.7).
+    *
+    * Scale path: candidate pairs come from a PREFIX-FILTERED inverted
+    * index (AllPairs/PPJoin): with shingles in a canonical md5 order,
+    * a pair with J ≥ t must share a shingle among each side's first
+    * n − ⌈t·n⌉ + 1 shingles, so only prefixes are self-joined — this
+    * removes the quadratic blow-up of hot (stopword) shingles while
+    * staying EXACT (every true pair survives; false candidates die in
+    * the verification join). Joins run on the compact 60-bit
+    * md5-derived `kh` key, which the oracle mirrors, instead of the
+    * shingle string. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docShingles(s, dir)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("kh"), col("sh"))
+    val prefix = sh.withColumn("rank", row_number().over(w))
+      .join(counts, "doc_id")
+      .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * 0.7) + 1)
+      .select(col("doc_id"), col("kh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.kh") === col("b.kh") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("id1"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("id2") &&
+        col("sa.kh") === col("sb.kh"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
     inter
       .join(counts.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("n_sh", "n1"), "id1")
@@ -67,18 +92,23 @@ object DedupQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Oracle counts intersections on the same 60-bit md5 key as the
+    * Spark plan (collision behavior identical across engines); it
+    * needs no prefix filter — the inverted-index form is exact too,
+    * and exact == exact. */
   val ngramJaccardSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS kh
+      |  FROM (SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |    FROM toks)),
+      |    FROM toks))),
       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM sh a JOIN sh b ON a.kh = b.kh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id1, id2,
       |  CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) AS jaccard
@@ -109,9 +139,7 @@ object DedupQueries {
     val numHashes = 16
     val rowsPerBand = 4
     val sh = docShingles(s, dir)
-      .withColumn("hbase",
-        conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
-          .cast("long"))
+      .withColumn("hbase", shiftright(col("kh"), 28)) // first 8 md5 hex chars
     // signature: for each hash fn, min over the doc's shingles
     val seeds = universalHashes(col("hbase"), numHashes).zipWithIndex
       .map { case (h, i) => min(h).as(s"h$i") }
@@ -139,7 +167,7 @@ object DedupQueries {
     val inter = cand
       .join(sh.as("sa"), col("sa.doc_id") === col("id1"))
       .join(sh.as("sb"), col("sb.doc_id") === col("id2") &&
-        col("sa.sh") === col("sb.sh"))
+        col("sa.kh") === col("sb.kh"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
     inter
       .join(counts.withColumnRenamed("doc_id", "id1")
@@ -159,13 +187,13 @@ object DedupQueries {
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS kh,
+      |    CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS hbase
+      |  FROM (SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |    FROM toks)),
-      |based AS (
-      |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS hbase
-      |  FROM sh),
+      |    FROM toks))),
+      |based AS (SELECT doc_id, hbase FROM sh),
       |hashes AS (
       |  SELECT doc_id, seed,
       |    MIN(((2*seed+1) * hbase + 2654435769 + seed * 2245772395) % 4294967296) AS h
@@ -183,7 +211,7 @@ object DedupQueries {
       |inter AS (
       |  SELECT id1, id2, COUNT(*) AS inter
       |  FROM cand JOIN sh sa ON sa.doc_id = id1
-      |  JOIN sh sb ON sb.doc_id = id2 AND sa.sh = sb.sh
+      |  JOIN sh sb ON sb.doc_id = id2 AND sa.kh = sb.kh
       |  GROUP BY id1, id2)
       |SELECT id1, id2,
       |  CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) AS jaccard
