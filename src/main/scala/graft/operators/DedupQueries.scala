@@ -287,7 +287,10 @@ object DedupQueries {
     * on low-entropy corpora (32-bit degenerated to a near-quadratic
     * candidate set). The oracle brute-forces all pairs (feasible at
     * oracle scale). */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    hammingPairs(s, dir).orderBy(col("id1"), col("id2"))
+
+  private def hammingPairs(s: SparkSession, dir: String): DataFrame = {
     // tiny (one row per doc) but expensive to recompute; reused by both
     // sides of the band self-join. Harness-scoped: Bench/Verify clear
     // the cache after each query materializes.
@@ -315,7 +318,6 @@ object DedupQueries {
           bit_count(col("l1").bitwiseXOR(col("l2")))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("id1"), col("id2"), col("hamming"))
-      .orderBy(col("id1"), col("id2"))
   }
 
   val simhashPairsSql: String =
@@ -327,17 +329,124 @@ object DedupQueries {
       |WHERE bit_count(xor(a.simhash_hi, b.simhash_hi)) + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
       |ORDER BY id1, id2""".stripMargin
 
+  /** Duplicate CLUSTERS: connected components of the ≤3-hamming
+    * near-dup graph — the step that turns pairwise hits into a
+    * keep-one-per-cluster decision (every doc labeled with the min
+    * doc_id of its component).
+    *
+    * Components come from min-label propagation: each round every node
+    * takes the minimum label among itself and its neighbors; the loop
+    * stops when no label changes (rounds ≈ component diameter, which
+    * is small for near-dup clusters). This is the standard
+    * large-graph CC pattern at 100 TB — the post-pruning edge set is
+    * sparse and each round is one shuffle on the edge key.
+    *
+    * The oracle computes the same fixpoint with a recursive CTE:
+    * connected components are algorithm-independent, so the outputs
+    * agree exactly. */
+  def simhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = hammingPairs(s, dir).select(col("id1"), col("id2")).cache()
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .cache()
+    // localCheckpoint (not cache) each round: the iterated plan would
+    // otherwise nest one level per round and blow up planning memory.
+    // Rounds ≈ component diameter (near-dup clusters are star-shaped,
+    // so this stays small); at extreme scale the large-star/small-star
+    // CC variant would bound rounds at O(log n).
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("rep")).as("nbr_rep"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.withColumnRenamed("rep", "prev")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_rep"), col("prev"))).as("rep"))
+        .localCheckpoint()
+      changed = next.filter(col("rep") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("rep"))
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashClustersSql: String =
+    sig64Cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash_hi, b.simhash_hi)) + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3),
+      |peers AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT p.dst AS node, reach.r FROM reach JOIN peers p ON p.src = reach.node)
+      |SELECT node AS doc_id, MIN(r) AS cluster_rep
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation composition: a document survives iff it
+    * passes the quality filter AND is its near-dup cluster's
+    * representative — the shape of a real pretraining keep/drop
+    * decision (filters compose; dedup keeps one doc per cluster). */
+  def pipelineKeep(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextQueries.qualityScore(s, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    simhashClusters(s, dir)
+      .filter(col("doc_id") === col("cluster_rep"))
+      .join(quality, "doc_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineKeepSql: String =
+    sig64Cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash_hi, b.simhash_hi)) + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3),
+      |peers AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT p.dst AS node, reach.r FROM reach JOIN peers p ON p.src = reach.node),
+      |clusters AS (SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node),
+      |q AS (
+      |  SELECT doc_id,
+      |    (n_tokens >= 10 AND CAST(n_distinct AS DOUBLE)/n_tokens >= 0.2
+      |      AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5) AS keep
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(w) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |      CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)))
+      |SELECT c.doc_id AS doc_id FROM clusters c JOIN q ON q.doc_id = c.doc_id
+      |WHERE q.keep AND c.doc_id = c.rep ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _))
+    "dedup_simhash" -> (simhash _),
+    "dedup_clusters" -> (simhashClusters _),
+    "pipeline_keep" -> (pipelineKeep _))
 
   val oracles: Map[String, String] = Map(
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_clusters" -> simhashClustersSql,
+    "pipeline_keep" -> pipelineKeepSql,
     "dedup_simhash" -> simhashSql)
 }
