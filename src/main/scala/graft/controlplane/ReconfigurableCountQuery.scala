@@ -19,6 +19,32 @@ case class CountState(count: Long)
   * controllers read the plan, stage changes, and `execute()` applies
   * them atomically.
   */
+/** Driver-side sink buffers behind the foreachBatch sink — the
+  * update-mode row log the memory sink would have kept, accumulated
+  * here so the query can resume checkpoints (see `start()`). */
+object ReconfigurableCountQuery {
+  private val sinks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[KeyedTuple]]()
+
+  private def queue(table: String) =
+    sinks.computeIfAbsent(table,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[KeyedTuple]())
+
+  private[controlplane] def appendToSink(table: String,
+      rows: Array[KeyedTuple]): Unit = {
+    val q = queue(table)
+    rows.foreach(q.add)
+  }
+
+  private[controlplane] def sinkRows(table: String): Seq[KeyedTuple] = {
+    import scala.jdk.CollectionConverters._
+    queue(table).asScala.toSeq
+  }
+
+  private[controlplane] def clearSink(table: String): Unit =
+    queue(table).clear()
+}
+
 trait ReconfigurationExecutor {
   def getPlan: QueryPlanDescriptor
   def assignExecutionLogic(operator: String, udfName: String): Unit
@@ -54,13 +80,27 @@ trait ReconfigurationExecutor {
   * MemoryStream in tests) — offsets of the old generation are not
   * carried into the new checkpoint.
   */
+/** @param reuseCheckpointOnRemap when true, a ROUTING-ONLY
+  *        reconfiguration (same parallelism, same logic — only the
+  *        keygroup assignment changed) restarts the query on the SAME
+  *        checkpoint instead of reading and re-feeding state: the
+  *        stateful exchange still hashes on the key over the same
+  *        partition count, so keyed state is already where Spark needs
+  *        it and the migration cost is O(0) instead of O(total state)
+  *        (the reference reloads only migrated groups —
+  *        ReconfigurationCoordinator.java:628-795; this is the Spark
+  *        form of that cost model for the remap case). Requires
+  *        `sourceFactory` to return a source that can resume from the
+  *        checkpoint's recorded offsets (durable sources do; tests
+  *        must return the same MemoryStream instance). */
 final class ReconfigurableCountQuery(
     spark: SparkSession,
     sourceFactory: () => Dataset[KeyedTuple],
     checkpointRoot: String,
     sinkTable: String,
     maxParallelism: Int = 128,
-    initialParallelism: Int = 4)
+    initialParallelism: Int = 4,
+    reuseCheckpointOnRemap: Boolean = false)
   extends ReconfigurationExecutor {
 
   import spark.implicits._
@@ -79,6 +119,9 @@ final class ReconfigurableCountQuery(
   val profiler = new ReconfigProfiler
 
   private def checkpointDir(gen: Int) = s"$checkpointRoot/gen$gen"
+
+  // a fresh pipeline instance starts with an empty sink table
+  ReconfigurableCountQuery.clearSink(sinkTable)
 
   override def getPlan: QueryPlanDescriptor = plan
 
@@ -145,10 +188,22 @@ final class ReconfigurableCountQuery(
         grouped.flatMapGroupsWithState(
           OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
     }
+    // foreachBatch-backed sink (not format("memory")): it mimics the
+    // memory sink's `spark.table(sinkTable)` interface while ALSO
+    // supporting checkpoint recovery, which the routing-only fast path
+    // needs (the memory sink refuses to resume a checkpoint)
+    val table = sinkTable
+    val outer = spark // foreachBatch hands a cloned session; register
+    // the view on the pipeline's own session so tests/readers see it
     query = stream.writeStream
-      .format("memory").queryName(sinkTable)
       .outputMode("update")
       .option("checkpointLocation", checkpointDir(generation))
+      .foreachBatch { (ds: Dataset[KeyedTuple], _: Long) =>
+        ReconfigurableCountQuery.appendToSink(table, ds.collect())
+        outer.createDataFrame(ReconfigurableCountQuery.sinkRows(table))
+          .createOrReplaceTempView(table)
+        ()
+      }
       .start()
   }
 
@@ -172,22 +227,30 @@ final class ReconfigurableCountQuery(
   /** Apply staged changes: the four primitives at the batch boundary. */
   override def execute(reason: String): ReconfigReport = {
     val before = plan
+    var routingOnly = false
     profiler.time("prepare") {
       // diff is trivial here: staged vs running descriptor
       require(staged != plan || initState.isEmpty, "nothing staged")
+      val (s, p) = (staged.operators(OperatorName), plan.operators(OperatorName))
+      routingOnly = reuseCheckpointOnRemap &&
+        s.parallelism == p.parallelism && s.udfName == p.udfName
     }
     profiler.time("synchronize") {
       query.processAllAvailable() // drain in-flight batch = sync barrier
       query.stop()
     }
-    profiler.time("updateState") {
-      val st = readState(checkpointDir(generation)).cache()
-      st.count() // materialize before the old checkpoint goes stale
-      initState = Some(st)
+    if (!routingOnly) {
+      profiler.time("updateState") {
+        val st = readState(checkpointDir(generation)).cache()
+        st.count() // materialize before the old checkpoint goes stale
+        initState = Some(st)
+      }
     }
     profiler.time("updateKeyMapping") {
       plan = staged
-      generation += 1
+      // routing-only: same generation ⇒ same checkpoint ⇒ state stays
+      // in place and the restarted query resumes its offsets
+      if (!routingOnly) generation += 1
     }
     profiler.time("resume") {
       start()

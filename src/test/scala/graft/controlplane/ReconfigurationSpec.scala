@@ -74,6 +74,38 @@ class ReconfigurationSpec extends AnyFunSuite {
     assert(finalCounts === (0 until 4).map(k => s"A$k" -> 4L).toMap)
   }
 
+  test("routing-only remap reuses the checkpoint — zero state movement") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-ro").toString
+    // single durable-ish source: the same MemoryStream resumes the
+    // checkpoint's offsets across the restart (the fast path's contract)
+    val stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "ro_sink", initialParallelism = 2,
+      reuseCheckpointOnRemap = true)
+    rq.start()
+
+    stream.addData(tuples(0 until 10, 3): _*)
+    rq.processAllAvailable()
+
+    // remap keygroups, same parallelism + logic: must NOT read state
+    rq.assignWorkload(rq.OperatorName, KeygroupRouter.roundRobin(128, 2))
+    val report = rq.execute("routing-only remap")
+    assert(!report.phasesMs.contains("updateState"),
+      "routing-only remap should not re-read state")
+    assert(report.planAfter.operators(rq.OperatorName).keygroupAssignment ===
+      KeygroupRouter.roundRobin(128, 2))
+
+    // counts continue exactly from the in-place state
+    stream.addData(tuples(0 until 10, 2): _*)
+    rq.processAllAvailable()
+    val finalCounts = spark.table("ro_sink").as[KeyedTuple]
+      .collect().groupBy(_.key).map { case (k, v) => k -> v.map(_.value).max }
+    rq.stop()
+    assert(finalCounts === (0 until 10).map(k => s"A$k" -> 5L).toMap)
+  }
+
   test("scripted TestingController triggers at the right batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
