@@ -30,8 +30,13 @@ object Bench {
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       // caches are query-scoped working sets — release before the next
-      // query so storage memory never accumulates across the sweep
+      // query so storage memory never accumulates across the sweep.
+      // clearCache only drops SQL-cached relations; localCheckpoint
+      // blocks (iterative queries) live in the RDD registry and must be
+      // unpersisted explicitly or they pin storage for the whole sweep.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

