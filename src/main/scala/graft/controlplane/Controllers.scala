@@ -192,11 +192,19 @@ final class StreamSwitchController(operator: String,
           f"$name@batch${p.batchId} scale-out $par->${par + 1} maxUtil=$maxUtil%.2f"))
       } else None
     } else if (par > 1 && totalRate / (mu * (par - 1)) < scaleInUtilization) {
-      val (packed, _) = packByRate(par - 1)
-      ex.assignResources(operator, par - 1)
-      ex.assignWorkload(operator, packed)
-      Some(ex.execute(
-        f"$name@batch${p.batchId} scale-in $par->${par - 1}"))
+      // A low MEAN is necessary but not sufficient: one keygroup whose
+      // rate alone exceeds targetUtilization·μ makes the packed
+      // bottleneck at p−1 unfixable by migration, and shrinking would
+      // immediately re-trigger scale-out (oscillating stop/restart
+      // every interval). Gate on the same repacked-bottleneck check
+      // the migrate branch uses.
+      val (packed, packedMax) = packByRate(par - 1)
+      if (packedMax / mu <= targetUtilization) {
+        ex.assignResources(operator, par - 1)
+        ex.assignWorkload(operator, packed)
+        Some(ex.execute(
+          f"$name@batch${p.batchId} scale-in $par->${par - 1}"))
+      } else None
     } else None
   }
 }

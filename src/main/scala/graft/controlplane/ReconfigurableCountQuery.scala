@@ -21,10 +21,20 @@ case class CountState(count: Long)
   */
 /** Driver-side sink buffers behind the foreachBatch sink — the
   * update-mode row log the memory sink would have kept, accumulated
-  * here so the query can resume checkpoints (see `start()`). */
+  * here so the query can resume checkpoints (see `start()`).
+  *
+  * Buffers are keyed by pipeline INSTANCE (not bare table name), so
+  * two live pipelines that happen to share a `sinkTable` name cannot
+  * interleave rows in one queue — the later `start()`'s temp view
+  * simply wins, matching normal temp-view semantics. Like the memory
+  * sink, the row log grows with every update ever emitted and the view
+  * rebuild is O(total rows) per batch: a test/debug harness sink, not
+  * a production sink (production pipelines write to real sinks). */
 object ReconfigurableCountQuery {
   private val sinks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentLinkedQueue[KeyedTuple]]()
+
+  private val instanceIds = new java.util.concurrent.atomic.AtomicLong()
 
   private def queue(table: String) =
     sinks.computeIfAbsent(table,
@@ -41,8 +51,6 @@ object ReconfigurableCountQuery {
     queue(table).asScala.toSeq
   }
 
-  private[controlplane] def clearSink(table: String): Unit =
-    queue(table).clear()
 }
 
 trait ReconfigurationExecutor {
@@ -92,7 +100,13 @@ trait ReconfigurationExecutor {
   *        form of that cost model for the remap case). Requires
   *        `sourceFactory` to return a source that can resume from the
   *        checkpoint's recorded offsets (durable sources do; tests
-  *        must return the same MemoryStream instance). */
+  *        must return the same MemoryStream instance).
+  * @param observePlacement when true, every record additionally logs
+  *        its (keygroup → partition) placement to [[PlacementObserver]]
+  *        so tests can assert WHERE records ran. Off by default: the
+  *        per-record map-stage write is pure observation overhead, and
+  *        the shared-JVM observer only sees executor writes in local
+  *        mode anyway — the production data path should pay nothing. */
 final class ReconfigurableCountQuery(
     spark: SparkSession,
     sourceFactory: () => Dataset[KeyedTuple],
@@ -100,7 +114,8 @@ final class ReconfigurableCountQuery(
     sinkTable: String,
     maxParallelism: Int = 128,
     initialParallelism: Int = 4,
-    reuseCheckpointOnRemap: Boolean = false)
+    reuseCheckpointOnRemap: Boolean = false,
+    observePlacement: Boolean = false)
   extends ReconfigurationExecutor {
 
   import spark.implicits._
@@ -120,8 +135,10 @@ final class ReconfigurableCountQuery(
 
   private def checkpointDir(gen: Int) = s"$checkpointRoot/gen$gen"
 
-  // a fresh pipeline instance starts with an empty sink table
-  ReconfigurableCountQuery.clearSink(sinkTable)
+  // per-instance buffer key: a fresh pipeline always starts with an
+  // empty row log even when another live instance shares `sinkTable`
+  private val sinkKey =
+    s"$sinkTable#${ReconfigurableCountQuery.instanceIds.incrementAndGet()}"
 
   override def getPlan: QueryPlanDescriptor = plan
 
@@ -164,12 +181,14 @@ final class ReconfigurableCountQuery(
       element_at(typedLit(kgToken),
         pmod(hash(col("key")), lit(maxParallelism)).cast("int")))
     val (tag, gen, mp) = (sinkTable, generation, maxParallelism)
-    val placed = routed.map { t =>
-      PlacementObserver.record(tag, gen,
-        KeygroupRouter.keygroup(t.key, mp),
-        org.apache.spark.TaskContext.getPartitionId())
-      t
-    }
+    val placed =
+      if (!observePlacement) routed
+      else routed.map { t =>
+        PlacementObserver.record(tag, gen,
+          KeygroupRouter.keygroup(t.key, mp),
+          org.apache.spark.TaskContext.getPartitionId())
+        t
+      }
     val grouped = placed.groupByKey(_.key)
     val fn = (key: String, rows: Iterator[KeyedTuple],
         state: GroupState[CountState]) => {
@@ -192,15 +211,15 @@ final class ReconfigurableCountQuery(
     // memory sink's `spark.table(sinkTable)` interface while ALSO
     // supporting checkpoint recovery, which the routing-only fast path
     // needs (the memory sink refuses to resume a checkpoint)
-    val table = sinkTable
+    val (table, key) = (sinkTable, sinkKey)
     val outer = spark // foreachBatch hands a cloned session; register
     // the view on the pipeline's own session so tests/readers see it
     query = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir(generation))
       .foreachBatch { (ds: Dataset[KeyedTuple], _: Long) =>
-        ReconfigurableCountQuery.appendToSink(table, ds.collect())
-        outer.createDataFrame(ReconfigurableCountQuery.sinkRows(table))
+        ReconfigurableCountQuery.appendToSink(key, ds.collect())
+        outer.createDataFrame(ReconfigurableCountQuery.sinkRows(key))
           .createOrReplaceTempView(table)
         ()
       }

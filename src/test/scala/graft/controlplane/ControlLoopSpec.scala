@@ -23,7 +23,8 @@ class ControlLoopSpec extends AnyFunSuite {
     var stream: MemoryStream[KeyedTuple] = null
     val rq = new ReconfigurableCountQuery(spark,
       () => { stream = MemoryStream[KeyedTuple]; stream.toDS() },
-      checkpointRoot, "ctl_sink", initialParallelism = 2)
+      checkpointRoot, "ctl_sink", initialParallelism = 2,
+      observePlacement = true)
 
     val collector = new Metrics.ProgressCollector
     spark.streams.addListener(collector)

@@ -81,6 +81,26 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     assert(r2.isDefined && ex.plan.operators("op").parallelism === 2)
   }
 
+  test("stream-switch never scales in when the shrunk pack would breach target") {
+    // 10 keygroups at 44 rows/s, one per task at p=10: maxUtil 0.44 ≤
+    // 0.8 (no migrate), mean over p−1=9 tasks is 440/900 ≈ 0.489 < 0.5
+    // — the mean-only rule would shrink. But any 9-task pack of 10
+    // equal groups doubles one task up: bottleneck 88 → util 0.88 >
+    // 0.8, which next interval would force scale-out right back
+    // (stop/restart oscillation every metrics interval). The packed-
+    // bottleneck gate must refuse the shrink and hold the plan still.
+    val ex = new FakeExecutor(10)
+    val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
+      emaAlpha = 1.0)
+    val load = (0 until 10).map(i => i * 13 -> 44L).toMap
+    val r = ctl.onProgress(ex, progress(1, load))
+    assert(r.isEmpty)
+    assert(ex.plan.operators("op").parallelism === 10)
+    // and the refusal is stable: the same load never flaps the plan
+    val r2 = ctl.onProgress(ex, progress(2, load))
+    assert(r2.isEmpty && ex.plan.operators("op").parallelism === 10)
+  }
+
   test("stream-switch holds steady inside the utilization band") {
     val ex = new FakeExecutor(2)
     val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
