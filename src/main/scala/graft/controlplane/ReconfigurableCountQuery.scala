@@ -106,7 +106,20 @@ trait ReconfigurationExecutor {
   *        so tests can assert WHERE records ran. Off by default: the
   *        per-record map-stage write is pure observation overhead, and
   *        the shared-JVM observer only sees executor writes in local
-  *        mode anyway — the production data path should pay nothing. */
+  *        mode anyway — the production data path should pay nothing.
+  * @param statePartitions when set, the stateful exchange ALWAYS runs
+  *        over this many partitions regardless of operator parallelism
+  *        — the Spark form of Flink's fixed max-parallelism key-group
+  *        indirection (state is sharded by key hash over a count that
+  *        never changes; "parallelism" governs only the routed
+  *        processing stage). With the layout pinned, EVERY
+  *        logic-preserving reconfiguration — remap AND rescale — can
+  *        resume the same checkpoint: zero state moves through the
+  *        driver, vs the reference's O(migrated groups)
+  *        (ReconfigurationCoordinator.java:628-795) and this class's
+  *        legacy O(total state) read-and-refeed. Unset = legacy mode:
+  *        state partitions follow parallelism and a rescale must
+  *        re-feed state. */
 final class ReconfigurableCountQuery(
     spark: SparkSession,
     sourceFactory: () => Dataset[KeyedTuple],
@@ -115,7 +128,8 @@ final class ReconfigurableCountQuery(
     maxParallelism: Int = 128,
     initialParallelism: Int = 4,
     reuseCheckpointOnRemap: Boolean = false,
-    observePlacement: Boolean = false)
+    observePlacement: Boolean = false,
+    statePartitions: Option[Int] = None)
   extends ReconfigurationExecutor {
 
   import spark.implicits._
@@ -168,7 +182,10 @@ final class ReconfigurableCountQuery(
   def start(): Unit = {
     val desc = plan.operators(OperatorName)
     val logicName = desc.udfName
-    spark.conf.set("spark.sql.shuffle.partitions", desc.parallelism)
+    // pinned state layout (Flink keygroup model) or legacy follow-the-
+    // parallelism; the routed map stage below always uses parallelism
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statePartitions.getOrElse(desc.parallelism))
     val observed = graft.streaming.Metrics
       .observeKeygroups(sourceFactory().toDF(), "key", maxParallelism)
       .as[KeyedTuple]
@@ -251,8 +268,13 @@ final class ReconfigurableCountQuery(
       // diff is trivial here: staged vs running descriptor
       require(staged != plan || initState.isEmpty, "nothing staged")
       val (s, p) = (staged.operators(OperatorName), plan.operators(OperatorName))
-      routingOnly = reuseCheckpointOnRemap &&
-        s.parallelism == p.parallelism && s.udfName == p.udfName
+      // the checkpoint can be resumed whenever the keyed-state layout
+      // is unchanged: always true with a pinned statePartitions (remap,
+      // rescale, and change-of-logic all keep state in place — the
+      // flatMapGroupsWithState function is rebound on restart); in
+      // legacy mode only a same-parallelism same-logic remap qualifies
+      routingOnly = reuseCheckpointOnRemap && (statePartitions.isDefined ||
+        (s.parallelism == p.parallelism && s.udfName == p.udfName))
     }
     profiler.time("synchronize") {
       query.processAllAvailable() // drain in-flight batch = sync barrier

@@ -106,6 +106,46 @@ class ReconfigurationSpec extends AnyFunSuite {
     assert(finalCounts === (0 until 10).map(k => s"A$k" -> 5L).toMap)
   }
 
+  test("pinned state layout: rescale AND logic swap reuse the checkpoint") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-pin").toString
+    // Flink keygroup model: state sharded over a FIXED partition count,
+    // so a rescale is a routing-only change — the same MemoryStream
+    // resumes the checkpoint's offsets and no state is read or re-fed.
+    val stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "pin_sink", initialParallelism = 2,
+      reuseCheckpointOnRemap = true, statePartitions = Some(16))
+    rq.start()
+
+    stream.addData(tuples(0 until 10, 3): _*)
+    rq.processAllAvailable()
+
+    // rescale 2 → 6: zero state movement
+    rq.assignResources(rq.OperatorName, 6)
+    val r1 = rq.execute("rescale on pinned layout")
+    assert(!r1.phasesMs.contains("updateState"),
+      "pinned-layout rescale must not re-read state")
+    assert(r1.planAfter.operators(rq.OperatorName).parallelism === 6)
+
+    stream.addData(tuples(0 until 10, 1): _*)
+    rq.processAllAvailable()
+
+    // change-of-logic on the same pinned layout: also in-place
+    rq.assignExecutionLogic(rq.OperatorName, "countV2")
+    val r2 = rq.execute("logic swap on pinned layout")
+    assert(!r2.phasesMs.contains("updateState"),
+      "pinned-layout logic swap must not re-read state")
+
+    stream.addData(tuples(0 until 10, 1): _*) // +2 per event under countV2
+    rq.processAllAvailable()
+    val finalCounts = spark.table("pin_sink").as[KeyedTuple]
+      .collect().groupBy(_.key).map { case (k, v) => k -> v.map(_.value).max }
+    rq.stop()
+    assert(finalCounts === (0 until 10).map(k => s"A$k" -> 6L).toMap)
+  }
+
   test("scripted TestingController triggers at the right batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
