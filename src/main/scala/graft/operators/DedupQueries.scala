@@ -351,71 +351,125 @@ object DedupQueries {
     * connected components are algorithm-independent, so the outputs
     * agree exactly. */
   def simhashClusters(s: SparkSession, dir: String): DataFrame = {
-    val sc = s.sparkContext
-    val pairs = hammingPairs(s, dir).select(col("id1"), col("id2")).cache()
-    val edges = pairs
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .select(col("id1").as("src"), col("id2").as("dst"))
-      .cache()
-    // Materialize the edge caches before the loop so the per-round
-    // checkpoint bookkeeping below never confuses them with round state.
-    edges.count()
-    // Propagation runs ONLY over edge-touched nodes: every other doc is
+    import s.implicits._
+    // Clustering runs ONLY over edge-touched nodes: every other doc is
     // trivially its own representative and joins back in at the end.
     // At corpus scale the near-dup subgraph is a small fraction of the
-    // table, so the iteration never rescans the full corpus.
-    //
-    // localCheckpoint (not cache) each round: the iterated plan would
-    // otherwise nest one level per round and blow up planning memory.
-    // Rounds ≈ component diameter (near-dup clusters are star-shaped,
-    // so this stays small); at extreme scale the large-star/small-star
-    // CC variant would bound rounds at O(log n). Each round frees the
-    // superseded round's checkpoint blocks — the new checkpoint is
-    // materialized eagerly, so nothing recomputes through the old one.
-    def trackCheckpoint(df: DataFrame): (DataFrame, collection.Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet diff before)
+    // table, so neither path below ever rescans the corpus.
+    val pairDf = hammingPairs(s, dir).select(col("id1"), col("id2")).cache()
+    val nPairs = pairDf.count()
+    // Size-based hybrid, same rationale as broadcast-vs-shuffle joins:
+    // the candidate pair set is post-LSH sparse and ALREADY materialized,
+    // so when it fits the driver comfortably, union-find there beats
+    // O(component diameter) distributed rounds by orders of magnitude;
+    // past the threshold the fully distributed propagation takes over.
+    val threshold =
+      s.conf.get("spark.graft.cc.localEdgeThreshold", "10000000").toLong
+    val labeled: DataFrame =
+      if (nPairs <= threshold) ccUnionFindLocal(s, pairDf)
+      else ccPropagateDistributed(s, pairDf)
+    pairDf.unpersist(blocking = false)
+    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep"))
+    labeled.union(singletons)
+      .select(col("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-side connected components: union-find with path compression
+    * and union-by-min-root, so each component's final root is exactly
+    * its minimum doc_id (the same fixpoint the distributed path and the
+    * oracle's recursive CTE reach). */
+  private def ccUnionFindLocal(s: SparkSession,
+      pairDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = pairDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
-    def release(ids: collection.Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var (labels, liveIds) = trackCheckpoint(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("rep", col("doc_id")))
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // attach the larger root under the smaller: roots only ever
+        // decrease, so the surviving root is the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => (n, find(n))).toSeq.toDF("doc_id", "rep")
+  }
+
+  /** Distributed connected components: Pregel-style co-partitioned RDD
+    * min-label propagation — the one place this engine drops below the
+    * DataFrame API, for the same reason GraphX does: a Catalyst plan
+    * re-built, re-optimized, and re-codegen'd every round costs more
+    * than the round's work, and DataFrames cannot express "stay
+    * partitioned by this key across rounds". Edges are hash-partitioned
+    * ONCE; each round is one reduceByKey shuffle (messages to dst) plus
+    * a NARROW join back to the co-partitioned labels — zero redundant
+    * shuffle, no per-round planning. Partition count is sized by the
+    * observed edge count, so the same code runs 1 task at test scale
+    * and hundreds at 100 TB. */
+  private def ccPropagateDistributed(s: SparkSession,
+      pairDf: DataFrame): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import s.implicits._
+    val edges0 = pairDf.rdd.flatMap(r =>
+      Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val edgeCount = 2 * pairDf.count()
+    val nParts = math.max(1, math.min(200, (edgeCount / 500000L).toInt))
+    val part = new HashPartitioner(nParts)
+    val edges = edges0.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // node labels, co-partitioned with edges by construction: after
+    // partitionBy every copy of a key is in one partition, so a
+    // per-partition Set dedupe is a full distinct
+    var labels: RDD[(Long, Long)] = edges.mapPartitions(it => {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      it.foreach { case (srcId, _) => seen += srcId }
+      seen.iterator.map(n => (n, n))
+    }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
-    // Soft cap only: a component chain deeper than this converges in
-    // the remaining rounds of a later call; emitting the current labels
-    // degrades to coarser clusters instead of failing the whole query.
+    // Soft cap only: a chain deeper than this converges in a later
+    // call's remaining rounds; emitting current labels degrades to
+    // coarser clusters instead of failing the whole query. Rounds ≈
+    // component diameter; at extreme scale the large-star/small-star
+    // variant would bound rounds at O(log n).
     val maxRounds = 1000
     while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min(col("rep")).as("nbr_rep"))
-        .withColumnRenamed("dst", "doc_id")
-      val (next, nextIds) = trackCheckpoint(
-        labels.withColumnRenamed("rep", "prev")
-          .join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("prev"),
-            least(col("prev"), coalesce(col("nbr_rep"), col("prev"))).as("rep")))
-      changed = next.filter(col("rep") =!= col("prev")).count()
-      release(liveIds)
-      liveIds = nextIds
-      labels = next.select(col("doc_id"), col("rep"))
+      // messages: min neighbor label arriving at each dst
+      val nbrMin = edges.join(labels)
+        .map { case (_, (dst, rep)) => (dst, rep) }
+        .reduceByKey(part, math.min(_, _))
+      // narrow: labels and nbrMin share `part`
+      val joined = labels.leftOuterJoin(nbrMin)
+        .mapValues { case (prev, m) =>
+          (prev, math.min(prev, m.getOrElse(prev))) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // truncate lineage before the action so round N+1 never
+      // recomputes through round N
+      joined.localCheckpoint()
+      changed = joined.filter { case (_, (prev, next)) => prev != next }.count()
+      val prev = labels
+      labels = joined.mapValues(_._2)
+      prev.unpersist(blocking = false)
       rounds += 1
+      System.err.println(s"[graft] cc round $rounds: changed=$changed")
     }
     if (changed != 0)
       System.err.println(
         s"[graft] simhashClusters: propagation still moving after $rounds rounds; emitting current labels")
-    // the final labels are checkpoint-truncated, so the edge working set
-    // can be released before the caller materializes the result
-    pairs.unpersist(blocking = false)
+    val out = labels.toDF("doc_id", "rep")
     edges.unpersist(blocking = false)
-    val singletons = Tables.documents(s, dir).select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("rep"))
-    labels.union(singletons)
-      .select(col("doc_id"), col("rep").as("cluster_rep"))
-      .orderBy(col("doc_id"))
+    out
   }
 
   val simhashClustersSql: String =
