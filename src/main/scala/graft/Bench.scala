@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // local profiling knobs (driver passes no args): args(0) = substring
+    // filter on query names, args(1) = repeat count per query
+    val nameFilter = args.headOption.getOrElse("")
+    val repeats = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -24,11 +28,23 @@ object Bench {
     // warm the JVM + parquet footers once with the flagship query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(nameFilter))
+      .map { case (name, fn) =>
+      var sec = 0.0
+      var ok = true
+      for (_ <- 1 to repeats) {
+        val t0 = System.nanoTime()
+        ok = try { fn(spark, sfDir).count(); ok }
+          catch { case _: Throwable => false }
+        sec = (System.nanoTime() - t0) / 1e9
+        if (repeats > 1) {
+          System.err.println(f"[bench] $name $sec%.3f s")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+      }
       // caches are query-scoped working sets — release before the next
       // query so storage memory never accumulates across the sweep.
       // clearCache only drops SQL-cached relations; localCheckpoint

@@ -51,6 +51,9 @@ object ReconfigurableCountQuery {
     queue(table).asScala.toSeq
   }
 
+  private[controlplane] def removeSink(table: String): Unit =
+    sinks.remove(table)
+
 }
 
 trait ReconfigurationExecutor {
@@ -244,7 +247,14 @@ final class ReconfigurableCountQuery(
   }
 
   def processAllAvailable(): Unit = query.processAllAvailable()
-  def stop(): Unit = if (query != null) query.stop()
+
+  /** Stop the query and drop this instance's sink buffer — without the
+    * removal, the row logs of dead pipeline instances accumulate for
+    * the life of the JVM. */
+  def stop(): Unit = {
+    if (query != null) query.stop()
+    ReconfigurableCountQuery.removeSink(sinkKey)
+  }
 
   /** Read the running count state out of a checkpoint with the batch
     * `statestore` reader (key-group state migration, Spark-native). */

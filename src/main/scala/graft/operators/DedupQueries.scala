@@ -364,7 +364,7 @@ object DedupQueries {
     // O(component diameter) distributed rounds by orders of magnitude;
     // past the threshold the fully distributed propagation takes over.
     val threshold =
-      s.conf.get("spark.graft.cc.localEdgeThreshold", "10000000").toLong
+      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
     val labeled: DataFrame =
       if (nPairs <= threshold) ccUnionFindLocal(s, pairDf)
       else ccPropagateDistributed(s, pairDf)
@@ -384,7 +384,10 @@ object DedupQueries {
   private def ccUnionFindLocal(s: SparkSession,
       pairDf: DataFrame): DataFrame = {
     import s.implicits._
-    val edges = pairDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // primitive-tuple collect: Tuple2 is specialized on Long, so this
+    // avoids the multi-GB Row/boxing overhead of Row.collect at the
+    // threshold edge count
+    val edges = pairDf.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -438,12 +441,17 @@ object DedupQueries {
     }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
-    // Soft cap only: a chain deeper than this converges in a later
-    // call's remaining rounds; emitting current labels degrades to
-    // coarser clusters instead of failing the whole query. Rounds ≈
-    // component diameter; at extreme scale the large-star/small-star
-    // variant would bound rounds at O(log n).
-    val maxRounds = 1000
+    // Hard cap, surfaced on overrun: each call restarts labels from
+    // scratch, so exiting unconverged would silently emit coarser
+    // clusters than the exact-CC fixpoint the oracle computes. Rounds
+    // ≈ component diameter (small for near-dup clusters); at extreme
+    // scale the large-star/small-star variant would bound rounds at
+    // O(log n).
+    val maxRounds =
+      s.conf.get("spark.graft.cc.maxRounds", "1000").toInt
+    // the previous round's PERSISTED rdd (labels is just a mapValues
+    // view of it, so the view must never be the unpersist target)
+    var prevPersisted: RDD[_] = labels
     while (changed > 0 && rounds < maxRounds) {
       // messages: min neighbor label arriving at each dst
       val nbrMin = edges.join(labels)
@@ -458,15 +466,17 @@ object DedupQueries {
       // recomputes through round N
       joined.localCheckpoint()
       changed = joined.filter { case (_, (prev, next)) => prev != next }.count()
-      val prev = labels
       labels = joined.mapValues(_._2)
-      prev.unpersist(blocking = false)
+      prevPersisted.unpersist(blocking = false)
+      prevPersisted = joined
       rounds += 1
       System.err.println(s"[graft] cc round $rounds: changed=$changed")
     }
     if (changed != 0)
-      System.err.println(
-        s"[graft] simhashClusters: propagation still moving after $rounds rounds; emitting current labels")
+      throw new IllegalStateException(
+        s"simhashClusters: min-label propagation not converged after " +
+          s"$maxRounds rounds ($changed labels still moving); raise " +
+          "spark.graft.cc.maxRounds")
     val out = labels.toDF("doc_id", "rep")
     edges.unpersist(blocking = false)
     out
