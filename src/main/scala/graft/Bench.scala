@@ -50,9 +50,13 @@ object Bench {
       // clearCache only drops SQL-cached relations; localCheckpoint
       // blocks (iterative queries) live in the RDD registry and must be
       // unpersisted explicitly or they pin storage for the whole sweep.
+      // Broadcast blocks are reaped by the ContextCleaner only after
+      // their weak refs are GC'd — force that between queries (outside
+      // the timed region) so no query pays for its predecessors.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

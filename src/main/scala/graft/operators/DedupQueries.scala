@@ -30,25 +30,52 @@ object DedupQueries {
     """SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
 
-  /** Distinct shingle inventory per doc (shared CTE of the near-dup
-    * operators). Cached: each near-dup query scans it 3-4 times
-    * (signatures, counts, both sides of the inverted-index self-join)
-    * and the shingling expression is the expensive part. The cache is
-    * harness-scoped — Bench/Verify call `spark.catalog.clearCache()`
-    * after each query materializes, so working sets never accumulate
-    * across queries. At 100 TB this working set would be materialized
-    * to scratch parquet instead of executor memory. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc shingle inventory as ONE ROW PER DOCUMENT: the distinct
+    * 3-gram shingles hashed to 60-bit md5-derived keys, held as a
+    * SORTED array plus its cardinality. Built entirely narrowly (no
+    * explode, no shuffle): tokenize → shingle → distinct → hash →
+    * sort, all inside one projection pipeline.
+    *
+    * This representation is the scale lever of the near-dup operators:
+    * candidate verification joins ONE row per doc (≈1 KiB of hashes)
+    * instead of exploding every (doc, shingle) row, and the exact
+    * intersection is an in-place `array_intersect` of two sorted
+    * arrays. Cached: each near-dup query reads it 2-3 times (prefix
+    * index + both sides of the verification join); the cache is
+    * harness-scoped — Bench/Verify clear it after each query — and at
+    * 100 TB it would be materialized to scratch parquet instead. */
+  private def docShingleArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       // tokens in their own projection: shingling over the raw text
       // column re-runs the split per position (see shinglesOfTokens)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shinglesOfTokens(col("toks"), 3))).as("sh"))
-      .withColumn("kh",
-        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        array_distinct(shinglesOfTokens(col("toks"), 3)).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"),
+        sort_array(transform(col("shs"), sh =>
+          conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10)
+            .cast("long"))).as("khs"))
       .cache()
+
+  /** Exact Jaccard ≥ `t` verification of candidate (id1, id2) pairs
+    * against the doc-array inventory: two one-row-per-doc joins (AQE
+    * broadcasts them at small scale; at 100 TB they are shuffled hash
+    * joins keyed on doc_id, still one row per doc), then an in-place
+    * sorted-array intersection — no per-shingle row explosion. */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame,
+      t: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("id1"), col("n_sh").as("n1"),
+      col("khs").as("k1"))
+    val b = docs.select(col("doc_id").as("id2"), col("n_sh").as("n2"),
+      col("khs").as("k2"))
+    cand.join(a, "id1").join(b, "id2")
+      .withColumn("inter",
+        size(array_intersect(col("k1"), col("k2"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
 
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.7).
     *
@@ -62,33 +89,24 @@ object DedupQueries {
     * md5-derived `kh` key, which the oracle mirrors, instead of the
     * shingle string. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docShingles(s, dir)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("kh"), col("sh"))
-    val prefix = sh.withColumn("rank", row_number().over(w))
-      .join(counts, "doc_id")
-      .filter(col("rank") <= col("n_sh") - ceil(col("n_sh") * 0.7) + 1)
-      .select(col("doc_id"), col("kh"))
+    val docs = docShingleArrays(s, dir)
+    // prefix = first n − ⌈t·n⌉ + 1 hashes of the doc's canonically
+    // (numerically) sorted array — a slice, no window sort needed
+    val prefix = docs.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("khs"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * lit(0.7)) + 1).cast("int")))
+        .as("kh"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.kh") === col("b.kh") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        // length filter: J ≥ 0.7 forces min(n1,n2) ≥ 0.7·max(n1,n2) —
+        // prunes candidates only, so float rounding can't lose a true
+        // pair that the exact verification would keep
+        least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+          greatest(col("a.n_sh"), col("b.n_sh")).cast("double") * lit(0.7))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val inter = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("id1"))
-      .join(sh.as("sb"), col("sb.doc_id") === col("id2") &&
-        col("sa.kh") === col("sb.kh"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("n_sh", "n1"), "id1")
-      .join(counts.withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("n_sh", "n2"), "id2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyJaccard(cand, docs, 0.7)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -118,32 +136,34 @@ object DedupQueries {
       |WHERE CAST(inter AS DOUBLE) / (c1.n_sh + c2.n_sh - inter) >= 0.7
       |ORDER BY id1, id2""".stripMargin
 
-  /** Universal-hash family over one md5 base hash:
-    * h_i(s) = (a_i·H(s) + b_i) mod 2^32 with H = first 8 md5 hex chars.
-    * One digest per shingle instead of one per (shingle, seed) — 16×
-    * fewer md5s on the hot path; a_i·H < 2^63 so the arithmetic is
-    * exact BIGINT in both engines (oracle reproduces it verbatim). */
-  private def universalHashes(base: Column, n: Int): Seq[Column] =
-    (0 until n).map { i =>
-      val a = 2 * i + 1 // odd multipliers
-      val b = 0x9e3779b9L + i * 0x85ebca6bL
-      pmod(base * a + b, lit(4294967296L))
-    }
-
   /** MinHash signatures (16 universal hash functions over 3-gram
     * shingles) + banded LSH (4 bands × 4 rows): candidate pairs share
     * at least one band, then are verified with exact Jaccard ≥ 0.7.
     * At scale this replaces the full shingle self-join with a
-    * band-bucket join whose fan-out is controlled by the banding. */
+    * band-bucket join whose fan-out is controlled by the banding.
+    *
+    * The universal hash family is h_i(s) = (a_i·H(s) + b_i) mod 2^32
+    * with H = first 8 md5 hex chars of the shingle (the top 32 of the
+    * stored 60-bit key); a_i·H < 2^63 so the arithmetic is exact
+    * BIGINT in both engines, and the oracle reproduces it verbatim.
+    * Each signature slot is an `array_min` over the doc's hash array —
+    * computed NARROWLY per document row, no (doc, shingle) explosion
+    * and no aggregation shuffle at all. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 16
     val rowsPerBand = 4
-    val sh = docShingles(s, dir)
-      .withColumn("hbase", shiftright(col("kh"), 28)) // first 8 md5 hex chars
-    // signature: for each hash fn, min over the doc's shingles
-    val seeds = universalHashes(col("hbase"), numHashes).zipWithIndex
-      .map { case (h, i) => min(h).as(s"h$i") }
-    val sig = sh.groupBy(col("doc_id")).agg(seeds.head, seeds.tail: _*)
+    val docs = docShingleArrays(s, dir)
+    val sigCols = (0 until numHashes).map { i =>
+      val a = 2 * i + 1 // odd multipliers
+      val b = 0x9e3779b9L + i * 0x85ebca6bL
+      array_min(transform(col("khs"), x =>
+        pmod(shiftright(x, 28) * a + b, lit(4294967296L)))).as(s"h$i")
+    }
+    // shingle-less docs have no hashes to min over (the oracle's
+    // per-shingle form never emits them either) — and without the
+    // guard they'd all share one degenerate bucket
+    val sig = docs.filter(col("n_sh") > 0)
+      .select(col("doc_id") +: sigCols: _*)
     // bands: concat the hashes of each band into one bucket key
     val bandCols = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -162,22 +182,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("id1"))
-      .join(sh.as("sb"), col("sb.doc_id") === col("id2") &&
-        col("sa.kh") === col("sb.kh"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("n_sh", "n1"), "id1")
-      .join(counts.withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("n_sh", "n2"), "id2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyJaccard(cand, docs, 0.7)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -295,6 +300,11 @@ object DedupQueries {
     * oracle scale). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     hammingPairs(s, dir).orderBy(col("id1"), col("id2"))
+
+  /** Dev hook for tools.ProfileClusters — the raw pair set. */
+  private[graft] def simhashPairsForProfile(s: SparkSession,
+      dir: String): DataFrame =
+    hammingPairs(s, dir).select(col("id1"), col("id2"))
 
   private def hammingPairs(s: SparkSession, dir: String): DataFrame = {
     // tiny (one row per doc) but expensive to recompute; reused by both
