@@ -301,6 +301,13 @@ object DedupQueries {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     hammingPairs(s, dir).orderBy(col("id1"), col("id2"))
 
+  /** Test hook: run a CC path directly over an arbitrary (id1, id2)
+    * pair DataFrame (DedupClustersSpec's random-graph agreement). */
+  private[graft] def ccForTest(s: SparkSession, pairDf: DataFrame,
+      local: Boolean): DataFrame =
+    if (local) ccUnionFindLocal(s, pairDf)
+    else ccStarDistributed(s, pairDf)
+
   /** Dev hook for tools.ProfileClusters — the raw pair set. */
   private[graft] def simhashPairsForProfile(s: SparkSession,
       dir: String): DataFrame =
@@ -377,7 +384,10 @@ object DedupQueries {
       s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
     val labeled: DataFrame =
       if (nPairs <= threshold) ccUnionFindLocal(s, pairDf)
-      else ccPropagateDistributed(s, pairDf)
+      else s.conf.get("spark.graft.cc.algorithm", "star") match {
+        case "propagate" => ccPropagateDistributed(s, pairDf)
+        case _ => ccStarDistributed(s, pairDf)
+      }
     pairDf.unpersist(blocking = false)
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -488,6 +498,92 @@ object DedupQueries {
           s"$maxRounds rounds ($changed labels still moving); raise " +
           "spark.graft.cc.maxRounds")
     val out = labels.toDF("doc_id", "rep")
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** Distributed connected components via alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the default scale path.
+    *
+    * Unlike min-label propagation, whose round count is the component
+    * DIAMETER (pathological on chain-shaped clusters), star rounds
+    * contract every component to a star rooted at its minimum node in
+    * O(log n) rounds:
+    *
+    *   large-star: every node links its strictly-larger neighbors to
+    *     the minimum of its closed neighborhood;
+    *   small-star: every node links its smaller-or-equal neighbors
+    *     (and itself) to that minimum.
+    *
+    * Each half-round is one groupByKey shuffle over the current edge
+    * set on a fixed partitioner; lineage is truncated per round. The
+    * fixpoint is a star forest rooted at component minima — the same
+    * labeling as the union-find path and the oracle's recursive CTE. */
+  private def ccStarDistributed(s: SparkSession,
+      pairDf: DataFrame): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import s.implicits._
+    val edgeCount = pairDf.count()
+    val nParts = math.max(1, math.min(200, (edgeCount / 500000L).toInt))
+    val part = new HashPartitioner(nParts)
+    def largeStar(es: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      es.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .groupByKey(part)
+        .flatMap { case (u, nbrs) =>
+          var m = u
+          nbrs.foreach(v => if (v < m) m = v)
+          val mm = m
+          nbrs.iterator.filter(_ > u).map(v => (v, mm)).toSet.iterator
+        }
+    def smallStar(es: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      es.map { case (u, v) => if (u > v) (u, v) else (v, u) }
+        .groupByKey(part)
+        .flatMap { case (u, nbrs) =>
+          // all nbrs < u by construction, so min(nbrs) is the center
+          var m = u
+          nbrs.foreach(v => if (v < m) m = v)
+          val mm = m
+          (nbrs.iterator.filter(_ != mm) ++ Iterator(u))
+            .map(v => (v, mm)).toSet.iterator
+        }
+    var edges: RDD[(Long, Long)] = pairDf.as[(Long, Long)].rdd
+      .map { case (a, b) => if (a > b) (a, b) else (b, a) }
+      .distinct(nParts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxRounds = s.conf.get("spark.graft.cc.maxRounds", "1000").toInt
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // per-group dedup inside the stars is not global: the same
+      // (node, min) edge can be emitted from several groups, and the
+      // set-equality convergence test needs true set semantics
+      val next = smallStar(largeStar(edges)).distinct(nParts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.localCheckpoint()
+      // fixpoint: the (already deduplicated) star edge set reproduces
+      // itself — compare as sets via one subtract on the co-partitioned
+      // layout plus a count
+      converged = next.count() == edges.count() &&
+        next.subtract(edges, part).isEmpty()
+      val prev = edges
+      edges = next
+      prev.unpersist(blocking = false)
+      rounds += 1
+      System.err.println(s"[graft] cc star round $rounds")
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"simhashClusters: star contraction not converged after " +
+          s"$maxRounds rounds; raise spark.graft.cc.maxRounds")
+    // converged star forest: (node → component min) for every non-root;
+    // roots label themselves
+    val roots = edges.map(_._2).distinct(nParts).map(r => (r, r))
+    val out = edges.union(roots).toDF("doc_id", "rep")
+    // materialize before dropping the backing blocks
+    out.cache().count()
     edges.unpersist(blocking = false)
     out
   }

@@ -4,27 +4,56 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** The two connected-components paths (driver union-find under the
-  * size threshold, co-partitioned RDD min-label propagation above it)
-  * must reach the identical fixpoint — clusters are
-  * algorithm-independent. */
+/** The three connected-components paths (driver union-find under the
+  * size threshold; above it, large/small-star contraction by default
+  * or co-partitioned RDD min-label propagation) must reach the
+  * identical fixpoint — clusters are algorithm-independent. */
 class DedupClustersSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("local union-find and distributed propagation agree exactly") {
-    val key = "spark.graft.cc.localEdgeThreshold"
-    val local = DedupQueries.simhashClusters(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    spark.conf.set(key, "0") // force the distributed path
+  private val thresholdKey = "spark.graft.cc.localEdgeThreshold"
+  private val algoKey = "spark.graft.cc.algorithm"
+
+  private def clusters(): Seq[(Long, Long)] =
+    DedupQueries.simhashClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("union-find, star contraction, and propagation agree exactly") {
+    val local = clusters()
+    assert(local.nonEmpty)
+    // sanity: at least one real (multi-doc) cluster exists at sf0.001
+    assert(local.exists { case (doc, rep) => doc != rep },
+      "fixture produced no non-trivial clusters")
+    spark.conf.set(thresholdKey, "0") // force the distributed paths
     try {
-      val dist = DedupQueries.simhashClusters(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      assert(local.nonEmpty)
-      assert(local.toSeq === dist.toSeq)
-      // sanity: at least one real (multi-doc) cluster exists at sf0.001
-      assert(local.exists { case (doc, rep) => doc != rep },
-        "fixture produced no non-trivial clusters")
-    } finally spark.conf.unset(key)
+      val star = clusters()
+      assert(local === star)
+      spark.conf.set(algoKey, "propagate")
+      try assert(local === clusters())
+      finally spark.conf.unset(algoKey)
+    } finally spark.conf.unset(thresholdKey)
+  }
+
+  test("star contraction labels random graphs like union-find") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val n = 200 + trial * 100
+      // mix of chains (diameter stress), cliques, and random edges
+      val chain = (0 until n / 2).sliding(2).map(w =>
+        (w(0).toLong * 7 + 3, w(1).toLong * 7 + 3)).toSeq
+      val rand = Seq.fill(n) {
+        val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val edges = (chain ++ rand).distinct
+      val pairDf = edges.toDF("id1", "id2")
+      val expected = DedupQueries.ccForTest(spark, pairDf, local = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val got = DedupQueries.ccForTest(spark, pairDf, local = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got === expected, s"trial $trial (n=$n) diverged")
+    }
   }
 }
