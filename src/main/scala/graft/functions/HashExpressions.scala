@@ -1,0 +1,241 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the native hash expressions. Each is one
+  * tight loop per row, called from whole-stage codegen (or from
+  * `nullSafeEval` on interpreted paths such as inside higher-order
+  * functions). Every kernel reproduces, bit for bit, the semantics of
+  * the built-in-expression pipeline it replaces — all hashing is
+  * md5-derived and all arithmetic is integer or strict left-to-right
+  * IEEE double, so the DuckDB oracles of the dedup/similarity
+  * operators keep hash-matching exactly.
+  */
+object HashImpl {
+
+  private def md5: MessageDigest = MessageDigest.getInstance("MD5")
+
+  /** 64-bit SimHash of the DISTINCT tokens in `toks`, packed as
+    * [hi, lo] 32-bit halves.
+    *
+    * Equivalent built-in pipeline: explode(array_distinct(toks)) →
+    * md5 per token → 64 conditional sums in one aggregation → pack
+    * (bit b of the signature is bit (7 − b%8) of md5 byte b/8; vote
+    * sbit_b = 2·cnt_b ≥ n). The kernel form needs NO shuffle: the
+    * signature is a per-row projection.
+    */
+  def simhash64(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val counts = new Array[Int](64)
+    var total = 0
+    val digest = md5
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && seen.add(t)) {
+        total += 1
+        digest.reset()
+        val d = digest.digest(t.getBytes)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (d(b >> 3) >> (7 - (b & 7))) & 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * counts(b) >= total) hi |= 1L << b
+      b += 1
+    }
+    while (b < 64) {
+      if (2 * counts(b) >= total) lo |= 1L << (b - 32)
+      b += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
+  /** Sorted 60-bit md5 keys of the distinct word `n`-gram shingles of
+    * a token array (shingle = n consecutive tokens joined by a single
+    * space; key = first 15 md5 hex digits as an unsigned value —
+    * `conv(substring(md5(sh), 1, 15), 16, 10)`).
+    */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[String]()
+    val keys = new java.util.ArrayList[java.lang.Long](len)
+    val digest = md5
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val t = toks.getUTF8String(i + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        digest.reset()
+        val d = digest.digest(sh.getBytes("UTF-8"))
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        v = (v << 4) | ((d(7) >> 4) & 0xfL)
+        keys.add(v)
+      }
+      i += 1
+    }
+    val out = new Array[Long](keys.size())
+    var k = 0
+    while (k < out.length) { out(k) = keys.get(k); k += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: slot i = min over the doc's 60-bit shingle
+    * keys of ((2i+1)·(kh >> 28) + 0x9e3779b9 + i·0x85ebca6b) mod 2³²
+    * — the universal hash family of the MinHash operator (operands
+    * stay < 2⁶³, so plain long arithmetic is exact).
+    */
+  def minhashSig(khs: ArrayData, numHashes: Int): ArrayData = {
+    val n = khs.numElements()
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = 2L * i + 1
+      val b = 0x9e3779b9L + i.toLong * 0x85ebca6bL
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = ((khs.getLong(j) >> 28) * a + b) % 4294967296L
+        if (h < min) min = h
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All `tables` LSH bucket signatures of an embedding in one pass:
+    * bucket t has bit b set iff v · planes(t)(b) ≥ 0, the dot product
+    * accumulated strictly left-to-right (identical to
+    * [[ArrayDotProduct]] and DuckDB `list_reduce`).
+    */
+  def lshBuckets(v: ArrayData, planes: Array[Array[Array[Double]]])
+      : ArrayData = {
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val tp = planes(t)
+      var bucket = 0L
+      var b = 0
+      while (b < tp.length) {
+        val h = tp(b)
+        val n = math.min(v.numElements(), h.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * h(i); i += 1 }
+        if (acc >= 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Base for the unary kernel-backed expressions: ARRAY<LONG> result,
+  * null-safe, codegen = a single static call (stays inside the
+  * surrounding whole-stage-codegen span).
+  */
+abstract class HashKernelExpression extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  /** Java source of the static call, given the evaluated child. */
+  protected def kernelCall(ctx: CodegenContext, childVar: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${kernelCall(ctx, c)};")
+}
+
+/** 64-bit SimHash [hi, lo] of a token array — see [[HashImpl.simhash64]]. */
+case class SimHash64(child: Expression) extends HashKernelExpression {
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(toks: Any): Any =
+    HashImpl.simhash64(toks.asInstanceOf[ArrayData])
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.HashImpl.simhash64($c)"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Sorted distinct 60-bit md5 shingle keys — [[HashImpl.shingleHashes]]. */
+case class ShingleHashes(child: Expression, n: Int) extends HashKernelExpression {
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(toks: Any): Any =
+    HashImpl.shingleHashes(toks.asInstanceOf[ArrayData], n)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.HashImpl.shingleHashes($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature over shingle keys — [[HashImpl.minhashSig]]. */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends HashKernelExpression {
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(khs: Any): Any =
+    HashImpl.minhashSig(khs.asInstanceOf[ArrayData], numHashes)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.HashImpl.minhashSig($c, $numHashes)"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** LSH bucket array of an embedding for `tables`×`bits` deterministic
+  * md5-Rademacher hyperplanes — [[HashImpl.lshBuckets]]. Planes are
+  * derived from (tables, bits) only, so expression equality (and plan
+  * canonicalization) works structurally.
+  */
+case class LshBuckets(child: Expression, tables: Int, bits: Int)
+  extends HashKernelExpression {
+  @transient private lazy val planes = graft.operators.AnnLsh.hyperplanes(tables, bits)
+  override def prettyName: String = "lsh_buckets"
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.lshBuckets(v.asInstanceOf[ArrayData], planes)
+  override protected def kernelCall(ctx: CodegenContext, c: String): String = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+    s"graft.functions.HashImpl.lshBuckets($c, $ref)"
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  import GraftSqlBridge.{column, expression}
+
+  def simhash64(toks: Column): Column = column(SimHash64(expression(toks)))
+  def shingleHashes(toks: Column, n: Int): Column =
+    column(ShingleHashes(expression(toks), n))
+  def minhashSig(khs: Column, numHashes: Int): Column =
+    column(MinHashSig(expression(khs), numHashes))
+  def lshBuckets(v: Column, tables: Int, bits: Int): Column =
+    column(LshBuckets(expression(v), tables, bits))
+}

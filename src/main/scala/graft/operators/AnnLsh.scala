@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions.dotProduct
+import graft.functions.HashExpressions.lshBuckets
 
 /** Approximate nearest-neighbor search via random-hyperplane LSH —
   * the scale path of the similarity operators.
@@ -45,28 +46,21 @@ object AnnLsh {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Signature bucket of a vector column for one table: an int whose
-    * bit b is sign(v · h_b). */
-  private def bucketCol(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (h, b) =>
-      when(dotProduct(v, array(h.map(lit): _*)) >= 0, lit(1 << b))
-        .otherwise(lit(0))
-    }.reduce(_ + _)
-
-  /** (vec_id, v, norm, table, bucket) — one row per (vector, table). */
+  /** (vec_id, v, norm, table, bucket) — one row per (vector, table).
+    * All `tables` bucket signatures (bit b of bucket t is
+    * sign(v · h_{t,b})) come from ONE native kernel call per row
+    * ([[graft.functions.HashImpl.lshBuckets]]) instead of
+    * tables×bits separate dot-product expressions — same
+    * left-to-right fold, so oracle parity is untouched. */
   def bucketed(s: SparkSession, dir: String, tables: Int, bits: Int)
       : DataFrame = {
-    val hp = hyperplanes(tables, bits)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
-    val tableCols = (0 until tables).map { t =>
-      struct(lit(t).as("table"), bucketCol(col("v"), hp(t)).as("bucket"))
-    }
     emb.select(col("vec_id"), col("v"), col("norm"),
-      explode(array(tableCols: _*)).as("tb"))
+      posexplode(lshBuckets(col("v"), tables, bits)).as(Seq("table", "bucket")))
       .select(col("vec_id"), col("v"), col("norm"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        col("table").cast("int").as("table"), col("bucket"))
   }
 
   /** Approximate top-k: candidates sharing ≥1 LSH bucket with the

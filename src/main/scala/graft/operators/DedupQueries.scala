@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.{shinglesOfTokens, tokens}
+import graft.functions.GraftFunctions.tokens
+import graft.functions.HashExpressions.{minhashSig, shingleHashes, simhash64}
 
 /** Deduplication operators over `documents`: exact hash dedup, exact
   * n-gram Jaccard near-dup, MinHash+LSH, SimHash — the standard
@@ -40,21 +41,18 @@ object DedupQueries {
     * candidate verification joins ONE row per doc (≈1 KiB of hashes)
     * instead of exploding every (doc, shingle) row, and the exact
     * intersection is an in-place `array_intersect` of two sorted
-    * arrays. Cached: each near-dup query reads it 2-3 times (prefix
-    * index + both sides of the verification join); the cache is
-    * harness-scoped — Bench/Verify clear it after each query — and at
-    * 100 TB it would be materialized to scratch parquet instead. */
+    * arrays. The shingle→distinct→md5→sort chain is one native kernel
+    * ([[HashImpl.shingleHashes]] — a tight per-row loop inside
+    * whole-stage codegen). Cached: each near-dup query reads it 2-3
+    * times (prefix index + both sides of the verification join); the
+    * cache is harness-scoped — Bench/Verify clear it after each
+    * query — and at 100 TB it would be materialized to scratch
+    * parquet instead. */
   private def docShingleArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      // tokens in their own projection: shingling over the raw text
-      // column re-runs the split per position (see shinglesOfTokens)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(shinglesOfTokens(col("toks"), 3)).as("shs"))
-      .select(col("doc_id"), size(col("shs")).as("n_sh"),
-        sort_array(transform(col("shs"), sh =>
-          conv(substring(md5(sh.cast("binary")), 1, 15), 16, 10)
-            .cast("long"))).as("khs"))
+        shingleHashes(tokens(col("text")), 3).as("khs"))
+      .select(col("doc_id"), size(col("khs")).as("n_sh"), col("khs"))
       .cache()
 
   /** Exact Jaccard ≥ `t` verification of candidate (id1, id2) pairs
@@ -153,21 +151,15 @@ object DedupQueries {
     val numHashes = 16
     val rowsPerBand = 4
     val docs = docShingleArrays(s, dir)
-    val sigCols = (0 until numHashes).map { i =>
-      val a = 2 * i + 1 // odd multipliers
-      val b = 0x9e3779b9L + i * 0x85ebca6bL
-      array_min(transform(col("khs"), x =>
-        pmod(shiftright(x, 28) * a + b, lit(4294967296L)))).as(s"h$i")
-    }
     // shingle-less docs have no hashes to min over (the oracle's
     // per-shingle form never emits them either) — and without the
     // guard they'd all share one degenerate bucket
     val sig = docs.filter(col("n_sh") > 0)
-      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), minhashSig(col("khs"), numHashes).as("mh"))
     // bands: concat the hashes of each band into one bucket key
     val bandCols = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"h$i").cast("string"))
+        .map(i => col("mh").getItem(i).cast("string"))
       struct(lit(b).as("band"),
         concat_ws("_", cols: _*).as("bucket"))
     }
@@ -230,37 +222,18 @@ object DedupQueries {
     * 32-bit halves (`hi` = md5 hex chars 1-8, `lo` = chars 9-16) so
     * neither engine needs unsigned 64-bit arithmetic.
     *
-    * Each token's md5 prefix is parsed into two 32-bit ints; bit b of
-    * the signature is bit (31−b) of `hi32` (resp. (63−b) of `lo32`),
-    * which is exactly "bit (3 − b%4) of hex digit b/4" — the same
-    * mapping the oracle computes digit-by-digit. The per-bit vote
-    * sum(bit·2−1) ≥ 0 is equivalently cnt_b·2 ≥ n, so the whole
-    * signature is 64 conditional sums in ONE aggregation over
-    * (doc, token) rows — no 64× bit-row explosion, one shuffle, and
-    * integer-only math. At 100 TB this is the difference between
-    * shuffling the corpus once and shuffling it 64 times. */
-  private def sig64(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    * Bit b of the signature is "bit (3 − b%4) of md5 hex digit b/4"
+    * of each distinct token, majority-voted (cnt_b·2 ≥ n) — the same
+    * mapping the oracle computes digit-by-digit. The whole signature
+    * is ONE narrow per-row kernel ([[HashImpl.simhash64]]): no token
+    * explosion, no aggregation, NO SHUFFLE at all. At 100 TB the
+    * signature step is a pure map over the corpus. */
+  private def sig64(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
       .select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("tok"))
-      .select(col("doc_id"),
-        substring(md5(col("tok").cast("binary")), 1, 16).as("h16"))
-      .select(col("doc_id"),
-        conv(substring(col("h16"), 1, 8), 16, 10).cast("long").as("hi32"),
-        conv(substring(col("h16"), 9, 8), 16, 10).cast("long").as("lo32"))
-    val bitSums = (0 until 64).map { b =>
-      val (half, pos) = if (b < 32) (col("hi32"), 31 - b) else (col("lo32"), 63 - b)
-      sum(shiftright(half, pos).bitwiseAND(1L)).as(s"c$b")
-    }
-    val agg = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    def packHalf(bits: Range, base: Int): Column = bits.map { b =>
-      when(col(s"c$b") * 2 >= col("n"), lit(1L << (b - base))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"),
-      packHalf(0 until 32, 0).as("simhash_hi"),
-      packHalf(32 until 64, 32).as("simhash_lo"))
-  }
+        col("sig").getItem(0).as("simhash_hi"),
+        col("sig").getItem(1).as("simhash_lo"))
 
   /** Shared oracle CTE chain computing the same 64-bit signature. */
   private val sig64Cte: String =
