@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIvf, AnnLsh, AsofJoin, DedupQueries,
-  DynamicRules, EventQueries, MediaPipeline, RelationalQueries,
-  SimilarityQueries, TextQueries}
+import graft.operators.{AnnIvf, AnnLsh, AsofJoin, CurationQueries,
+  DedupQueries, DynamicRules, EventQueries, MediaPipeline,
+  RelationalQueries, SimilarityQueries, SubqueryQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,9 @@ object SparkEntry {
       MediaPipeline.queries ++
       AnnLsh.queries ++
       AnnIvf.queries ++
-      AsofJoin.queries
+      AsofJoin.queries ++
+      SubqueryQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -41,5 +43,7 @@ object SparkEntry {
       MediaPipeline.oracles ++
       AnnLsh.oracles ++
       AnnIvf.oracles ++
-      AsofJoin.oracles
+      AsofJoin.oracles ++
+      SubqueryQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+import graft.functions.HashExpressions.shingleHashes
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond dedup: benchmark decontamination and deterministic
+  * sampling. All hashing is md5-derived (DuckDB-reproducible) and all
+  * decisions are exact, so every operator has an exact oracle.
+  */
+object CurationQueries {
+
+  /** Per-doc distinct 3-gram shingle keys (one row per doc, sorted
+    * 60-bit md5 keys) — same kernel representation as the dedup
+    * operators ([[graft.functions.HashImpl.shingleHashes]]). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("khs"))
+
+  /** Benchmark decontamination: flag training documents sharing
+    * 3-gram shingles with an evaluation set (here the deterministic
+    * `doc_id % 50 = 0` slice stands in for the benchmark corpus).
+    * Output: every non-eval doc with its distinct-overlapping-shingle
+    * count and a `contaminated` verdict (≥ 3 shared shingles).
+    *
+    * Scale: the eval side is benchmark-sized (thousands of docs) —
+    * its distinct shingle-key set is broadcast; the corpus side
+    * explodes to (doc, shingle-key) rows ONCE and the overlap count
+    * is a broadcast-hash-join + one aggregation shuffle on doc_id.
+    * The corpus is never self-joined and never collected. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val evalKeys = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("khs")).as("kh")).distinct()
+    val hits = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("khs")).as("kh"))
+      .join(broadcast(evalKeys), "kh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS kh
+      |  FROM (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM toks))),
+      |ev AS (SELECT DISTINCT kh FROM sh WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_overlap
+      |  FROM sh JOIN ev USING (kh) WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+      |  COALESCE(h.n_overlap, 0) >= 3 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id % 50 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Deterministic Bernoulli sample (rate 1/10): keep a doc iff the
+    * first 8 md5 hex digits of its doc_id are ≡ 0 (mod 10).
+    * Unlike `rand()`-based sampling this is reproducible across
+    * engines, retries, and partitionings — the property a training
+    * pipeline needs for auditable subsets. Pure narrow filter: no
+    * shuffle, pushes straight onto the scan. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 10 === 0)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val sampleHashSql: String =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stratified sample: exactly 5 docs per source, selected by md5
+    * order (hex-string order is plain ASCII compare — identical
+    * across engines). The per-stratum pick is a row_number window:
+    * one shuffle on the stratum key; at corpus scale strata vastly
+    * outnumber partitions so the window parallelizes evenly, and a
+    * skewed stratum costs only its own partition. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("hk", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("doc_id"), col("lang"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT source, doc_id, lang FROM (
+      |  SELECT source, doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5
+      |ORDER BY source, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_decontaminate" -> (decontaminate _),
+    "s_sample_hash" -> (sampleHash _),
+    "s_sample_stratified" -> (sampleStratified _))
+
+  val oracles: Map[String, String] = Map(
+    "t_decontaminate" -> decontaminateSql,
+    "s_sample_hash" -> sampleHashSql,
+    "s_sample_stratified" -> sampleStratifiedSql)
+}

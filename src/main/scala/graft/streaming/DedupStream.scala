@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming forms of the exact-dedup operator: the corpus arrives as
+  * a stream and each content digest is emitted once — the ingestion
+  * shape of a continuously-fed training-data pipeline (batch form:
+  * [[graft.operators.DedupQueries.exactDedup]]).
+  *
+  * State = one row per distinct digest, sharded by the digest hash
+  * (the same one-shuffle layout as the batch groupBy). For unbounded
+  * streams the watermarked variant bounds that state: digests older
+  * than the event-time watermark are evicted, trading unbounded
+  * history for bounded memory — the standard configuration when the
+  * dedup horizon is a retention window rather than all of time.
+  */
+object DedupStream {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-replay stream of the documents table (same staging trick as
+    * [[EventStream.readStream]]). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft-docs-replay")
+    Files.createSymbolicLink(stage.resolve("documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"))
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+  }
+
+  /** One row per distinct content digest, first arrival wins.
+    * Unbounded state — exact over all time. */
+  def dedupByDigest(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .dropDuplicates("digest")
+
+  /** Watermark-bounded dedup over the events stream: duplicate
+    * (user_id, event_type) arrivals inside the watermark horizon are
+    * suppressed; state older than the horizon is evicted. */
+  def dedupEventsWithinWatermark(events: DataFrame,
+      slack: String): DataFrame =
+    events
+      .withWatermark("ts", slack)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+}
