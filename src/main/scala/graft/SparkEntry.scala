@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnnIvf, AnnLsh, AsofJoin, CurationQueries,
   DedupQueries, DynamicRules, EventQueries, MediaPipeline,
-  RelationalQueries, SimilarityQueries, SubqueryQueries, TextQueries}
+  RelationalQueries, SemDedup, SimilarityQueries, SubqueryQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +32,8 @@ object SparkEntry {
       AnnIvf.queries ++
       AsofJoin.queries ++
       SubqueryQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      SemDedup.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -45,5 +47,6 @@ object SparkEntry {
       AnnIvf.oracles ++
       AsofJoin.oracles ++
       SubqueryQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      SemDedup.oracles
 }

@@ -135,7 +135,7 @@ object AnnLsh {
     * dots → buckets (vec_id, tbl, bucket). Products are exactly ±v[i]
     * and fold in the same order as [[dotProduct]], so signatures and
     * cosines are bit-identical across engines. */
-  private def bucketsCte(tables: Int, bits: Int): String =
+  private[graft] def bucketsCte(tables: Int, bits: Int): String =
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |normed AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.{shinglesOfTokens, tokens}
 import graft.functions.HashExpressions.shingleHashes
 
 /** Corpus-curation operators a large-scale training-data pipeline
@@ -115,13 +115,105 @@ object CurationQueries {
       |WHERE rn <= 5
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Repetition-based quality signal (the Gopher/C4 rule family):
+    * share of the document's word bigrams taken by its single most
+    * frequent bigram — high values mark boilerplate/looping text.
+    * Shape: one (doc, bigram) count aggregation + one per-doc rollup,
+    * both keyed on the doc — no skew (each doc's bigrams are its own
+    * partition-local group after the first shuffle). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(col("toks"), 2)).as("bg"))
+    val perDoc = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive", col("top_bigram_frac") >= 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+      |    i -> w[i] || ' ' || w[i+1])) AS b
+      |  FROM toks),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+      |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+      |    THEN CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |    ELSE 0.0 END AS top_bigram_frac,
+      |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+      |    THEN CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |    ELSE 0.0 END >= 0.05 AS repetitive
+      |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Exact per-stratum order statistics (corpus length profile): the
+    * discrete p50/p95 of n_chars per source — the exact form of the
+    * quantile summaries a pipeline uses for budgeting and outlier
+    * cuts. One window shuffle on the stratum key; the discrete
+    * (type-1) definition `value at row ⌈q·n⌉` makes the answer
+    * engine-independent (no interpolation). */
+  def lengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn",
+        row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    ranked.groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("n_chars")))
+          .as("p50_chars"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("n_chars")))
+          .as("p95_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  val lengthPercentilesSql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source, MAX(n) AS n_docs,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN n_chars END) AS p95_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_decontaminate" -> (decontaminate _),
     "s_sample_hash" -> (sampleHash _),
-    "s_sample_stratified" -> (sampleStratified _))
+    "s_sample_stratified" -> (sampleStratified _),
+    "t_repetition" -> (repetition _),
+    "t_length_percentiles" -> (lengthPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "t_decontaminate" -> decontaminateSql,
     "s_sample_hash" -> sampleHashSql,
-    "s_sample_stratified" -> sampleStratifiedSql)
+    "s_sample_stratified" -> sampleStratifiedSql,
+    "t_repetition" -> repetitionSql,
+    "t_length_percentiles" -> lengthPercentilesSql)
 }

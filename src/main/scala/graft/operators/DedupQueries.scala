@@ -341,26 +341,12 @@ object DedupQueries {
     * connected components are algorithm-independent, so the outputs
     * agree exactly. */
   def simhashClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     // Clustering runs ONLY over edge-touched nodes: every other doc is
     // trivially its own representative and joins back in at the end.
     // At corpus scale the near-dup subgraph is a small fraction of the
     // table, so neither path below ever rescans the corpus.
     val pairDf = hammingPairs(s, dir).select(col("id1"), col("id2")).cache()
-    val nPairs = pairDf.count()
-    // Size-based hybrid, same rationale as broadcast-vs-shuffle joins:
-    // the candidate pair set is post-LSH sparse and ALREADY materialized,
-    // so when it fits the driver comfortably, union-find there beats
-    // O(component diameter) distributed rounds by orders of magnitude;
-    // past the threshold the fully distributed propagation takes over.
-    val threshold =
-      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
-    val labeled: DataFrame =
-      if (nPairs <= threshold) ccUnionFindLocal(s, pairDf)
-      else s.conf.get("spark.graft.cc.algorithm", "star") match {
-        case "propagate" => ccPropagateDistributed(s, pairDf)
-        case _ => ccStarDistributed(s, pairDf)
-      }
+    val labeled = connectedComponents(s, pairDf)
     pairDf.unpersist(blocking = false)
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -368,6 +354,27 @@ object DedupQueries {
     labeled.union(singletons)
       .select(col("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Connected components of an (id1, id2) edge set → (doc_id, rep)
+    * with rep = component minimum. Size-based hybrid, same rationale
+    * as broadcast-vs-shuffle joins: the candidate pair set is
+    * post-LSH sparse and ALREADY materialized (caller caches it), so
+    * when it fits the driver comfortably, union-find there beats
+    * O(rounds) distributed passes by orders of magnitude; past the
+    * threshold the fully distributed star contraction takes over.
+    * Shared by the simhash clustering and the semantic-dedup
+    * operators. */
+  private[graft] def connectedComponents(s: SparkSession,
+      pairDf: DataFrame): DataFrame = {
+    val nPairs = pairDf.count()
+    val threshold =
+      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
+    if (nPairs <= threshold) ccUnionFindLocal(s, pairDf)
+    else s.conf.get("spark.graft.cc.algorithm", "star") match {
+      case "propagate" => ccPropagateDistributed(s, pairDf)
+      case _ => ccStarDistributed(s, pairDf)
+    }
   }
 
   /** Driver-side connected components: union-find with path compression
