@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Bucketed co-located execution: joins and aggregations keyed on the
+  * bucket column must plan with ZERO exchanges — the layout carries
+  * the partitioning (SURVEY §4: avoid re-shuffling the big fact
+  * tables on every query at 100 TB). */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val base = "/tmp/graft_bucketed"
+
+  private def ensureTables(): Unit = {
+    if (!spark.catalog.tableExists("li_b")) {
+      BucketedTables.materialize(Tables.lineitem(spark, dir),
+        "li_b", s"$base/li_b", "l_orderkey", 8)
+      BucketedTables.materialize(Tables.orders(spark, dir),
+        "o_b", s"$base/o_b", "o_orderkey", 8)
+    }
+  }
+
+  test("bucketed fact-fact join plans with no exchange") {
+    ensureTables()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = BucketedTables.table(spark, "li_b")
+        .join(BucketedTables.table(spark, "o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      // same answer as the unbucketed join
+      val want = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      assert(j.count() === want.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("aggregation on the bucket key needs no shuffle") {
+    ensureTables()
+    val agg = BucketedTables.table(spark, "li_b")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
