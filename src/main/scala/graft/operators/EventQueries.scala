@@ -199,7 +199,46 @@ object EventQueries {
     """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  /** Time-interval join (the Flink interval-join operator family):
+    * purchases by the same user within 30 minutes AFTER a click.
+    * Plan shape at scale: an EQUI join on user_id (one shuffle per
+    * side) with the time bound as a post-join filter — never a range
+    * cross product. Streaming twin: [[graft.streaming.EventStream]]
+    * intervalJoin (stream-stream with the same bound as the state
+    * eviction constraint). */
+  def eIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val eIntervalJoinSql: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  p.value AS value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_interval_join" -> (eIntervalJoin _),
     "e1_map_currency" -> (e1MapCurrency _),
     "e2_filter" -> (e2Filter _),
     "e3_join_dim" -> (e3JoinDim _),
@@ -212,6 +251,7 @@ object EventQueries {
     "e_json_props" -> (eJsonProps _))
 
   val oracles: Map[String, String] = Map(
+    "e_interval_join" -> eIntervalJoinSql,
     "e1_map_currency" -> e1MapCurrencySql,
     "e2_filter" -> e2FilterSql,
     "e3_join_dim" -> e3JoinDimSql,

@@ -81,4 +81,29 @@ object EventStream {
         date_format(col("su_win"), "yyyy-MM-dd HH:00").as("hour"),
         col("su_event"), col("pu_event"))
   }
+
+  /** Time-interval stream-stream join (Flink interval-join analog):
+    * purchases within 30 minutes after a click by the same user. The
+    * time bound doubles as the state-eviction constraint — each
+    * side's buffered rows are dropped once the other side's watermark
+    * passes the interval, so join state is bounded by rate × 30 min,
+    * not by history. Batch twin: EventQueries.eIntervalJoin. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("pu"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"))
+  }
 }

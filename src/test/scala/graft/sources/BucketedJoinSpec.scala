@@ -53,4 +53,17 @@ class BucketedJoinSpec extends AnyFunSuite {
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("partition column predicates prune directories at plan time") {
+    val src = Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    BucketedTables.materializePartitioned(src, s"$base/events_p", "day")
+    val back = spark.read.parquet(s"$base/events_p")
+      .filter(col("day") === "2024-01-05")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    // pruned scan reads exactly the one day's rows
+    val want = src.filter(col("day") === "2024-01-05").count()
+    assert(back.count() === want && want > 0)
+  }
 }

@@ -41,6 +41,18 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming interval join == batch twin") {
+    val stream = EventStream.intervalJoin(EventStream.readStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("twin_ijoin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = sortedRows(spark.table("twin_ijoin").collect())
+      val want = sortedRows(EventQueries.eIntervalJoin(spark, dir).collect())
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming window join == batch twin") {
     val stream = EventStream.windowJoin(EventStream.readStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("twin_wjoin")
