@@ -238,4 +238,27 @@ object HashExpressions {
     column(MinHashSig(expression(khs), numHashes))
   def lshBuckets(v: Column, tables: Int, bits: Int): Column =
     column(LshBuckets(expression(v), tables, bits))
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  /** Make the kernels callable from `spark.sql` — registered as the
+    * native expressions themselves (stay codegen'd), not UDF
+    * wrappers. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "simhash64",
+      es => SimHash64(es.head))
+    GraftSqlBridge.registerFunction(spark, "shingle_hashes",
+      es => ShingleHashes(es(0), intLit(es(1), "shingle_hashes")))
+    GraftSqlBridge.registerFunction(spark, "minhash_sig",
+      es => MinHashSig(es(0), intLit(es(1), "minhash_sig")))
+    GraftSqlBridge.registerFunction(spark, "lsh_buckets",
+      es => LshBuckets(es(0), intLit(es(1), "lsh_buckets"),
+        intLit(es(2), "lsh_buckets")))
+    GraftSqlBridge.registerFunction(spark, "array_dot",
+      es => ArrayDotProduct(es(0), es(1)))
+  }
 }

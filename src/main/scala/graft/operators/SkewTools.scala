@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * A shuffled equi-join sends every row of a key to one reducer; at
+  * 100 TB a single hot key (the empty document, a default user id, a
+  * null-ish sentinel) turns into one straggler task that dominates
+  * the stage. AQE's skew-join handles the SORT-MERGE case
+  * adaptively; this utility is the explicit form for when the skew
+  * is known ahead of time (or the join is not AQE-splittable): salt
+  * the probe side into `salts` sub-keys and replicate the build side
+  * once per salt, so the hot key's rows spread over `salts` reducers.
+  * Cost model: build side grows ×salts (choose salts ≈ hot-key
+  * row-count / average-key row-count, bounded by parallelism); result
+  * is row-identical to the plain join.
+  */
+object SkewTools {
+
+  /** Equi-join `probe ⋈ build` on `key` with `salts`-way salting.
+    * The salt is derived from a per-row id — its VALUE is irrelevant
+    * to the result (every probe row meets exactly one replica of its
+    * key's build rows), it only controls placement. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val p = probe.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val b = build.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    p.join(b, Seq(key, "__salt")).drop("__salt")
+  }
+}

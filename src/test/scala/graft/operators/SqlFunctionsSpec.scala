@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.HashExpressions
+
+/** The native kernels must be reachable from `spark.sql` as the same
+  * codegen'd expressions (no UDF wrapper) and agree with the Column
+  * API forms. */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("hash kernels callable from SQL and agree with the Column API") {
+    HashExpressions.registerAll(spark)
+    val viaSql = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sig,
+        |  shingle_hashes(array('a','b','c','d'), 3) AS sh,
+        |  minhash_sig(shingle_hashes(array('a','b','c','d'), 3), 4) AS mh,
+        |  lsh_buckets(array_repeat(1.0d, 64), 2, 4) AS lb,
+        |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
+        |""".stripMargin).head
+    val viaCols = spark.range(1).select(
+      HashExpressions.simhash64(array(lit("a"), lit("b"))).as("sig"),
+      HashExpressions.shingleHashes(
+        array(lit("a"), lit("b"), lit("c"), lit("d")), 3).as("sh"),
+      HashExpressions.minhashSig(HashExpressions.shingleHashes(
+        array(lit("a"), lit("b"), lit("c"), lit("d")), 3), 4).as("mh"),
+      HashExpressions.lshBuckets(array_repeat(lit(1.0), 64), 2, 4).as("lb"),
+      graft.functions.GraftFunctions.dotProduct(
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d")).head
+    assert(viaSql.getSeq[Long](0) === viaCols.getSeq[Long](0))
+    assert(viaSql.getSeq[Long](1) === viaCols.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](2) === viaCols.getSeq[Long](2))
+    assert(viaSql.getSeq[Long](3) === viaCols.getSeq[Long](3))
+    assert(viaSql.getDouble(4) === 11.0)
+    assert(viaCols.getDouble(4) === 11.0)
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    HashExpressions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(array('a'), 1 + 2)").head
+    }
+    assert(e.getMessage.contains("literal INT"))
+  }
+}
