@@ -386,7 +386,66 @@ object RelationalQueries {
       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
       |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four grouping
+    * combinations in one pass (Spark expands the grouping sets and
+    * aggregates them in a single shuffle — at scale this is 4
+    * aggregations for the price of one fact scan). Grouping-null
+    * markers are folded to 'ALL' (the columns are non-null in the
+    * data, so the encoding is unambiguous for the oracle). */
+  def cubeReturns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val cubeReturnsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** RANGE-frame window: each order's trailing-7-day spend for its
+    * customer — a true event-time range frame (peers included by
+    * VALUE distance, not row count). Accumulation in DECIMAL keeps
+    * the frame sums exact, so both engines agree bit-for-bit
+    * regardless of their internal frame algorithms. One window
+    * shuffle on custkey. */
+  def windowRange7d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NTZ → timestamp → epoch seconds (session TZ is UTC, so the
+    // hop is lossless and matches DuckDB's epoch() on the naive ts)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-604800L, 0L)
+    Tables.orders(s, dir)
+      .withColumn("spend_7d_dec",
+        sum(col("o_totalprice").cast(dec)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("spend_7d_dec").cast("double").as("spend_7d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRange7dSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_returns" -> (cubeReturns _),
+    "window_range_7d" -> (windowRange7d _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q7_nation_pairs" -> (q7NationPairs _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -405,6 +464,8 @@ object RelationalQueries {
     "decimal_accumulators" -> (decimalAccumulators _))
 
   val oracles: Map[String, String] = Map(
+    "cube_returns" -> cubeReturnsSql,
+    "window_range_7d" -> windowRange7dSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q7_nation_pairs" -> q7NationPairsSql,
     "q10_returned_items" -> q10ReturnedItemsSql,
