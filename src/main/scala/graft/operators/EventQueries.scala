@@ -237,8 +237,63 @@ object EventQueries {
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Pivot (dynamic column spread): daily event counts as one column
+    * per event type. Spark expands the pivot to conditional aggregates
+    * in a single shuffle on the grouping key; explicit value list
+    * keeps the schema static (required at scale — an implicit pivot
+    * would need a distinct-scan first). */
+  def ePivotDaily(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
+  val ePivotDailySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Set operations (INTERSECT / EXCEPT over distinct key sets):
+    * segment users by click∩purchase vs click∖purchase. Both set ops
+    * are one aggregation-shaped shuffle on user_id. */
+  def eSetSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clickers = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    clickers.intersect(buyers)
+      .withColumn("segment", lit("click_and_buy"))
+      .union(clickers.except(buyers)
+        .withColumn("segment", lit("click_only")))
+      .select(col("segment"), col("user_id"))
+      .orderBy(col("segment"), col("user_id"))
+  }
+
+  val eSetSegmentsSql: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT 'click_and_buy' AS segment, user_id FROM (
+      |  SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+      |UNION ALL
+      |SELECT 'click_only' AS segment, user_id FROM (
+      |  SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+      |ORDER BY segment, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_interval_join" -> (eIntervalJoin _),
+    "e_pivot_daily" -> (ePivotDaily _),
+    "e_set_segments" -> (eSetSegments _),
     "e1_map_currency" -> (e1MapCurrency _),
     "e2_filter" -> (e2Filter _),
     "e3_join_dim" -> (e3JoinDim _),
@@ -252,6 +307,8 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "e_interval_join" -> eIntervalJoinSql,
+    "e_pivot_daily" -> ePivotDailySql,
+    "e_set_segments" -> eSetSegmentsSql,
     "e1_map_currency" -> e1MapCurrencySql,
     "e2_filter" -> e2FilterSql,
     "e3_join_dim" -> e3JoinDimSql,

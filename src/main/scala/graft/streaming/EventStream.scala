@@ -82,6 +82,22 @@ object EventStream {
         col("su_event"), col("pu_event"))
   }
 
+  /** Stream-static dimension join (Nexmark Q3 as stream⋈table): the
+    * static customer dim is broadcast into every micro-batch — no
+    * state, no watermark needed; the streaming twin of
+    * EventQueries.e3JoinDim. At scale the dim re-broadcasts per
+    * batch; a slowly-changing dim would swap in via the per-batch
+    * supplier pattern (DynamicRules.streaming). */
+  def dimJoin(events: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    val c = graft.Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    events.filter(col("event_type") === "purchase")
+      .join(broadcast(c), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"))
+  }
+
   /** Time-interval stream-stream join (Flink interval-join analog):
     * purchases within 30 minutes after a click by the same user. The
     * time bound doubles as the state-eviction constraint — each

@@ -41,6 +41,19 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dim join == batch twin") {
+    val stream = EventStream.dimJoin(
+      EventStream.readStream(spark, dir), spark, dir)
+    val q = stream.writeStream.format("memory").queryName("twin_dim")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = sortedRows(spark.table("twin_dim").collect())
+      val want = sortedRows(EventQueries.e3JoinDim(spark, dir).collect())
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming interval join == batch twin") {
     val stream = EventStream.intervalJoin(EventStream.readStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("twin_ijoin")
