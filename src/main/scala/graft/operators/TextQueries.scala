@@ -152,7 +152,40 @@ object TextQueries {
       |    WHERE length(word) > 0 GROUP BY source, word))
       |WHERE rn <= 3 ORDER BY source, rn""".stripMargin
 
+  /** Subword-ish token counting (the budgeting view a training
+    * pipeline runs before tokenizing for real): a GPT-2-style
+    * pre-tokenizer regex — letter runs | digit runs | punctuation
+    * runs — counted against whitespace tokens. ASCII character
+    * classes keep the pattern identical under Java and RE2 regex
+    * dialects, so the count is engine-independent. Pure narrow
+    * projection: no shuffle except the output sort. */
+  def tokenCountBpe(s: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(bpe).cast("long").as("n_bpe_tokens"))
+      .withColumn("subtoken_ratio",
+        when(col("n_ws_tokens") > 0,
+          col("n_bpe_tokens").cast("double") /
+            col("n_ws_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountBpeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+      |  CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+      |    THEN CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS DOUBLE)
+      |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      |    ELSE 0.0 END AS subtoken_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_count_bpe" -> (tokenCountBpe _),
     "t_token_stats" -> (tokenStats _),
     "t_quality_score" -> (qualityScore _),
     "t_langid" -> (langId _),
@@ -160,6 +193,7 @@ object TextQueries {
     "t_top_words_per_source" -> (topWordsPerSource _))
 
   val oracles: Map[String, String] = Map(
+    "t_token_count_bpe" -> tokenCountBpeSql,
     "t_token_stats" -> tokenStatsSql,
     "t_quality_score" -> qualityScoreSql,
     "t_langid" -> langIdSql,
