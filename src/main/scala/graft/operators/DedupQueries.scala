@@ -277,9 +277,11 @@ object DedupQueries {
   /** Test hook: run a CC path directly over an arbitrary (id1, id2)
     * pair DataFrame (DedupClustersSpec's random-graph agreement). */
   private[graft] def ccForTest(s: SparkSession, pairDf: DataFrame,
-      local: Boolean): DataFrame =
-    if (local) ccUnionFindLocal(s, pairDf)
+      local: Boolean): DataFrame = {
+    import s.implicits._
+    if (local) ccUnionFindLocal(s, pairDf.as[(Long, Long)].collect())
     else ccStarDistributed(s, pairDf)
+  }
 
   /** Dev hook for tools.ProfileClusters — the raw pair set. */
   private[graft] def simhashPairsForProfile(s: SparkSession,
@@ -299,21 +301,21 @@ object DedupQueries {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
         col("bb.band").as("band"), col("bb.block").as("block"))
-    val cand = bands.as("a")
+    // hamming filter BEFORE the distinct: the filter is deterministic
+    // per pair, so dropping >3-hamming candidates first is equivalent
+    // — and the dedup shuffle then carries only surviving pairs
+    // instead of the full multi-band candidate multiset
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.simhash_hi").as("h1"), col("a.simhash_lo").as("l1"),
-        col("b.simhash_hi").as("h2"), col("b.simhash_lo").as("l2"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        (bit_count(col("h1").bitwiseXOR(col("h2"))) +
-          bit_count(col("l1").bitwiseXOR(col("l2")))).cast("long"))
+        (bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))) +
+          bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
   }
 
   val simhashPairsSql: String =
@@ -367,10 +369,16 @@ object DedupQueries {
     * operators. */
   private[graft] def connectedComponents(s: SparkSession,
       pairDf: DataFrame): DataFrame = {
-    val nPairs = pairDf.count()
-    val threshold =
-      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
-    if (nPairs <= threshold) ccUnionFindLocal(s, pairDf)
+    import s.implicits._
+    val threshold = math.min(
+      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong,
+      Int.MaxValue - 1L).toInt
+    // ONE materialization decides the path AND feeds union-find: pull
+    // at most threshold+1 edges; overflow ⇒ the graph is big, recompute
+    // distributed from the caller-cached pairDf (no separate count job,
+    // and the driver never holds more than threshold+1 primitive pairs)
+    val probe = pairDf.as[(Long, Long)].limit(threshold + 1).collect()
+    if (probe.length <= threshold) ccUnionFindLocal(s, probe)
     else s.conf.get("spark.graft.cc.algorithm", "star") match {
       case "propagate" => ccPropagateDistributed(s, pairDf)
       case _ => ccStarDistributed(s, pairDf)
@@ -382,12 +390,8 @@ object DedupQueries {
     * its minimum doc_id (the same fixpoint the distributed path and the
     * oracle's recursive CTE reach). */
   private def ccUnionFindLocal(s: SparkSession,
-      pairDf: DataFrame): DataFrame = {
+      edges: Array[(Long, Long)]): DataFrame = {
     import s.implicits._
-    // primitive-tuple collect: Tuple2 is specialized on Long, so this
-    // avoids the multi-GB Row/boxing overhead of Row.collect at the
-    // threshold edge count
-    val edges = pairDf.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
