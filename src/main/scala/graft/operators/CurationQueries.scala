@@ -203,7 +203,59 @@ object CurationQueries {
       |  MAX(n_chars) AS max_chars
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-document novelty: the share of a doc's distinct 3-gram
+    * shingles that occur in NO other document — the corpus-level
+    * uniqueness profile used to weigh memorization risk and value of
+    * a document. Shape: one (doc, shingle-key) explode, one
+    * doc-frequency aggregation on the key, a join back on the SAME
+    * key (exchange reused), and a per-doc rollup — two shuffles
+    * total, no self-join. */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val exploded = shingled(s, dir)
+      .select(col("doc_id"), explode(col("khs")).as("kh"))
+    val df = exploded.groupBy(col("kh"))
+      .agg(count(lit(1)).as("df"))
+    val per = exploded.join(df, "kh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty",
+        when(col("n_sh") > 0,
+          col("n_unique").cast("double") / col("n_sh").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS kh
+      |  FROM (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM toks))),
+      |freq AS (SELECT kh, COUNT(*) AS df FROM sh GROUP BY kh),
+      |per AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+      |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      |  FROM sh JOIN freq USING (kh) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_sh, 0) AS n_sh,
+      |  COALESCE(n_unique, 0) AS n_unique,
+      |  CASE WHEN COALESCE(n_sh, 0) > 0
+      |    THEN CAST(n_unique AS DOUBLE) / CAST(n_sh AS DOUBLE)
+      |    ELSE 0.0 END AS novelty
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_novelty" -> (novelty _),
     "t_decontaminate" -> (decontaminate _),
     "s_sample_hash" -> (sampleHash _),
     "s_sample_stratified" -> (sampleStratified _),
@@ -211,6 +263,7 @@ object CurationQueries {
     "t_length_percentiles" -> (lengthPercentiles _))
 
   val oracles: Map[String, String] = Map(
+    "t_novelty" -> noveltySql,
     "t_decontaminate" -> decontaminateSql,
     "s_sample_hash" -> sampleHashSql,
     "s_sample_stratified" -> sampleStratifiedSql,
