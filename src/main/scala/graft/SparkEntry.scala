@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnnIvf, AnnLsh, AsofJoin, CurationQueries,
-  DedupQueries, DynamicRules, EventQueries, MediaPipeline,
-  RelationalQueries, SemDedup, SimilarityQueries, SubqueryQueries,
-  TextQueries}
+  DecisionSupportQueries, DedupQueries, DynamicRules, EventQueries,
+  MediaPipeline, RelationalQueries, SemDedup, SimilarityQueries,
+  SubqueryQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,7 @@ object SparkEntry {
       AnnIvf.queries ++
       AsofJoin.queries ++
       SubqueryQueries.queries ++
+      DecisionSupportQueries.queries ++
       CurationQueries.queries ++
       SemDedup.queries
 
@@ -47,6 +48,7 @@ object SparkEntry {
       AnnIvf.oracles ++
       AsofJoin.oracles ++
       SubqueryQueries.oracles ++
+      DecisionSupportQueries.oracles ++
       CurationQueries.oracles ++
       SemDedup.oracles
 }
