@@ -30,9 +30,10 @@ import graft.Tables
   * Scale notes: every dimension (part 2k, supplier 100, customer
   * 1.5k, nation, region) is broadcast; the fact tables join on their
   * natural keys (l_orderkey = o_orderkey) so the shuffle count is the
-  * minimum for each shape; decorrelated per-group aggregates share
-  * their grouping key's exchange with the join-back (Catalyst reuses
-  * the exchange).
+  * minimum for each shape; correlated per-group aggregates (Q17,
+  * Q21) are WINDOWS over the already-established partitioning — one
+  * pass over the fact, no self-join — asserted single-scan in
+  * DecisionSupportPlanSpec.
   */
 object DecisionSupportQueries {
 
@@ -259,23 +260,26 @@ object DecisionSupportQueries {
   // ---------------------------------------------------------------
   // Q17: small-quantity revenue — lines under 20% of their part's
   // average quantity, for one brand + size band (size stands in for
-  // the missing container). The correlated AVG decorrelates to a
-  // per-part (Σqty, count) aggregate joined back on l_partkey; the
+  // the missing container). The correlated AVG is a WINDOW over
+  // l_partkey, not a self-join: because the filter is on part
+  // attributes only, every line of a surviving part is present after
+  // the broadcast join, so the per-part (Σqty, count) window equals
+  // the whole-table aggregate — ONE scan of lineitem and one
+  // exchange, where the classic decorrelation scans it twice. The
   // comparison multiplies through by 5·count so it stays in exact
-  // integers/decimals (qty < Σ/(5·n) ⟺ 5·qty·n < Σ).
+  // decimals (qty < Σ/(5·n) ⟺ 5·qty·n < Σ).
   // ---------------------------------------------------------------
 
   def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
-    val pq = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey"))
-      .agg(sum(col("l_quantity").cast(d12)).as("sq"),
-        count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
     val p = Tables.part(s, dir)
       .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
       .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
     Tables.lineitem(s, dir)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(pq, Seq("l_partkey"))
+      .withColumn("sq", sum(col("l_quantity").cast(d12)).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
       .filter(col("l_quantity").cast(d12) * lit(5).cast(DecimalType(2, 0)) *
         col("cnt").cast(DecimalType(19, 0)) < col("sq"))
       .agg((sum(col("l_extendedprice").cast(d12)).cast("double") / lit(7.0))
@@ -366,14 +370,17 @@ object DecisionSupportQueries {
   // Q21: suppliers who kept orders waiting — late lines (shipped >60
   // days after placement; stands in for receipt>commit) on finished
   // multi-supplier orders where this supplier was the ONLY late one.
-  // The double-correlated EXISTS / NOT-EXISTS decorrelates to one
-  // per-order aggregate (distinct suppliers, distinct late
-  // suppliers) joined back on the order key — the lineitem⋈orders
-  // join, the per-order aggregate, and the join-back all share the
-  // l_orderkey exchange.
+  // The double-correlated EXISTS / NOT-EXISTS becomes two WINDOWS
+  // over the order key (distinct suppliers, distinct late suppliers
+  // via null-skipping collect_set) — the window runs on the
+  // partitioning the lineitem⋈orders join already produced, so the
+  // whole analysis is ONE pass over the joined fact with no
+  // join-back and no second scan (the classic decorrelation
+  // recomputes the join for the per-order aggregate).
   // ---------------------------------------------------------------
 
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
@@ -382,12 +389,12 @@ object DecisionSupportQueries {
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 60)
           .as("late"))
-    val os = lf.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-    val w = lf.filter(col("late"))
-      .join(os, col("l_orderkey") === col("ok"))
-      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    val w = lf
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(byOrder)))
+      .withColumn("n_late",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(byOrder)))
+      .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
     val suppNation = Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_9")),
