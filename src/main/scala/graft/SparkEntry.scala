@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIvf, AnnLsh, AsofJoin, CurationQueries,
-  DecisionSupportQueries, DedupQueries, DynamicRules, EventQueries,
-  MediaPipeline, RelationalQueries, SemDedup, SimilarityQueries,
-  SubqueryQueries, TextQueries}
+import graft.operators.{AnnIvf, AnnLsh, AsofJoin, BehaviorQueries,
+  CurationQueries, DecisionSupportQueries, DedupQueries, DynamicRules,
+  EventQueries, MediaPipeline, RelationalQueries, SemDedup,
+  SimilarityQueries, SubqueryQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,7 @@ object SparkEntry {
       AsofJoin.queries ++
       SubqueryQueries.queries ++
       DecisionSupportQueries.queries ++
+      BehaviorQueries.queries ++
       CurationQueries.queries ++
       SemDedup.queries
 
@@ -49,6 +50,7 @@ object SparkEntry {
       AsofJoin.oracles ++
       SubqueryQueries.oracles ++
       DecisionSupportQueries.oracles ++
+      BehaviorQueries.oracles ++
       CurationQueries.oracles ++
       SemDedup.oracles
 }

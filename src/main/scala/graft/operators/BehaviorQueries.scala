@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** User-behavior analytics over the event stream: ordered funnel
+  * conversion and cohort retention — the two canonical shapes a
+  * product-analytics workload runs on a clickstream (the reference's
+  * per-key ProcessorFunction composition reaches the same results
+  * one keyed state machine at a time; SURVEY §2.9).
+  *
+  * Both are ONE shuffle on user_id: every per-user statistic
+  * (first-view / first-click-after / first-purchase-after, cohort
+  * day) is a window over that partitioning, never a join-back.
+  * Timestamps are compared as epoch MICROSECONDS on both engines —
+  * the parquet column is TIMESTAMP(NANOS), Spark's reader truncates
+  * to µs, so the oracle must truncate identically (`epoch_us`) or
+  * strict inequalities disagree on sub-µs ties.
+  */
+object BehaviorQueries {
+
+  /** Ordered three-stage funnel view → click → purchase: per user the
+    * first view, the first click strictly after it, the first
+    * purchase strictly after that; one row of stage-reach counts.
+    * Each stage's window references the previous stage's column —
+    * three Window nodes, all on the user_id partitioning, zero extra
+    * exchanges. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("mv",
+        min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("mc",
+        min(when(col("event_type") === "click" && col("tus") > col("mv"),
+          col("tus"))).over(w))
+      .withColumn("mp",
+        min(when(col("event_type") === "purchase" && col("tus") > col("mc"),
+          col("tus"))).over(w))
+      .agg(
+        countDistinct(when(col("mv").isNotNull, col("user_id")))
+          .as("n_view"),
+        countDistinct(when(col("mc").isNotNull, col("user_id")))
+          .as("n_click"),
+        countDistinct(when(col("mp").isNotNull, col("user_id")))
+          .as("n_purchase"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN tus END) AS mv
+      |  FROM e GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(tus) AS mc
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND tus > mv GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(tus) AS mp
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND tus > mc GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE mv IS NOT NULL) AS n_view,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity day, then
+    * distinct active users per (cohort, day-offset) cell. The cohort
+    * day is a min-window over user_id; the distinct collapses
+    * (user, cohort, day) before the cell count so a user counts once
+    * per day. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+      .select(col("user_id"), col("cohort"), col("day")).distinct()
+      .select(col("user_id"),
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, cohort, day FROM e JOIN c USING (user_id))
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+      |  CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM a GROUP BY cohort, day_offset
+      |ORDER BY cohort, day_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_funnel" -> (funnel _),
+    "e_cohort_retention" -> (cohortRetention _))
+
+  val oracles: Map[String, String] = Map(
+    "e_funnel" -> funnelSql,
+    "e_cohort_retention" -> cohortRetentionSql)
+}

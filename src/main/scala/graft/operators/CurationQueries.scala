@@ -254,7 +254,39 @@ object CurationQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** CCNet-style head/middle/tail bucketing: per source, documents
+    * are split into length tertiles (n_chars stands in for the
+    * perplexity score CCNet buckets on — the operator is the
+    * bucketing, not the scorer). NTILE over a total order
+    * (n_chars, doc_id) makes the cut deterministic; both engines
+    * hand the first buckets the remainder rows, so the split is
+    * engine-identical. One shuffle on source. */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val qualityBucketsSql: String =
+    """SELECT source, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |    NTILE(3) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bucket
+      |  FROM documents)
+      |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_quality_buckets" -> (qualityBuckets _),
     "t_novelty" -> (novelty _),
     "t_decontaminate" -> (decontaminate _),
     "s_sample_hash" -> (sampleHash _),
@@ -263,6 +295,7 @@ object CurationQueries {
     "t_length_percentiles" -> (lengthPercentiles _))
 
   val oracles: Map[String, String] = Map(
+    "t_quality_buckets" -> qualityBucketsSql,
     "t_novelty" -> noveltySql,
     "t_decontaminate" -> decontaminateSql,
     "s_sample_hash" -> sampleHashSql,

@@ -184,7 +184,56 @@ object TextQueries {
       |    ELSE 0.0 END AS subtoken_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF-flavored top terms per document: term frequency within
+    * the doc against document frequency across the corpus, ranked by
+    * tf/df. The ratio replaces the usual tf·log(N/df): same ranking
+    * for fixed N, and IEEE division of two exact integers is
+    * correctly rounded in every engine, where `log` implementations
+    * differ in the last ulp. Output is pure integers (tf, df, rank)
+    * — no float ever leaves the query.
+    *
+    * Scale: tf is one shuffle on (doc, word); df aggregates the tf
+    * frame (word shuffle, already tiny); the ranking window shuffles
+    * on doc_id. No scan is repeated. */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df").cast("double")).desc,
+        col("word"))
+    tf.join(df, "word")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfTopKSql: String =
+    """SELECT doc_id, word, tf, df, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT doc_id, word, tf, df,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, word) AS rnk
+      |  FROM (
+      |    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      |      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |      FROM documents)
+      |    WHERE length(word) > 0 GROUP BY doc_id, word) tf
+      |  JOIN (
+      |    SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM (
+      |      SELECT DISTINCT doc_id, word FROM (
+      |        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |        FROM documents)
+      |      WHERE length(word) > 0)
+      |    GROUP BY word) df USING (word))
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_tfidf_topk" -> (tfidfTopK _),
     "t_token_count_bpe" -> (tokenCountBpe _),
     "t_token_stats" -> (tokenStats _),
     "t_quality_score" -> (qualityScore _),
@@ -193,6 +242,7 @@ object TextQueries {
     "t_top_words_per_source" -> (topWordsPerSource _))
 
   val oracles: Map[String, String] = Map(
+    "t_tfidf_topk" -> tfidfTopKSql,
     "t_token_count_bpe" -> tokenCountBpeSql,
     "t_token_stats" -> tokenStatsSql,
     "t_quality_score" -> qualityScoreSql,
