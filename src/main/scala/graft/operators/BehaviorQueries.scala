@@ -50,6 +50,27 @@ object BehaviorQueries {
           .as("n_purchase"))
   }
 
+  /** The funnel's per-user stage frame (first view / first click
+    * after / first purchase after, as nullable epoch-µs), used by the
+    * streaming twin's parity spec: the stateful streaming form must
+    * reproduce exactly these rows. */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("mv",
+        min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("mc",
+        min(when(col("event_type") === "click" && col("tus") > col("mv"),
+          col("tus"))).over(w))
+      .withColumn("mp",
+        min(when(col("event_type") === "purchase" && col("tus") > col("mc"),
+          col("tus"))).over(w))
+      .select(col("user_id"), col("mv"), col("mc"), col("mp"))
+      .distinct()
+  }
+
   val funnelSql: String =
     """WITH e AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),

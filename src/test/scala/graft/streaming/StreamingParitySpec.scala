@@ -66,6 +66,20 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel stage machine == batch window twin") {
+    val stream = FunnelStream.funnelStages(EventStream.readStream(spark, dir))
+    val q = stream.toDF("user_id", "mv", "mc", "mp")
+      .writeStream.format("memory").queryName("twin_funnel")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = sortedRows(spark.table("twin_funnel").collect())
+      val want = sortedRows(
+        graft.operators.BehaviorQueries.funnelStages(spark, dir).collect())
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming window join == batch twin") {
     val stream = EventStream.windowJoin(EventStream.readStream(spark, dir))
     val q = stream.writeStream.format("memory").queryName("twin_wjoin")
