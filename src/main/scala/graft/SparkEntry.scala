@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AnnIvf, AnnLsh, AsofJoin, BehaviorQueries,
   CurationQueries, DecisionSupportQueries, DedupQueries, DynamicRules,
   EventQueries, MediaPipeline, RelationalQueries, SemDedup,
-  SimilarityQueries, SubqueryQueries, TextQueries}
+  SimilarityQueries, SketchQueries, SubqueryQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,7 @@ object SparkEntry {
       SubqueryQueries.queries ++
       DecisionSupportQueries.queries ++
       BehaviorQueries.queries ++
+      SketchQueries.queries ++
       CurationQueries.queries ++
       SemDedup.queries
 
@@ -51,6 +52,7 @@ object SparkEntry {
       SubqueryQueries.oracles ++
       DecisionSupportQueries.oracles ++
       BehaviorQueries.oracles ++
+      SketchQueries.oracles ++
       CurationQueries.oracles ++
       SemDedup.oracles
 }
