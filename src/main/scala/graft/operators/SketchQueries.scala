@@ -77,9 +77,81 @@ object SketchQueries {
       |WHERE est >= 500
       |ORDER BY est DESC, word""".stripMargin
 
+  private val K = 3 // bloom hash functions
+  private val M = 1024 // bloom bits
+
+  private def bloomBit(j: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"b$j:"), key.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % M
+
+  private def bloomBits(key: Column): Column =
+    explode(array((0 until K).map(j => bloomBit(j, key)): _*))
+
+  /** Bloom-filter join prefilter: the build side ('red%' parts)
+    * becomes a k=3, m=1024-bit filter — at 100 TB you broadcast those
+    * m bits to prefilter the fact scan instead of shuffling every
+    * fact row to a semi join; only the (few, bounded-rate) false
+    * positives reach the exact join. Expressed declaratively: the
+    * distinct set-bit table is broadcast, a probe row passes when all
+    * k of its bits are present. The md5-derived bits make the FALSE
+    * POSITIVE COUNT itself deterministic and oracle-checked — the
+    * quantity that decides whether a bloom prefilter is worth it. */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val build = Tables.part(s, dir).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val bits = build.select(bloomBits(col("p_partkey")).as("bit")).distinct()
+    val probe = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    // distinct bits per row: two of a row's k positions can collide,
+    // so membership is "every DISTINCT bit set", not "k hits"
+    val probeBits = probe
+      .select(col("l_orderkey"), col("l_linenumber"),
+        bloomBits(col("l_partkey")).as("bit"))
+      .distinct()
+    val pass = probeBits
+      .join(broadcast(bits.withColumn("set", lit(1))), Seq("bit"), "left_outer")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("nb"), sum(coalesce(col("set"), lit(0))).as("mb"))
+      .filter(col("mb") === col("nb"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("bloom_candidates").as("metric"), col("n"))
+    val exact = probe
+      .join(broadcast(build), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("true_matches").as("metric"), col("n"))
+    pass.union(exact).orderBy(col("metric"))
+  }
+
+  val bloomPrefilterSql: String =
+    """WITH build AS (
+      |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    CAST(('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS bit
+      |  FROM build, range(3) r(j)),
+      |probe_bits AS (
+      |  SELECT DISTINCT l_orderkey, l_linenumber,
+      |    CAST(('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS bit
+      |  FROM lineitem, range(3) r(j)),
+      |pass AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT l_orderkey, l_linenumber
+      |    FROM probe_bits p LEFT OUTER JOIN (SELECT bit, 1 AS set_ FROM bits) b USING (bit)
+      |    GROUP BY l_orderkey, l_linenumber
+      |    HAVING COUNT(*) = SUM(COALESCE(set_, 0)))),
+      |exact AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM build))
+      |SELECT 'bloom_candidates' AS metric, n FROM pass
+      |UNION ALL SELECT 'true_matches' AS metric, n FROM exact
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t_cms_heavy_hitters" -> (cmsHeavyHitters _))
+    "t_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "join_bloom_prefilter" -> (bloomPrefilter _))
 
   val oracles: Map[String, String] = Map(
-    "t_cms_heavy_hitters" -> cmsHeavyHittersSql)
+    "t_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "join_bloom_prefilter" -> bloomPrefilterSql)
 }
