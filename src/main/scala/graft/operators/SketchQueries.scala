@@ -78,7 +78,7 @@ object SketchQueries {
       |ORDER BY est DESC, word""".stripMargin
 
   private val K = 3 // bloom hash functions
-  private val M = 1024 // bloom bits
+  private val M = 4096 // bloom bits (~5 bits/key at sf0.01 ⇒ ~1% FP)
 
   private def bloomBit(j: Int, key: Column): Column =
     conv(substring(md5(concat(lit(s"b$j:"), key.cast("string"))
@@ -88,31 +88,35 @@ object SketchQueries {
     explode(array((0 until K).map(j => bloomBit(j, key)): _*))
 
   /** Bloom-filter join prefilter: the build side ('red%' parts)
-    * becomes a k=3, m=1024-bit filter — at 100 TB you broadcast those
-    * m bits to prefilter the fact scan instead of shuffling every
-    * fact row to a semi join; only the (few, bounded-rate) false
-    * positives reach the exact join. Expressed declaratively: the
-    * distinct set-bit table is broadcast, a probe row passes when all
-    * k of its bits are present. The md5-derived bits make the FALSE
+    * becomes a k=3, m=4096-bit filter — at 100 TB you broadcast those
+    * m bits (64 longs here) to prefilter the fact scan instead of
+    * shuffling every fact row to a semi join; only the (few,
+    * bounded-rate) false positives reach the exact join. The probe is
+    * a ZERO-SHUFFLE map-side filter: each of a row's k bit positions
+    * is a constant-time test against the bitmask literal, inside
+    * whole-stage codegen. The md5-derived bits make the FALSE
     * POSITIVE COUNT itself deterministic and oracle-checked — the
     * quantity that decides whether a bloom prefilter is worth it. */
   def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val build = Tables.part(s, dir).filter(col("p_name").like("red%"))
       .select(col("p_partkey"))
-    val bits = build.select(bloomBits(col("p_partkey")).as("bit")).distinct()
-    val probe = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    // distinct bits per row: two of a row's k positions can collide,
-    // so membership is "every DISTINCT bit set", not "k hits"
-    val probeBits = probe
-      .select(col("l_orderkey"), col("l_linenumber"),
-        bloomBits(col("l_partkey")).as("bit"))
-      .distinct()
-    val pass = probeBits
-      .join(broadcast(bits.withColumn("set", lit(1))), Seq("bit"), "left_outer")
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(count(lit(1)).as("nb"), sum(coalesce(col("set"), lit(0))).as("mb"))
-      .filter(col("mb") === col("nb"))
+    // build = bounded dimension side; materializing its m/64 mask
+    // words on the driver IS the bloom build (what Spark's own
+    // runtime bloom join does before broadcasting)
+    val mask = new Array[Long](M / 64)
+    build.select(bloomBits(col("p_partkey")).as("bit")).distinct()
+      .as[Long].collect()
+      .foreach(b => mask(b.toInt / 64) |= (1L << (b.toInt % 64)))
+    val maskLit = typedLit(mask.toSeq)
+    def member(bit: Column): Column =
+      call_function("shiftright",
+        element_at(maskLit, (bit / 64).cast("int") + 1),
+        (bit % 64).cast("int")).bitwiseAND(lit(1L)) === 1
+    val probe = Tables.lineitem(s, dir).select(col("l_partkey"))
+    val pass = probe
+      .filter((0 until K).map(j => member(bloomBit(j, col("l_partkey"))))
+        .reduce(_ && _))
       .agg(count(lit(1)).as("n"))
       .select(lit("bloom_candidates").as("metric"), col("n"))
     val exact = probe
@@ -128,18 +132,13 @@ object SketchQueries {
       |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
       |bits AS (
       |  SELECT DISTINCT
-      |    CAST(('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS bit
+      |    CAST(('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bit
       |  FROM build, range(3) r(j)),
-      |probe_bits AS (
-      |  SELECT DISTINCT l_orderkey, l_linenumber,
-      |    CAST(('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS bit
-      |  FROM lineitem, range(3) r(j)),
       |pass AS (
-      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-      |    SELECT l_orderkey, l_linenumber
-      |    FROM probe_bits p LEFT OUTER JOIN (SELECT bit, 1 AS set_ FROM bits) b USING (bit)
-      |    GROUP BY l_orderkey, l_linenumber
-      |    HAVING COUNT(*) = SUM(COALESCE(set_, 0)))),
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+      |  WHERE CAST(('0x' || substr(md5('b0:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)
+      |    AND CAST(('0x' || substr(md5('b1:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)
+      |    AND CAST(('0x' || substr(md5('b2:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)),
       |exact AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
       |  WHERE l_partkey IN (SELECT p_partkey FROM build))
