@@ -120,11 +120,55 @@ object BehaviorQueries {
       |FROM a GROUP BY cohort, day_offset
       |ORDER BY cohort, day_offset""".stripMargin
 
+  /** 3-sigma outlier detection per event type: population moments in
+    * EXACT decimal (Σv, Σv² never see float rounding), converted to
+    * mean/std at the double edge — sqrt and division are correctly
+    * rounded IEEE ops, so the boundary `value > mean + 3σ` lands
+    * identically in every engine and even this float-thresholded
+    * operator hash-matches. Stats are 5 rows ⇒ broadcast back onto
+    * the scan; one aggregation shuffle total. */
+  def anomalies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    val v = col("value").cast(dec)
+    val st = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s0"), sum(v * v).as("s2"))
+    val mean = col("s0").cast("double") / col("n")
+    val m = st.select(col("event_type"), mean.as("mean"),
+      sqrt(col("s2").cast("double") / col("n") - mean * mean).as("std"))
+    Tables.events(s, dir)
+      .join(broadcast(m), Seq("event_type"))
+      .filter(col("value") > col("mean") + lit(3) * col("std"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("std")).as("deviation"))
+      .orderBy(col("event_id"))
+  }
+
+  val anomaliesSql: String =
+    """WITH st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS s0,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(s0 AS DOUBLE) / n AS mean,
+      |    sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s0 AS DOUBLE) / n) * (CAST(s0 AS DOUBLE) / n)) AS std
+      |  FROM st)
+      |SELECT event_id, e.event_type, value,
+      |  (value - mean) / std AS deviation
+      |FROM events e JOIN m ON m.event_type = e.event_type
+      |WHERE value > mean + 3 * std
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_funnel" -> (funnel _),
-    "e_cohort_retention" -> (cohortRetention _))
+    "e_cohort_retention" -> (cohortRetention _),
+    "e_anomaly" -> (anomalies _))
 
   val oracles: Map[String, String] = Map(
     "e_funnel" -> funnelSql,
-    "e_cohort_retention" -> cohortRetentionSql)
+    "e_cohort_retention" -> cohortRetentionSql,
+    "e_anomaly" -> anomaliesSql)
 }
