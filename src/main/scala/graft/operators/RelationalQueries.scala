@@ -240,6 +240,37 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** Arbitrary GROUPING SETS through the engine's SQL front door:
+    * entered as ANSI SQL over registered views, compiling to the same
+    * Catalyst Expand-based single-pass plan the DataFrame
+    * rollup/cube forms produce. The two single-column sets and the
+    * pair are disjoint under the COALESCE('ALL') labeling, so the
+    * output keys stay unique and NULL-ordering differences between
+    * engines never arise. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(o_orderpriority, 'ALL') AS prio,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority),
+        (l_returnflag), (o_orderpriority))
+      ORDER BY rf, prio""")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(o_orderpriority, 'ALL') AS prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority),
+      |  (l_returnflag), (o_orderpriority))
+      |ORDER BY rf, prio""".stripMargin
+
   /** Distinct aggregation: exact distinct parts/suppliers per flag. */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -460,6 +491,7 @@ object RelationalQueries {
     "window_top_orders" -> (windowTopOrders _),
     "window_running_sum" -> (windowRunningSum _),
     "rollup_returns" -> (rollupReturns _),
+    "grouping_sets_revenue" -> (groupingSets _),
     "distinct_counts" -> (distinctCounts _),
     "decimal_accumulators" -> (decimalAccumulators _))
 
@@ -480,6 +512,7 @@ object RelationalQueries {
     "window_top_orders" -> windowTopOrdersSql,
     "window_running_sum" -> windowRunningSumSql,
     "rollup_returns" -> rollupReturnsSql,
+    "grouping_sets_revenue" -> groupingSetsSql,
     "distinct_counts" -> distinctCountsSql,
     "decimal_accumulators" -> decimalAccumulatorsSql)
 }
