@@ -92,9 +92,57 @@ object MediaPipeline {
       |  md5(text) AS digest
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** One sampled frame of a payload: the video/audio batch shape is
+    * one input row fanning out to MANY frame rows. */
+  case class MediaFrame(media_id: Long, frame_idx: Long, frame_digest: String)
+
+  /** Fixed-stride frame sampling: every `stride` bytes, take a
+    * `frameLen`-byte window that fits entirely inside the payload and
+    * digest it (a real pipeline would decode + embed the frame; the
+    * digest is the deterministic stub). flatMap inside mapPartitions —
+    * the fan-out happens executor-side, the payload is read once, and
+    * only narrow frame rows leave the operator. */
+  def sampleFrames(media: Dataset[MediaRecord], frameLen: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val n =
+          if (m.payload.length < frameLen) 0
+          else (m.payload.length - frameLen) / stride + 1
+        (0 until n).iterator.map { i =>
+          val frame = java.util.Arrays.copyOfRange(
+            m.payload, i * stride, i * stride + frameLen)
+          md.reset()
+          val hex = md.digest(frame).map("%02x".format(_)).mkString
+          MediaFrame(m.media_id, i.toLong, hex)
+        }
+      }
+    }
+  }
+
+  /** Oracle-checked frame-sampling query (64-byte frames every 128
+    * bytes). The payloads are ASCII text bytes, so DuckDB's character
+    * substr reproduces the byte slices exactly. */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(s, dir), 64, 128)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val mediaFramesSql: String =
+    """SELECT doc_id AS media_id, i AS frame_idx,
+      |  md5(substr(text, CAST(i * 128 + 1 AS INT), 64)) AS frame_digest
+      |FROM documents, range(0, 16) r(i)
+      |WHERE length(text) >= i * 128 + 64
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_features" -> (mediaFeatures _))
+    "media_features" -> (mediaFeatures _),
+    "media_frames" -> (mediaFrames _))
 
   val oracles: Map[String, String] = Map(
-    "media_features" -> mediaFeaturesSql)
+    "media_features" -> mediaFeaturesSql,
+    "media_frames" -> mediaFramesSql)
 }
