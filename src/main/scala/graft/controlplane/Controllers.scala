@@ -100,6 +100,48 @@ final class ScalingController(operator: String,
   }
 }
 
+/** Metric-triggered change-of-logic — the FraudDetectionController
+  * (reference udm/FraudDetectionController.java:103-189: swaps the
+  * detection function live when observed load indicates an attack;
+  * the reference's submit-source-code path maps to the name→factory
+  * UdfRegistry, the documented deviation). Escalates the operator to
+  * `escalatedUdf` once when rows/batch cross the trigger, and drops
+  * back to `baseUdf` after `cooldownBatches` consecutive quiet
+  * batches — each transition a full prepare→sync→update→resume
+  * reconfiguration with state preserved. */
+final class FraudDetectionController(operator: String,
+    triggerRowsPerBatch: Long, baseUdf: String, escalatedUdf: String,
+    cooldownBatches: Int = 3)
+  extends Controller {
+  val name = "fraud-detection"
+  private var escalated = false
+  private var quiet = 0
+
+  def onBatch(executor: ReconfigurationExecutor, batchId: Long,
+      rowsPerKeygroup: Map[Int, Long]): Option[ReconfigReport] = {
+    val total = rowsPerKeygroup.values.sum
+    if (!escalated && total >= triggerRowsPerBatch) {
+      escalated = true
+      quiet = 0
+      executor.assignExecutionLogic(operator, escalatedUdf)
+      Some(executor.execute(
+        s"$name@batch$batchId escalate to $escalatedUdf ($total rows)"))
+    } else if (escalated && total < triggerRowsPerBatch) {
+      quiet += 1
+      if (quiet >= cooldownBatches) {
+        escalated = false
+        quiet = 0
+        executor.assignExecutionLogic(operator, baseUdf)
+        Some(executor.execute(
+          s"$name@batch$batchId de-escalate to $baseUdf"))
+      } else None
+    } else {
+      quiet = 0
+      None
+    }
+  }
+}
+
 /** The StreamSwitch policy: a rate/utilization model deciding between
   * migration, scale-out, and scale-in each metrics interval.
   *

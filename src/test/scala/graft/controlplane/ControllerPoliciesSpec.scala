@@ -111,6 +111,29 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     assert(ex.plan.operators("op").parallelism === 2)
   }
 
+  test("fraud-detection controller escalates logic on load spike, " +
+    "de-escalates after cooldown") {
+    val ex = new FakeExecutor(2)
+    val ctl = new FraudDetectionController("op",
+      triggerRowsPerBatch = 1000, baseUdf = "countV1",
+      escalatedUdf = "strictV2", cooldownBatches = 2)
+    // below trigger: nothing
+    assert(ctl.onBatch(ex, 1, Map(0 -> 500L)).isEmpty)
+    // spike: escalate exactly once
+    assert(ctl.onBatch(ex, 2, Map(0 -> 1500L)).isDefined)
+    assert(ex.plan.operators("op").udfName === "strictV2")
+    assert(ctl.onBatch(ex, 3, Map(0 -> 2000L)).isEmpty)
+    // one quiet batch: still escalated (cooldown not reached)
+    assert(ctl.onBatch(ex, 4, Map(0 -> 100L)).isEmpty)
+    assert(ex.plan.operators("op").udfName === "strictV2")
+    // a new spike resets the cooldown counter
+    assert(ctl.onBatch(ex, 5, Map(0 -> 1500L)).isEmpty)
+    assert(ctl.onBatch(ex, 6, Map(0 -> 100L)).isEmpty)
+    // second consecutive quiet batch: de-escalate
+    assert(ctl.onBatch(ex, 7, Map(0 -> 100L)).isDefined)
+    assert(ex.plan.operators("op").udfName === "countV1")
+  }
+
   test("scaling controller scales out on high load, in on low") {
     val ex = new FakeExecutor(2)
     val ctl = new ScalingController("op",
