@@ -222,6 +222,36 @@ object RelationalQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** LAG over an ordered daily series — day-over-day revenue delta
+    * (the offset-window family: lag/lead). Daily totals accumulate in
+    * exact DECIMAL and the delta is a DECIMAL subtraction before the
+    * double edge, so the offset arithmetic is engine-exact; the first
+    * day's delta is NULL in both engines. The unpartitioned window
+    * runs on the ALREADY-AGGREGATED daily frame (one row per day —
+    * bounded by the calendar, not the data), so its single-partition
+    * execution is a few thousand rows at any corpus scale. */
+  def windowDodDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev_dec"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("delta_dec", col("rev_dec") - lag(col("rev_dec"), 1).over(w))
+      .select(col("day"), col("rev_dec").cast("double").as("revenue"),
+        col("delta_dec").cast("double").as("dod_delta"))
+      .orderBy(col("day"))
+  }
+
+  val windowDodDeltaSql: String =
+    """WITH daily AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM orders GROUP BY day)
+      |SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(rev_dec - LAG(rev_dec, 1) OVER (ORDER BY day) AS DOUBLE) AS dod_delta
+      |FROM daily ORDER BY day""".stripMargin
+
   /** ROLLUP aggregate — multi-level grouping in one pass. */
   def rollupReturns(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -492,6 +522,7 @@ object RelationalQueries {
     "window_running_sum" -> (windowRunningSum _),
     "rollup_returns" -> (rollupReturns _),
     "grouping_sets_revenue" -> (groupingSets _),
+    "window_dod_delta" -> (windowDodDelta _),
     "distinct_counts" -> (distinctCounts _),
     "decimal_accumulators" -> (decimalAccumulators _))
 
@@ -513,6 +544,7 @@ object RelationalQueries {
     "window_running_sum" -> windowRunningSumSql,
     "rollup_returns" -> rollupReturnsSql,
     "grouping_sets_revenue" -> groupingSetsSql,
+    "window_dod_delta" -> windowDodDeltaSql,
     "distinct_counts" -> distinctCountsSql,
     "decimal_accumulators" -> decimalAccumulatorsSql)
 }
