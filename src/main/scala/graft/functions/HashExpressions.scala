@@ -4,10 +4,11 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels behind the native hash expressions. Each is one
@@ -164,10 +165,22 @@ object HashImpl {
 
 /** Base for the unary kernel-backed expressions: ARRAY<LONG> result,
   * null-safe, codegen = a single static call (stays inside the
-  * surrounding whole-stage-codegen span).
+  * surrounding whole-stage-codegen span). Declares its input type so a
+  * wrong-typed argument from `spark.sql` (these are registered as SQL
+  * functions) fails at ANALYSIS time with a datatype-mismatch message
+  * instead of a ClassCastException inside the kernel.
   */
 abstract class HashKernelExpression extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  /** Element type of the required ARRAY input. */
+  protected def inputElementType: DataType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et == inputElementType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<${inputElementType.simpleString}> input, " +
+        s"got ${other.simpleString}")
+  }
   /** Java source of the static call, given the evaluated child. */
   protected def kernelCall(ctx: CodegenContext, childVar: String): String
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -178,6 +191,7 @@ abstract class HashKernelExpression extends UnaryExpression {
 /** 64-bit SimHash [hi, lo] of a token array — see [[HashImpl.simhash64]]. */
 case class SimHash64(child: Expression) extends HashKernelExpression {
   override def prettyName: String = "simhash64"
+  override protected def inputElementType: DataType = StringType
   override def nullSafeEval(toks: Any): Any =
     HashImpl.simhash64(toks.asInstanceOf[ArrayData])
   override protected def kernelCall(ctx: CodegenContext, c: String): String =
@@ -189,6 +203,7 @@ case class SimHash64(child: Expression) extends HashKernelExpression {
 /** Sorted distinct 60-bit md5 shingle keys — [[HashImpl.shingleHashes]]. */
 case class ShingleHashes(child: Expression, n: Int) extends HashKernelExpression {
   override def prettyName: String = "shingle_hashes"
+  override protected def inputElementType: DataType = StringType
   override def nullSafeEval(toks: Any): Any =
     HashImpl.shingleHashes(toks.asInstanceOf[ArrayData], n)
   override protected def kernelCall(ctx: CodegenContext, c: String): String =
@@ -201,6 +216,7 @@ case class ShingleHashes(child: Expression, n: Int) extends HashKernelExpression
 case class MinHashSig(child: Expression, numHashes: Int)
   extends HashKernelExpression {
   override def prettyName: String = "minhash_sig"
+  override protected def inputElementType: DataType = LongType
   override def nullSafeEval(khs: Any): Any =
     HashImpl.minhashSig(khs.asInstanceOf[ArrayData], numHashes)
   override protected def kernelCall(ctx: CodegenContext, c: String): String =
@@ -218,6 +234,7 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int)
   extends HashKernelExpression {
   @transient private lazy val planes = graft.operators.AnnLsh.hyperplanes(tables, bits)
   override def prettyName: String = "lsh_buckets"
+  override protected def inputElementType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =
     HashImpl.lshBuckets(v.asInstanceOf[ArrayData], planes)
   override protected def kernelCall(ctx: CodegenContext, c: String): String = {

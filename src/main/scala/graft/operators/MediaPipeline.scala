@@ -131,11 +131,20 @@ object MediaPipeline {
       .toDF()
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** The per-row `unnest(range(...))` bound is the SAME frame-count
+    * formula the operator computes (`(len - 64) / 128 + 1`, zero for
+    * payloads shorter than a frame) — no hard cap, so the oracle
+    * agrees with the operator for arbitrarily long payloads. The CASE
+    * mirrors the Scala guard exactly because DuckDB's `//` truncates
+    * toward zero rather than flooring. */
   val mediaFramesSql: String =
-    """SELECT doc_id AS media_id, i AS frame_idx,
+    """SELECT media_id, i AS frame_idx,
       |  md5(substr(text, CAST(i * 128 + 1 AS INT), 64)) AS frame_digest
-      |FROM documents, range(0, 16) r(i)
-      |WHERE length(text) >= i * 128 + 64
+      |FROM (
+      |  SELECT doc_id AS media_id, text,
+      |    unnest(range(0, CASE WHEN length(text) < 64 THEN 0
+      |                         ELSE (length(text) - 64) // 128 + 1 END)) AS i
+      |  FROM documents)
       |ORDER BY media_id, frame_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -35,23 +35,36 @@ object SketchQueries {
     * threshold next to its exact count (the sketch-then-exact-verify
     * composition a production pipeline runs — the exact pass touches
     * only the sketch's survivors). Overestimates from bucket
-    * collisions are part of the contract and of the oracle. */
+    * collisions are part of the contract and of the oracle.
+    *
+    * The plan realizes the sketch's promise: pass 1 is the
+    * fixed-256-cell shuffle; the materialized cells (bounded at d·w
+    * rows by construction) become an array literal, so the survivor
+    * test `min_j cells[j][b_j(word)] >= 500` is a ZERO-SHUFFLE
+    * map-side filter on the occurrence stream, and the only
+    * vocab-keyed aggregation that runs is the exact count over the
+    * few surviving words. No full-vocabulary shuffle anywhere. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val w = Tables.documents(s, dir)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-    val cells = w.select(cellsOf(col("word")).as("c"))
+    // the sketch itself: d*w = 256 cells, indexed j*W + b
+    val cellArr = new Array[Long](D * W)
+    w.select(cellsOf(col("word")).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
-    val vocabBuckets = w.distinct()
-      .select(col("word"), cellsOf(col("word")).as("c"))
-      .select(col("word"), col("c.j").as("j"), col("c.b").as("b"))
-    val est = vocabBuckets.join(broadcast(cells), Seq("j", "b"))
-      .groupBy(col("word")).agg(min(col("cnt")).as("est"))
-    val truth = w.groupBy(col("word")).agg(count(lit(1)).as("true_n"))
-    est.join(truth, Seq("word"))
-      .filter(col("est") >= 500)
-      .select(col("word"), col("est"), col("true_n"))
+      .as[(Int, Long, Long)].collect()
+      .foreach { case (j, b, cnt) => cellArr(j * W + b.toInt) = cnt }
+    val cellsLit = typedLit(cellArr.toSeq)
+    def estOf(word: Column): Column = least((0 until D).map(j =>
+      element_at(cellsLit,
+        (lit(j * W) + bucket(j, word)).cast("int") + 1)): _*)
+    // exact pass touches only the sketch's survivors: map-side filter
+    // on occurrences, then a survivor-only aggregation
+    w.filter(estOf(col("word")) >= 500)
+      .groupBy(col("word")).agg(count(lit(1)).as("true_n"))
+      .select(col("word"), estOf(col("word")).as("est"), col("true_n"))
       .orderBy(col("est").desc, col("word"))
   }
 
@@ -80,12 +93,20 @@ object SketchQueries {
   private val K = 3 // bloom hash functions
   private val M = 4096 // bloom bits (~5 bits/key at sf0.01 ⇒ ~1% FP)
 
-  private def bloomBit(j: Int, key: Column): Column =
-    conv(substring(md5(concat(lit(s"b$j:"), key.cast("string"))
-      .cast("binary")), 1, 8), 16, 10).cast("long") % M
+  /** k=3 bit positions sliced from ONE md5 per key (hex windows
+    * 1-8 / 9-16 / 17-24): same determinism and independence as three
+    * salted digests at a third of the hash cost — md5 dominates the
+    * probe, so this matters on the fact-scan side. */
+  private def bloomHash(key: Column): Column =
+    md5(concat(lit("b:"), key.cast("string")).cast("binary"))
 
-  private def bloomBits(key: Column): Column =
-    explode(array((0 until K).map(j => bloomBit(j, key)): _*))
+  private def bloomBit(j: Int, hash: Column): Column =
+    conv(substring(hash, 1 + 8 * j, 8), 16, 10).cast("long") % M
+
+  private def bloomBits(key: Column): Column = {
+    val h = bloomHash(key)
+    explode(array((0 until K).map(j => bloomBit(j, h)): _*))
+  }
 
   /** Bloom-filter join prefilter: the build side ('red%' parts)
     * becomes a k=3, m=4096-bit filter — at 100 TB you broadcast those
@@ -114,8 +135,11 @@ object SketchQueries {
         element_at(maskLit, (bit / 64).cast("int") + 1),
         (bit % 64).cast("int")).bitwiseAND(lit(1L)) === 1
     val probe = Tables.lineitem(s, dir).select(col("l_partkey"))
+    // one md5 per probe row; codegen CSEs the shared `h` across the
+    // three window slices
     val pass = probe
-      .filter((0 until K).map(j => member(bloomBit(j, col("l_partkey"))))
+      .withColumn("h", bloomHash(col("l_partkey")))
+      .filter((0 until K).map(j => member(bloomBit(j, col("h"))))
         .reduce(_ && _))
       .agg(count(lit(1)).as("n"))
       .select(lit("bloom_candidates").as("metric"), col("n"))
@@ -132,13 +156,15 @@ object SketchQueries {
       |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
       |bits AS (
       |  SELECT DISTINCT
-      |    CAST(('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bit
+      |    CAST(('0x' || substr(md5('b:' || CAST(p_partkey AS VARCHAR)), 1 + 8 * j, 8)) AS BIGINT) % 4096 AS bit
       |  FROM build, range(3) r(j)),
+      |probe AS (
+      |  SELECT md5('b:' || CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
       |pass AS (
-      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
-      |  WHERE CAST(('0x' || substr(md5('b0:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)
-      |    AND CAST(('0x' || substr(md5('b1:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)
-      |    AND CAST(('0x' || substr(md5('b2:' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)),
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probe
+      |  WHERE CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)
+      |    AND CAST(('0x' || substr(h, 9, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)
+      |    AND CAST(('0x' || substr(h, 17, 8)) AS BIGINT) % 4096 IN (SELECT bit FROM bits)),
       |exact AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
       |  WHERE l_partkey IN (SELECT p_partkey FROM build))

@@ -25,10 +25,16 @@ object SkewTools {
     * key's build rows), it only controls placement. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val p = probe.withColumn("__salt",
+    // pick an internal column name neither side already carries — a
+    // fixed name would silently overwrite (then drop) caller data
+    val taken = (probe.columns ++ build.columns).toSet
+    val salt = Iterator.from(0)
+      .map(i => if (i == 0) "__salt" else s"__salt$i")
+      .find(!taken.contains(_)).get
+    val p = probe.withColumn(salt,
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
-    val b = build.withColumn("__salt",
+    val b = build.withColumn(salt,
       explode(array((0 until salts).map(lit): _*)))
-    p.join(b, Seq(key, "__salt")).drop("__salt")
+    p.join(b, Seq(key, salt)).drop(salt)
   }
 }

@@ -25,18 +25,13 @@ object DedupStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** File-replay stream of the documents table (same staging trick as
-    * [[EventStream.readStream]]). */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val stage = Files.createTempDirectory("graft-docs-replay")
-    Files.createSymbolicLink(stage.resolve("documents.parquet"),
-      Paths.get(s"$dir/documents.parquet"))
+  /** File-replay stream of the documents table (staged via
+    * [[ReplayStaging]], cleaned up at JVM shutdown). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
-  }
+      .parquet(ReplayStaging.stage(s"$dir/documents.parquet"))
 
   /** One row per distinct content digest, first arrival wins.
     * Unbounded state — exact over all time. */

@@ -27,16 +27,10 @@ object EventStream {
     * stock/sources/SSERealRateSourceFunctionKV.java:14-100). */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file streaming source requires a directory; stage the single
-    // table file behind a symlink in a temp dir.
-    import java.nio.file.{Files, Paths}
-    val stage = Files.createTempDirectory("graft-events-replay")
-    Files.createSymbolicLink(stage.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
     spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
+      .parquet(ReplayStaging.stage(s"$dir/events.parquet"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

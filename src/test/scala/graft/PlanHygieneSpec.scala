@@ -82,6 +82,31 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  /** The CMS promise is a FIXED-SIZE shuffle: after the 256-cell
+    * sketch materializes as an array literal, the survivor test is a
+    * map-side filter and the only per-word aggregation runs over
+    * survivors. A join anywhere in the plan would mean the
+    * full-vocabulary truth pass crept back in. */
+  test("cms heavy hitters plans no vocabulary-scale join") {
+    val p = plan(graft.operators.SketchQueries
+      .cmsHeavyHitters(spark, dir))
+    assert(!p.contains("Join"), p)
+  }
+
+  /** The bloom probe must stay a zero-shuffle map-side filter: one
+    * md5 per probe row sliced into three bit windows, tested against
+    * the broadcast bitmask literal. The only join allowed is the
+    * broadcast semi join of the exact branch. */
+  test("bloom prefilter probes with a single shared md5, no shuffle join") {
+    val p = plan(graft.operators.SketchQueries
+      .bloomPrefilter(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // all three bit tests slice the SAME digest — exactly one distinct
+    // md5 call site in the probe filter
+    val md5Args = "md5\\([^)]*\\)".r.findAllIn(p).toSet
+    assert(md5Args.size <= 1, s"probe hashes more than once: $md5Args\n$p")
+  }
+
   test("filter pushdown applies to the events replay path too") {
     val p = plan(EventQueries.e2Filter(spark, dir))
     assert(p.contains("PushedFilters: ["), p)

@@ -29,6 +29,21 @@ class SkewToolsSpec extends AnyFunSuite {
         Seq("k", "v", "name", "count"), "left_anti").isEmpty)
   }
 
+  test("caller columns named __salt survive the join untouched") {
+    import spark.implicits._
+    // a probe that already carries __salt data must not be clobbered
+    val probe = spark.range(100)
+      .select((col("id") % 10).as("k"), col("id").as("v"),
+        concat(lit("user_"), col("id")).as("__salt"))
+    val build = spark.range(10)
+      .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+    val out = SkewTools.saltedJoin(probe, build, "k", 4)
+    assert(out.columns.contains("__salt"))
+    assert(out.filter(col("__salt") =!= concat(lit("user_"), col("v")))
+      .isEmpty)
+    assert(out.count() === 100)
+  }
+
   test("hot key rows spread across salt buckets") {
     import spark.implicits._
     val probe = spark.range(50000).select(lit(0L).as("k"), col("id").as("v"))

@@ -38,6 +38,24 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(viaCols.getDouble(4) === 11.0)
   }
 
+  test("wrong-typed input fails at analysis time, not inside the kernel") {
+    HashExpressions.registerAll(spark)
+    // a bare string (not ARRAY<STRING>) must produce a clear
+    // datatype-mismatch analysis error, not a runtime ClassCastException
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT simhash64('abc')").head
+    }
+    assert(e1.getMessage.contains("ARRAY<string>"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a','b'), 4)").head
+    }
+    assert(e2.getMessage.contains("ARRAY<bigint>"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT lsh_buckets(array('a'), 2, 4)").head
+    }
+    assert(e3.getMessage.contains("ARRAY<double>"), e3.getMessage)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     HashExpressions.registerAll(spark)
     val e = intercept[Exception] {
