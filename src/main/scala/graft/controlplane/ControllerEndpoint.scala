@@ -10,13 +10,24 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * rest/handler/job/RegisterStreamManagerControllerHandler.java:52-110,
   * served on port 8520 per readme.md:46-48).
   *
-  * `POST /jobs/controller` with a registered controller name activates
-  * that controller for the loop; `GET /jobs/plan` returns the current
-  * plan. The reference additionally compiles controller *source code*
-  * submitted over REST (ByteClassLoader); here controllers come from a
-  * name→factory registry — runtime Scala compilation is deliberately
-  * out of scope (feature-flagged in the reference too, and a remote
-  * code-execution surface).
+  * Routes:
+  *  - `POST /jobs/controller` (body = registered name): activate a
+  *    pre-compiled controller from the name→factory registry;
+  *  - `POST /jobs/controller/source` (body = name on the first line,
+  *    Scala source of a Controller expression after it): compile the
+  *    source via [[DynamicCompiler]] and activate the result — the
+  *    reference's submit-source path (its SubmitControllerRequestBody
+  *    carries controllerID + class name + source file the same way);
+  *  - `POST /jobs/udf/source` (body = name ⏎ source of a
+  *    `(String, Long, Long) => Long`): compile and register count
+  *    logic in [[UdfRegistry]] so `assignExecutionLogic` can swap the
+  *    running query to it (StreamManager.registerFunctionClass →
+  *    changeOfLogic in the reference);
+  *  - `GET /jobs/controller` / `GET /jobs/plan`: inspection.
+  *
+  * Source routes are feature-flagged by [[DynamicCompiler.enabled]]
+  * (403 when off) — compiling POSTed source is a remote-code-execution
+  * surface.
   */
 final class ControllerEndpoint(
     executor: ReconfigurationExecutor,
@@ -35,8 +46,64 @@ final class ControllerEndpoint(
     os.write(bytes); os.close()
   }
 
+  /** Body protocol of the source routes: first line = name, rest =
+    * Scala source (the reference's controllerID + classFile pair). */
+  private def nameAndSource(body: String): (String, String) = {
+    val i = body.indexOf('\n')
+    if (i < 0) (body.trim, "") else (body.take(i).trim, body.drop(i + 1))
+  }
+
+  private def handleSource(ex: HttpExchange)(
+      compile: (String, String) => String): Unit = {
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, """{"error":"method not allowed"}"""); return
+    }
+    if (!DynamicCompiler.enabled) {
+      respond(ex, 403,
+        s"""{"error":"dynamic compilation disabled; set -D${DynamicCompiler.FlagKey}=true"}""")
+      return
+    }
+    val (name, source) = nameAndSource(new String(
+      ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    if (name.isEmpty || source.trim.isEmpty) {
+      respond(ex, 400, """{"error":"body = name on first line, Scala source after"}""")
+      return
+    }
+    try respond(ex, 200, compile(name, source))
+    catch {
+      case e: DynamicCompiler.CompileException =>
+        respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/jobs/controller/source", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        handleSource(ex) { (name, source) =>
+          val c = DynamicCompiler.compileController(source)
+          activeController = Some(c)
+          s"""{"compiled":"$name","controller":"${c.name}"}"""
+        }
+    })
+    server.createContext("/jobs/udf/source", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        handleSource(ex) { (name, source) =>
+          DynamicCompiler.compileAndRegisterCountLogic(name, source)
+          s"""{"registered":"$name"}"""
+        }
+    })
     server.createContext("/jobs/controller", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = ex.getRequestMethod match {
         case "POST" =>

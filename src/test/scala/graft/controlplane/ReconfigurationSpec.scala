@@ -146,6 +146,64 @@ class ReconfigurationSpec extends AnyFunSuite {
     assert(finalCounts === (0 until 10).map(k => s"A$k" -> 6L).toMap)
   }
 
+  /** The reference's full submit-source story
+    * (udm/FraudDetectionController.java:155-190 POSTs Java source,
+    * StreamManager.java:973-996 compiles it, changeOfLogic swaps the
+    * running operator): Scala source for a V2 logic goes in over REST,
+    * the FraudDetectionController escalates the LIVE count stream to
+    * the freshly-compiled logic, and per-key state survives the swap. */
+  test("source-compiled logic hot-swaps into the running stream via controller") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    sys.props(DynamicCompiler.FlagKey) = "true"
+    val checkpointRoot = Files.createTempDirectory("reconfig-src").toString
+    var stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "src_sink", initialParallelism = 2)
+    val endpoint = new ControllerEndpoint(rq, Map.empty, port = 0)
+    val port = endpoint.start()
+    try {
+      // submit V2 source over REST — compiled + registered, not pre-built
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:$port/jobs/udf/source").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        ("countV2Compiled\n" +
+          "(key: String, prev: Long, n: Long) => prev + 2 * n")
+          .getBytes("UTF-8"))
+      assert(conn.getResponseCode === 200)
+      assert(UdfRegistry.names.contains("countV2Compiled"))
+
+      rq.start()
+      stream.addData(tuples(0 until 4, 2): _*) // counts = 2 under countV1
+      rq.processAllAvailable()
+
+      // the fraud controller sees a hot batch and escalates to the
+      // compiled logic (trigger = 5 rows/batch; 8 rows arrived)
+      val controller = new FraudDetectionController(rq.OperatorName,
+        triggerRowsPerBatch = 5L, baseUdf = "countV1",
+        escalatedUdf = "countV2Compiled")
+      stream = MemoryStream[KeyedTuple]
+      val report = controller.onBatch(rq, 1L,
+        Map(0 -> 8L)) // observed per-keygroup rows from the hot batch
+      assert(report.isDefined)
+      assert(rq.getPlan.operators(rq.OperatorName).udfName === "countV2Compiled")
+
+      // counts continue from 2 and now advance by 2 per event
+      stream.addData(tuples(0 until 4, 1): _*)
+      rq.processAllAvailable()
+      val finalCounts = spark.table("src_sink").as[KeyedTuple]
+        .collect().groupBy(_.key).map { case (k, v) => k -> v.map(_.value).max }
+      assert(finalCounts === (0 until 4).map(k => s"A$k" -> 4L).toMap)
+    } finally {
+      endpoint.stop()
+      rq.stop()
+      sys.props.remove(DynamicCompiler.FlagKey)
+    }
+  }
+
   test("scripted TestingController triggers at the right batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
