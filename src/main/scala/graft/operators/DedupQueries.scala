@@ -276,6 +276,10 @@ object DedupQueries {
 
   /** Test hook: run a CC path directly over an arbitrary (id1, id2)
     * pair DataFrame (DedupClustersSpec's random-graph agreement). */
+  /** Rounds taken by the most recent star-contraction run — test
+    * observability for the O(log n) convergence claim. */
+  @volatile private[graft] var lastStarRounds: Int = -1
+
   private[graft] def ccForTest(s: SparkSession, pairDf: DataFrame,
       local: Boolean): DataFrame = {
     import s.implicits._
@@ -562,6 +566,7 @@ object DedupQueries {
       throw new IllegalStateException(
         s"simhashClusters: star contraction not converged after " +
           s"$maxRounds rounds; raise spark.graft.cc.maxRounds")
+    lastStarRounds = rounds
     // converged star forest: (node → component min) for every non-root;
     // roots label themselves
     val roots = edges.map(_._2).distinct(nParts).map(r => (r, r))

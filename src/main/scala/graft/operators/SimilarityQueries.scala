@@ -116,9 +116,23 @@ object SimilarityQueries {
       |WHERE rn = 1 ORDER BY qid""".stripMargin
 
   /** Embedding near-duplicate pairs: cosine ≥ 0.9 over all pairs.
-    * (Batch-exact form; the LSH-bucketed variant is the scale path.) */
+    *
+    * DELIBERATELY O(n²) — this is the exact/oracle form for query-set-
+    * sized inputs and the ground truth the LSH sibling
+    * ([[graft.operators.AnnLsh.nearDupLsh]]) is checked against. It
+    * REFUSES corpus-scale inputs: above
+    * `spark.graft.bruteforce.maxRows` (default 20k ≈ 2·10⁸ candidate
+    * pairs) it throws and points at the bucketed scale path instead of
+    * silently planning an all-pairs join over a corpus. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(s, dir)
+    val cap = s.conf.get("spark.graft.bruteforce.maxRows", "20000").toLong
+    val n = emb.count()
+    require(n <= cap,
+      s"embeddingNearDup is the exact all-pairs form ($n rows > cap $cap " +
+        s"=> ~${n * n / 2} candidate pairs); use the LSH-bucketed scale " +
+        "path (sim_near_dup_lsh / AnnLsh.nearDupLsh) for corpus-scale " +
+        "inputs, or raise spark.graft.bruteforce.maxRows")
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))

@@ -35,6 +35,28 @@ class DedupClustersSpec extends AnyFunSuite {
     } finally spark.conf.unset(thresholdKey)
   }
 
+  /** The selling point of large/small-star over min-label propagation
+    * is O(log n) rounds on HIGH-DIAMETER graphs — propagation needs
+    * O(diameter) rounds, which on a 100k-node path is 100k shuffles.
+    * Prove the claim: one path graph, convergence in ≲ 20 rounds, and
+    * the same labeling union-find produces. */
+  test("100k-node path graph: star contraction converges in O(log n) rounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val n = 100000
+    // path 0-1-2-...-(n-1): a single component rooted at 0, diameter n
+    val pairDf = spark.range(n - 1)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val got = DedupQueries.ccForTest(spark, pairDf, local = false)
+      .as[(Long, Long)].collect()
+    assert(DedupQueries.lastStarRounds > 0)
+    assert(DedupQueries.lastStarRounds <= 20,
+      s"took ${DedupQueries.lastStarRounds} rounds on a 100k path " +
+        "(propagation-like behavior — O(log n) contraction is broken)")
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L), "every node must label to the min id 0")
+  }
+
   test("star contraction labels random graphs like union-find") {
     import spark.implicits._
     val rng = new scala.util.Random(20260812L)
