@@ -122,7 +122,18 @@ trait ReconfigurationExecutor {
   *        (ReconfigurationCoordinator.java:628-795) and this class's
   *        legacy O(total state) read-and-refeed. Unset = legacy mode:
   *        state partitions follow parallelism and a rescale must
-  *        re-feed state. */
+  *        re-feed state.
+  * @param fileSinkDir PRODUCTION sink: when set, each micro-batch's
+  *        updates append to parquet under this directory (stamped with
+  *        the batch id) as a fully DISTRIBUTED executor-side write —
+  *        no driver collect, no O(total rows) view rebuild — under the
+  *        same checkpoint-resume contract as the default sink. Readers
+  *        take the row with the highest (batch_id, value) per key;
+  *        foreachBatch is at-least-once on resume, and a replayed
+  *        batch rewrites identical rows, so the last-writer-wins read
+  *        is unaffected. Unset = the driver-side row-log + temp-view
+  *        sink (a test/debug harness: it exists to mimic
+  *        `format("memory")` while surviving checkpoint recovery). */
 final class ReconfigurableCountQuery(
     spark: SparkSession,
     sourceFactory: () => Dataset[KeyedTuple],
@@ -132,7 +143,8 @@ final class ReconfigurableCountQuery(
     initialParallelism: Int = 4,
     reuseCheckpointOnRemap: Boolean = false,
     observePlacement: Boolean = false,
-    statePartitions: Option[Int] = None)
+    statePartitions: Option[Int] = None,
+    fileSinkDir: Option[String] = None)
   extends ReconfigurationExecutor {
 
   import spark.implicits._
@@ -227,23 +239,33 @@ final class ReconfigurableCountQuery(
         grouped.flatMapGroupsWithState(
           OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
     }
-    // foreachBatch-backed sink (not format("memory")): it mimics the
-    // memory sink's `spark.table(sinkTable)` interface while ALSO
-    // supporting checkpoint recovery, which the routing-only fast path
-    // needs (the memory sink refuses to resume a checkpoint)
-    val (table, key) = (sinkTable, sinkKey)
-    val outer = spark // foreachBatch hands a cloned session; register
-    // the view on the pipeline's own session so tests/readers see it
-    query = stream.writeStream
+    // foreachBatch-backed sinks (not format("memory") / format
+    // ("parquet")): both support checkpoint recovery, which the
+    // routing-only fast path needs (the memory sink refuses to resume
+    // a checkpoint, and the native file sink refuses update mode)
+    val writer = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir(generation))
-      .foreachBatch { (ds: Dataset[KeyedTuple], _: Long) =>
-        ReconfigurableCountQuery.appendToSink(key, ds.collect())
-        outer.createDataFrame(ReconfigurableCountQuery.sinkRows(key))
-          .createOrReplaceTempView(table)
-        ()
-      }
-      .start()
+    query = fileSinkDir match {
+      case Some(dir) =>
+        // production path: distributed executor-side append, nothing
+        // through the driver
+        writer.foreachBatch { (ds: Dataset[KeyedTuple], batchId: Long) =>
+          ds.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(dir)
+          ()
+        }.start()
+      case None =>
+        val (table, key) = (sinkTable, sinkKey)
+        val outer = spark // foreachBatch hands a cloned session; register
+        // the view on the pipeline's own session so tests/readers see it
+        writer.foreachBatch { (ds: Dataset[KeyedTuple], _: Long) =>
+          ReconfigurableCountQuery.appendToSink(key, ds.collect())
+          outer.createDataFrame(ReconfigurableCountQuery.sinkRows(key))
+            .createOrReplaceTempView(table)
+          ()
+        }.start()
+    }
   }
 
   def processAllAvailable(): Unit = query.processAllAvailable()

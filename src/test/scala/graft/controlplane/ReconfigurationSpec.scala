@@ -146,6 +146,44 @@ class ReconfigurationSpec extends AnyFunSuite {
     assert(finalCounts === (0 until 10).map(k => s"A$k" -> 6L).toMap)
   }
 
+  /** The production sink: distributed parquet append per micro-batch,
+    * nothing through the driver — same checkpoint-resume contract, so
+    * the pinned-layout zero-state-movement path works unchanged.
+    * Readers take the newest (batch_id) row per key. */
+  test("file sink survives pinned-layout rescale with state preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max_by}
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-fs").toString
+    val sinkDir = Files.createTempDirectory("reconfig-fs-out").toString + "/counts"
+    val stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "fs_sink_unused", initialParallelism = 2,
+      reuseCheckpointOnRemap = true, statePartitions = Some(16),
+      fileSinkDir = Some(sinkDir))
+    rq.start()
+
+    stream.addData(tuples(0 until 10, 3): _*)
+    rq.processAllAvailable()
+
+    rq.assignResources(rq.OperatorName, 6)
+    val r = rq.execute("rescale on pinned layout, file sink")
+    assert(!r.phasesMs.contains("updateState"))
+
+    stream.addData(tuples(0 until 10, 2): _*)
+    rq.processAllAvailable()
+    rq.stop()
+
+    // no driver-side row log was created for this pipeline
+    assert(spark.catalog.tableExists("fs_sink_unused") === false)
+    // newest batch per key wins (update-mode log compaction at read)
+    val counts = spark.read.parquet(sinkDir)
+      .groupBy(col("key"))
+      .agg(max_by(col("value"), col("batch_id")).as("value"))
+      .as[(String, Long)].collect().toMap
+    assert(counts === (0 until 10).map(k => s"A$k" -> 5L).toMap)
+  }
+
   /** The reference's full submit-source story
     * (udm/FraudDetectionController.java:155-190 POSTs Java source,
     * StreamManager.java:973-996 compiles it, changeOfLogic swaps the
