@@ -10,9 +10,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    // local profiling knobs (driver passes no args): args(0) = substring
-    // filter on query names, args(1) = repeat count per query
-    val nameFilter = args.headOption.getOrElse("")
+    // local profiling knobs (driver passes no args): args(0) = comma-
+    // separated substring filters on query names ("-" prefix excludes;
+    // no inclusion tokens = include all), args(1) = repeat count
+    val tokens = args.headOption.getOrElse("").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val (excludes, includes) = tokens.partition(_.startsWith("-"))
+    val matches = (name: String) =>
+      (includes.isEmpty || includes.exists(name.contains)) &&
+        !excludes.exists(e => name.contains(e.drop(1)))
     val repeats = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,6 +28,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // size file splits to the box, not the default 128 MB: the test
+      // SFs ship single-digit-MB parquet files, which otherwise scan
+      // as ONE partition and serialize every per-row kernel (md5
+      // probes, shingle hashing) onto one of the 32 cores. At real
+      // scale files outnumber cores and the default is fine — this is
+      // the local[32]-with-small-files sizing the 100 TB deploy would
+      // get from its file count.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -29,7 +44,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.contains(nameFilter))
+      .filter(q => matches(q._1))
       .map { case (name, fn) =>
       var sec = 0.0
       var ok = true

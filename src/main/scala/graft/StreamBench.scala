@@ -12,18 +12,78 @@ import graft.streaming.{Metrics, StatefulOps}
   * 100 s runtime).
   *
   * Drives the payload-state operator from a rate source at the target
-  * rate and reports per-batch throughput (rows/s) and batch duration
-  * from the StreamingQueryListener — the MetricsManager surface.
+  * rate and reports per-batch throughput, batch-duration percentiles,
+  * and END-TO-END latency percentiles (batch completion − max source
+  * timestamp, the reference's sink-side latency-marker metric —
+  * Nexmark DummyLatencyCountingSink.java:30-47, analyzed by
+  * scripts/analysis/performance_analyzer.py:5-42 as a latency curve).
   *
-  * Usage: runMain graft.StreamBench [ratePerSec] [nKeys] [perKeyBytes] [seconds] [outFile]
+  * Usage:
+  *   runMain graft.StreamBench [rate] [nKeys] [perKeyBytes] [seconds] [outFile]
+  *   runMain graft.StreamBench sweep [startRate] [nKeys] [perKeyBytes] [secondsPerStep] [outFile]
+  *
+  * `sweep` doubles the rate until the pipeline saturates (busy
+  * fraction ≥ 0.9 or throughput stops scaling) — the measured ceiling
+  * of the operator on this box.
   */
 object StreamBench {
+
+  case class StepResult(rate: Int, meanRps: Double, batches: Int,
+      totalRows: Long, busyFraction: Double,
+      durP50: Long, durP95: Long, durP99: Long,
+      latP50: Long, latP95: Long, latP99: Long) {
+    def json: String =
+      f"""{"rate":$rate,"rows_per_sec":$meanRps%.0f,"batches":$batches,"total_rows":$totalRows,"busy_fraction":$busyFraction%.2f,"duration_ms":{"p50":$durP50,"p95":$durP95,"p99":$durP99},"latency_ms":{"p50":$latP50,"p95":$latP95,"p99":$latP99}}"""
+  }
+
+  private def pct(xs: Seq[Long], q: Double): Long =
+    if (xs.isEmpty) -1
+    else {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.ceil(q * s.length).toInt - 1).max(0))
+    }
+
+  /** One measured run at a fixed rate (fresh source, fresh listener). */
+  def runOnce(spark: SparkSession, rate: Int, nKeys: Int,
+      perKeyBytes: Int, seconds: Int): StepResult = {
+    import spark.implicits._
+    val collector = new Metrics.ProgressCollector
+    spark.streams.addListener(collector)
+    val raw = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rate)
+      .load()
+    val tuples = Metrics.observeSourceTs(raw, "timestamp")
+      .select(col("value"))
+      .as[Long]
+      .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
+    val t0 = System.nanoTime()
+    val q = StatefulOps.statefulPayload(tuples, perKeyBytes)
+      .writeStream.format("noop").outputMode("update").start()
+    Thread.sleep(seconds * 1000L)
+    q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(collector)
+    val ps = collector.progresses.filter(_.numInputRows > 0)
+    val rps = ps.map(_.processedRowsPerSecond)
+    val durs = ps.map(_.durationMs)
+    val lats = ps.flatMap(_.latencyMs)
+    StepResult(rate,
+      if (rps.nonEmpty) rps.sum / rps.size else 0.0,
+      ps.size, ps.map(_.numInputRows).sum,
+      durs.sum / 1000.0 / wallSec,
+      pct(durs, 0.50), pct(durs, 0.95), pct(durs, 0.99),
+      pct(lats, 0.50), pct(lats, 0.95), pct(lats, 0.99))
+  }
+
   def main(args: Array[String]): Unit = {
-    val rate = args.headOption.map(_.toInt).getOrElse(60000)
-    val nKeys = args.lift(1).map(_.toInt).getOrElse(10000)
-    val perKeyBytes = args.lift(2).map(_.toInt).getOrElse(1024)
-    val seconds = args.lift(3).map(_.toInt).getOrElse(30)
-    val outFile = args.lift(4)
+    val sweep = args.headOption.contains("sweep")
+    val rest = if (sweep) args.drop(1) else args
+    val rate = rest.headOption.map(_.toInt).getOrElse(60000)
+    val nKeys = rest.lift(1).map(_.toInt).getOrElse(10000)
+    val perKeyBytes = rest.lift(2).map(_.toInt).getOrElse(1024)
+    val seconds = rest.lift(3).map(_.toInt).getOrElse(30)
+    val outFile = rest.lift(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -33,30 +93,28 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    val collector = new Metrics.ProgressCollector
-    spark.streams.addListener(collector)
-
-    val tuples = spark.readStream
-      .format("rate")
-      .option("rowsPerSecond", rate)
-      .load()
-      .select(col("value"))
-      .as[Long]
-      .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
-
-    val q = StatefulOps.statefulPayload(tuples, perKeyBytes)
-      .writeStream.format("noop").outputMode("update").start()
-    Thread.sleep(seconds * 1000L)
-    q.stop()
-
-    val ps = collector.progresses.filter(_.numInputRows > 0)
-    val totalRows = ps.map(_.numInputRows).sum
-    val totalSec = ps.map(_.durationMs).sum / 1000.0
-    val rps = ps.map(_.processedRowsPerSecond)
-    val meanRps = if (rps.nonEmpty) rps.sum / rps.size else 0.0
-    val line = f"""{"metric":"stream_rows_per_sec","value":$meanRps%.0f,"unit":"rows/sec","batches":${ps.size},"total_rows":$totalRows,"busy_sec":$totalSec%.1f,"config":{"rate":$rate,"keys":$nKeys,"state_bytes":$perKeyBytes}}"""
+    val line =
+      if (!sweep) {
+        val r = runOnce(spark, rate, nKeys, perKeyBytes, seconds)
+        f"""{"metric":"stream_rows_per_sec","value":${r.meanRps}%.0f,"unit":"rows/sec","batches":${r.batches},"total_rows":${r.totalRows},"busy_fraction":${r.busyFraction}%.2f,"duration_ms":{"p50":${r.durP50},"p95":${r.durP95},"p99":${r.durP99}},"latency_ms":{"p50":${r.latP50},"p95":${r.latP95},"p99":${r.latP99}},"config":{"rate":$rate,"keys":$nKeys,"state_bytes":$perKeyBytes}}"""
+      } else {
+        // double the offered rate until saturation: busy ≥ 0.9, or
+        // throughput gained < 20% of the previous step (plateau)
+        val steps = scala.collection.mutable.ArrayBuffer.empty[StepResult]
+        var r = rate
+        var done = false
+        while (!done && steps.length < 8) {
+          val s = runOnce(spark, r, nKeys, perKeyBytes, seconds)
+          System.err.println(s"[stream-sweep] ${s.json}")
+          done = s.busyFraction >= 0.9 ||
+            steps.lastOption.exists(p => s.meanRps < p.meanRps * 1.2)
+          steps += s
+          r *= 2
+        }
+        val ceiling = steps.map(_.meanRps).max
+        f"""{"metric":"stream_ceiling_rows_per_sec","value":$ceiling%.0f,"unit":"rows/sec","config":{"start_rate":$rate,"keys":$nKeys,"state_bytes":$perKeyBytes,"seconds_per_step":$seconds},"steps":[${steps.map(_.json).mkString(",")}]}"""
+      }
     println(line)
     // persist as a repo artifact so the micro-bench gate is auditable
     outFile.foreach(f => java.nio.file.Files.writeString(

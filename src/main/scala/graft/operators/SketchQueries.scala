@@ -93,20 +93,16 @@ object SketchQueries {
   private val K = 3 // bloom hash functions
   private val M = 4096 // bloom bits (~5 bits/key at sf0.01 ⇒ ~1% FP)
 
-  /** k=3 bit positions sliced from ONE md5 per key (hex windows
-    * 1-8 / 9-16 / 17-24): same determinism and independence as three
-    * salted digests at a third of the hash cost — md5 dominates the
-    * probe, so this matters on the fact-scan side. */
-  private def bloomHash(key: Column): Column =
-    md5(concat(lit("b:"), key.cast("string")).cast("binary"))
-
-  private def bloomBit(j: Int, hash: Column): Column =
-    conv(substring(hash, 1 + 8 * j, 8), 16, 10).cast("long") % M
-
-  private def bloomBits(key: Column): Column = {
-    val h = bloomHash(key)
-    explode(array((0 until K).map(j => bloomBit(j, h)): _*))
-  }
+  /** k=3 bit positions sliced from ONE md5 per key (consecutive
+    * 4-byte digest windows = hex windows 1-8 / 9-16 / 17-24 of the
+    * oracle's `substr(md5(...))` form): same determinism and
+    * independence as three salted digests at a third of the hash
+    * cost. Computed by the native [[graft.functions.HashImpl
+    * .bloomBits]] kernel — the hex-string + radix-parse pipeline it
+    * replaces profiled 3× more expensive than the digest itself. */
+  private def bloomBits(key: Column): Column =
+    graft.functions.HashExpressions.bloomBitPositions(
+      concat(lit("b:"), key.cast("string")), K, M)
 
   /** Bloom-filter join prefilter: the build side ('red%' parts)
     * becomes a k=3, m=4096-bit filter — at 100 TB you broadcast those
@@ -126,7 +122,7 @@ object SketchQueries {
     // words on the driver IS the bloom build (what Spark's own
     // runtime bloom join does before broadcasting)
     val mask = new Array[Long](M / 64)
-    build.select(bloomBits(col("p_partkey")).as("bit")).distinct()
+    build.select(explode(bloomBits(col("p_partkey"))).as("bit")).distinct()
       .as[Long].collect()
       .foreach(b => mask(b.toInt / 64) |= (1L << (b.toInt % 64)))
     val maskLit = typedLit(mask.toSeq)
@@ -134,21 +130,24 @@ object SketchQueries {
       call_function("shiftright",
         element_at(maskLit, (bit / 64).cast("int") + 1),
         (bit % 64).cast("int")).bitwiseAND(lit(1L)) === 1
+    // ONE probe pass computes both counts: the zero-shuffle bloom test
+    // (kernel positions against the mask literal) and the exact ground
+    // truth via the broadcast outer join
     val probe = Tables.lineitem(s, dir).select(col("l_partkey"))
-    // one md5 per probe row; codegen CSEs the shared `h` across the
-    // three window slices
-    val pass = probe
-      .withColumn("h", bloomHash(col("l_partkey")))
-      .filter((0 until K).map(j => member(bloomBit(j, col("h"))))
-        .reduce(_ && _))
-      .agg(count(lit(1)).as("n"))
-      .select(lit("bloom_candidates").as("metric"), col("n"))
-    val exact = probe
+      .withColumn("bits", bloomBits(col("l_partkey")))
+    val inBloom = (0 until K)
+      .map(j => member(element_at(col("bits"), j + 1)))
+      .reduce(_ && _)
+    probe
       .join(broadcast(build), col("l_partkey") === col("p_partkey"),
-        "left_semi")
-      .agg(count(lit(1)).as("n"))
-      .select(lit("true_matches").as("metric"), col("n"))
-    pass.union(exact).orderBy(col("metric"))
+        "left_outer")
+      .agg(
+        count(when(inBloom, 1)).as("bloom_candidates"),
+        count(col("p_partkey")).as("true_matches"))
+      .select(explode(map(
+        lit("bloom_candidates"), col("bloom_candidates"),
+        lit("true_matches"), col("true_matches"))).as(Seq("metric", "n")))
+      .orderBy(col("metric"))
   }
 
   val bloomPrefilterSql: String =

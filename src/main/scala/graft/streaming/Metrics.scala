@@ -25,7 +25,10 @@ object Metrics {
 
   case class BatchProgress(batchId: Long, numInputRows: Long,
       processedRowsPerSecond: Double, durationMs: Long,
-      rowsPerKeygroup: Map[Int, Long] = Map.empty)
+      rowsPerKeygroup: Map[Int, Long] = Map.empty,
+      /** end-to-end latency: batch completion wallclock − max source
+        * event time seen in the batch (needs [[observeSourceTs]]). */
+      latencyMs: Option[Long] = None)
 
   /** Per-keygroup load instrumentation, the analog of the reference's
     * per-key-group rate metrics (KafkaMetricsManager.java:242-250):
@@ -42,6 +45,17 @@ object Metrics {
     }
     df.observe(KeygroupMetricName, counts.head, counts.tail: _*)
   }
+
+  /** Source-timestamp observation for end-to-end latency: the marker
+    * the reference's DummyLatencyCountingSink derives latency from is
+    * the record's ingest time; Spark's rate source stamps rows at
+    * generation, so `batch completion − max(source ts)` at the
+    * listener is the same sink-side latency without touching the
+    * operator under test. */
+  val SourceTsMetricName = "source_ts"
+
+  def observeSourceTs(df: DataFrame, tsCol: String): DataFrame =
+    df.observe(SourceTsMetricName, max(col(tsCol)).as("max_ts"))
 
   /** Collects per-batch progress — the MetricsManager analog. */
   final class ProgressCollector extends StreamingQueryListener {
@@ -63,8 +77,16 @@ object Metrics {
           }.toMap
         case None => Map.empty[Int, Long]
       }
+      val latency = Option(p.observedMetrics.get(SourceTsMetricName))
+        .filter(r => !r.isNullAt(0))
+        .map { r =>
+          val maxTsMs = r.getTimestamp(0).getTime
+          val endMs = java.time.Instant.parse(p.timestamp).toEpochMilli +
+            p.batchDuration
+          endMs - maxTsMs
+        }
       buf.add(BatchProgress(p.batchId, p.numInputRows,
-        p.processedRowsPerSecond, p.batchDuration, kg))
+        p.processedRowsPerSecond, p.batchDuration, kg, latency))
     }
   }
 
