@@ -28,15 +28,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // size file splits to the box, not the default 128 MB: the test
-      // SFs ship single-digit-MB parquet files, which otherwise scan
-      // as ONE partition and serialize every per-row kernel (md5
-      // probes, shingle hashing) onto one of the 32 cores. At real
-      // scale files outnumber cores and the default is fine — this is
-      // the local[32]-with-small-files sizing the 100 TB deploy would
-      // get from its file count.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "512k")
+      // split-size override for local profiling (A/B'd at 4m vs the
+      // 128m default: smaller splits parallelize single-file kernel
+      // scans slightly but cost more on the iterative CC queries, so
+      // the default stands)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

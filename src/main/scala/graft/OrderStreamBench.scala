@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.Order
+import graft.streaming.{Metrics, TransformWithStateOps}
+
+/** Order-stream throughput bench: a rate-source order generator (mixed
+  * buys/sells across a moving price band, continuous-session
+  * timestamps, so the book continuously matches) driving either
+  * matching implementation:
+  *  - `fmgws` — [[graft.operators.OrderBook.streaming]], whole book
+  *    serialized per key per batch;
+  *  - `tws`   — [[TransformWithStateOps.orderBook]], per-price
+  *    MapState (the reference's dual-pool state shape).
+  *
+  * Usage: runMain graft.OrderStreamBench [mode fmgws|tws|both] [rate] [nSecs] [seconds] [outFile]
+  */
+object OrderStreamBench {
+
+  private def orderOf(v: Long, nSecs: Int): Order = {
+    val price = 10000 + (v % 50).toInt - 25
+    Order(orderNo = v.toString, tranMaintCode = "A",
+      lastUpdTime = "09:30:00", orderPriceCents = price,
+      orderExecVol = 0, orderVol = 100,
+      secCode = s"S${v % nSecs}",
+      tradeDir = if ((v / nSecs) % 2 == 0) "B" else "S")
+  }
+
+  private def run(spark: SparkSession, tws: Boolean, rate: Int,
+      nSecs: Int, seconds: Int): String = {
+    import spark.implicits._
+    val collector = new Metrics.ProgressCollector
+    spark.streams.addListener(collector)
+    val orders = spark.readStream
+      .format("rate").option("rowsPerSecond", rate).load()
+      .select(col("value")).as[Long]
+      .map(v => orderOf(v, nSecs))
+    val trades =
+      if (tws) TransformWithStateOps.orderBook(orders)
+      else graft.operators.OrderBook.streaming(orders)
+    val q = trades.writeStream.format("noop").outputMode("append").start()
+    Thread.sleep(seconds * 1000L)
+    q.stop()
+    spark.streams.removeListener(collector)
+    val ps = collector.progresses.filter(_.numInputRows > 0)
+    val rps = ps.map(_.processedRowsPerSecond)
+    val meanRps = if (rps.nonEmpty) rps.sum / rps.size else 0.0
+    val mode = if (tws) "tws" else "fmgws"
+    f"""{"mode":"$mode","orders_per_sec":$meanRps%.0f,"batches":${ps.size},"total_rows":${ps.map(_.numInputRows).sum},"config":{"rate":$rate,"securities":$nSecs}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("both")
+    val rate = args.lift(1).map(_.toInt).getOrElse(60000)
+    val nSecs = args.lift(2).map(_.toInt).getOrElse(1000)
+    val seconds = args.lift(3).map(_.toInt).getOrElse(30)
+    val outFile = args.lift(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config(TransformWithStateOps.RocksDbProvider._1,
+        TransformWithStateOps.RocksDbProvider._2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lines = mode match {
+      case "tws" => Seq(run(spark, tws = true, rate, nSecs, seconds))
+      case "fmgws" => Seq(run(spark, tws = false, rate, nSecs, seconds))
+      case _ => Seq(
+        run(spark, tws = true, rate, nSecs, seconds),
+        run(spark, tws = false, rate, nSecs, seconds))
+    }
+    lines.foreach(println)
+    outFile.foreach(f => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f), lines.mkString("\n") + "\n"))
+    spark.stop()
+  }
+}

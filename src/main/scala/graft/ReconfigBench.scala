@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.controlplane.{KeygroupRouter, ReconfigurableCountQuery}
+import graft.model.KeyedTuple
+
+/** Reconfiguration-cost benchmark — the reference's headline
+  * experiment (reference scripts/trisk_reconfig/micro-bench.sh:100-117:
+  * remap every 10 s while the 60 000 ev/s × 10 000 key workload runs;
+  * completion time decomposed by
+  * util/profiling/ReconfigurationProfiler.java:48-90 into
+  * prepare/sync/update/resume).
+  *
+  * Runs the reconfigurable count pipeline from a rate source and
+  * fires a round-robin remap every `remapSec`, in BOTH layouts:
+  *  - `pinned`  — statePartitions fixed + checkpoint reuse: the
+  *    zero-state-movement fast path (no updateState phase at all);
+  *  - `legacy`  — state follows parallelism: every reconfig re-reads
+  *    the full operator state and re-feeds it (O(total state)).
+  *
+  * Emits one JSON line per mode with per-phase timings PER RECONFIG
+  * (the profiler accumulates, so successive reports are diffed) and
+  * the sustained input rate around the reconfigs.
+  *
+  * Usage: runMain graft.ReconfigBench [mode] [rate] [nKeys] [seconds] [remapSec] [outFile]
+  *   mode ∈ pinned | legacy | both (default both)
+  */
+object ReconfigBench {
+
+  private def runMode(spark: SparkSession, pinned: Boolean, rate: Int,
+      nKeys: Int, seconds: Int, remapSec: Int): String = {
+    import spark.implicits._
+    val checkpointRoot =
+      java.nio.file.Files.createTempDirectory(s"reconfig-bench").toString
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("reconfig-bench-out").toString +
+        "/counts"
+    val mp = 128
+    val sourceFactory = () => spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rate)
+      .load()
+      .select(col("value"))
+      .as[Long]
+      .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
+    val rq = new ReconfigurableCountQuery(spark, sourceFactory,
+      checkpointRoot, s"bench_sink_$pinned", maxParallelism = mp,
+      initialParallelism = 8,
+      reuseCheckpointOnRemap = pinned,
+      statePartitions = if (pinned) Some(32) else None,
+      fileSinkDir = Some(sinkDir))
+    val t0 = System.nanoTime()
+    rq.start()
+    val reports = scala.collection.mutable.ArrayBuffer.empty[
+      (Map[String, Double], Double)]
+    var prevPhases = Map.empty[String, Double]
+    var rotation = 0
+    val deadline = t0 + seconds * 1_000_000_000L
+    while (System.nanoTime() < deadline) {
+      Thread.sleep(remapSec * 1000L)
+      if (System.nanoTime() < deadline) {
+        rotation += 1
+        val p = rq.getPlan.operators(rq.OperatorName).parallelism
+        val assign = (0 until mp).map(kg => (kg + rotation) % p).toVector
+        rq.assignWorkload(rq.OperatorName, assign)
+        val tR = System.nanoTime()
+        val r = rq.execute(s"periodic remap #$rotation")
+        val wallMs = (System.nanoTime() - tR) / 1e6
+        // profiler accumulates across reconfigs — diff to per-call
+        val delta = r.phasesMs.map { case (k, v) =>
+          k -> (v - prevPhases.getOrElse(k, 0.0)) }
+        prevPhases = r.phasesMs
+        reports += ((delta, wallMs))
+      }
+    }
+    rq.processAllAvailable()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    rq.stop()
+    // sustained throughput: last value per key in the file sink is the
+    // total per-key count => sum = total rows processed
+    val totalRows = spark.read.parquet(sinkDir)
+      .groupBy(col("key"))
+      .agg(max_by(col("value"), col("batch_id")).as("value"))
+      .agg(sum(col("value"))).collect()(0).getLong(0)
+    val mode = if (pinned) "pinned" else "legacy"
+    val phaseNames = reports.flatMap(_._1.keys).distinct.sorted
+    val phaseJson = phaseNames.map { ph =>
+      val xs = reports.map(_._1.getOrElse(ph, 0.0))
+      f""""$ph":{"mean_ms":${xs.sum / xs.size}%.0f,"max_ms":${xs.max}%.0f}"""
+    }.mkString("{", ",", "}")
+    val wallXs = reports.map(_._2)
+    f"""{"mode":"$mode","reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":{"mean":${wallXs.sum / wallXs.size}%.0f,"max":${wallXs.max}%.0f},"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("both")
+    val rate = args.lift(1).map(_.toInt).getOrElse(60000)
+    val nKeys = args.lift(2).map(_.toInt).getOrElse(10000)
+    val seconds = args.lift(3).map(_.toInt).getOrElse(45)
+    val remapSec = args.lift(4).map(_.toInt).getOrElse(10)
+    val outFile = args.lift(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lines = mode match {
+      case "pinned" => Seq(runMode(spark, pinned = true, rate, nKeys, seconds, remapSec))
+      case "legacy" => Seq(runMode(spark, pinned = false, rate, nKeys, seconds, remapSec))
+      case _ => Seq(
+        runMode(spark, pinned = true, rate, nKeys, seconds, remapSec),
+        runMode(spark, pinned = false, rate, nKeys, seconds, remapSec))
+    }
+    lines.foreach(println)
+    outFile.foreach(f => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f), lines.mkString("\n") + "\n"))
+    spark.stop()
+  }
+}

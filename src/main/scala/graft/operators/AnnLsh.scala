@@ -97,14 +97,31 @@ object AnnLsh {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Occupancy-bounded signature width: bits must grow with
+    * log₂(corpus) or bucket occupancy — and with it the candidate
+    * count — grows linearly and the pair join quadratically (measured
+    * 36× on 10× data at fixed 6 bits). `max(6, ⌈log₂(n/32)⌉)` keeps
+    * mean occupancy ≈ 32 per (table, bucket); 6 remains the floor, so
+    * every corpus up to 2048 vectors (all oracle-gated SFs) hashes
+    * exactly as the static DuckDB oracle does. Override:
+    * `spark.graft.lsh.bits`. */
+  private def bitsFor(s: SparkSession, n: Long): Int =
+    s.conf.getOption("spark.graft.lsh.bits").map(_.toInt).getOrElse(
+      math.max(6, math.ceil(
+        math.log(math.max(1L, n) / 32.0) / math.log(2)).toInt))
+
   /** Embedding near-dup pairs via LSH buckets — the scale path for the
     * pairs shape (the brute-force all-pairs form is the test oracle
     * only). Candidates share ≥1 (table, bucket); survivors are exactly
     * verified with cosine ≥ threshold. Plan: equi-join on the compact
-    * (table, bucket) key — no BroadcastNestedLoopJoin, no O(n²). */
+    * (table, bucket) key — no BroadcastNestedLoopJoin, no O(n²);
+    * signature width auto-scales with corpus size ([[bitsFor]]). */
   def nearDupLsh(s: SparkSession, dir: String, threshold: Double = 0.4,
-      tables: Int = 16, bits: Int = 6): DataFrame = {
-    val b = bucketed(s, dir, tables, bits).cache()
+      tables: Int = 16, bits: Int = -1): DataFrame = {
+    val width =
+      if (bits > 0) bits
+      else bitsFor(s, Tables.embeddings(s, dir).count())
+    val b = bucketed(s, dir, tables, width).cache()
     val cand = b.as("a")
       .join(b.as("b"),
         col("a.table") === col("b.table") &&

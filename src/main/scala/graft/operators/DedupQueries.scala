@@ -297,11 +297,19 @@ object DedupQueries {
     // sides of the band self-join. Harness-scoped: Bench/Verify clear
     // the cache after each query materializes.
     val sig = sig64(s, dir).cache()
+    // 4 blocks × 16 bits: pigeonhole-complete for hamming ≤ 3 (three
+    // flips can dirty at most 3 of the 4 blocks, so every qualifying
+    // pair collides on ≥1 clean block) — same guarantee the previous
+    // 8×8 banding gave for ≤7, but each band now has 65536 values
+    // instead of 256, which keeps bucket occupancy (and the candidate
+    // count) LINEAR in corpus size: at 50k docs the 8-bit bands
+    // averaged ~200 docs/bucket and the candidate set grew
+    // quadratically (measured 13× on 10× data before this change)
     val bands = sig.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-      explode(array((0 until 8).map { b =>
-        val half = if (b < 4) col("simhash_hi") else col("simhash_lo")
+      explode(array((0 until 4).map { b =>
+        val half = if (b < 2) col("simhash_hi") else col("simhash_lo")
         struct(lit(b).as("band"),
-          shiftright(half, 8 * (b % 4)).bitwiseAND(255).as("block"))
+          shiftright(half, 16 * (b % 2)).bitwiseAND(65535).as("block"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
         col("bb.band").as("band"), col("bb.block").as("block"))

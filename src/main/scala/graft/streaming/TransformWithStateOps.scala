@@ -1,10 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
-import graft.model.KeyedTuple
+import graft.model.{KeyedTuple, Order, Trade}
 
 /** Operators on Spark 4's `transformWithState` API — the direct
   * analog of the reference's RichFunction/ProcessFunction surface (typed
@@ -44,6 +44,145 @@ object TransformWithStateOps {
     tuples.groupByKey(_.key)
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** One price level of one book side: the FIFO queue of resting
+    * orders (MapState value; a bare List needs no product encoder). */
+  case class PriceLevel(orders: List[Order])
+
+  /** The MatchMaker on `transformWithState`: the reference keeps TWO
+    * `MapState<price, pool>` per security (pendingBuyPool /
+    * pendingSellPool, InAppStatefulStockExchange.java:99-133) so an
+    * order only touches its own price level's state. The
+    * flatMapGroupsWithState form ([[graft.operators.OrderBook
+    * .streaming]]) serializes the WHOLE book per key per batch; here
+    * each side is a named MapState keyed by price in cents, and only
+    * the levels an order inserts into / matches against are written
+    * back — per-price granular updates, the reference's exact state
+    * shape. Matching semantics are identical to
+    * [[graft.operators.OrderBook.OrderBookState]] (same filter, D
+    * delete with price-0 side scan, pre-open book build, best-crossing
+    * FIFO fills priced at the resting order).
+    */
+  final class OrderBookProcessor
+    extends StatefulProcessor[String, Order, Trade] {
+    @transient private var buyPool: MapState[Int, PriceLevel] = _
+    @transient private var sellPool: MapState[Int, PriceLevel] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buyPool = getHandle.getMapState[Int, PriceLevel]("buyPool",
+        Encoders.scalaInt, Encoders.product[PriceLevel], TTLConfig.NONE)
+      sellPool = getHandle.getMapState[Int, PriceLevel]("sellPool",
+        Encoders.scalaInt, Encoders.product[PriceLevel], TTLConfig.NONE)
+    }
+
+    private def side(dir: String): MapState[Int, PriceLevel] =
+      if (dir == "B") buyPool else sellPool
+
+    private def queueAt(s: MapState[Int, PriceLevel], p: Int): List[Order] =
+      if (s.containsKey(p)) s.getValue(p).orders else Nil
+
+    private def putQueue(s: MapState[Int, PriceLevel], p: Int,
+        q: List[Order]): Unit =
+      if (q.isEmpty) s.removeKey(p) else s.updateValue(p, PriceLevel(q))
+
+    private def insert(o: Order): Unit = {
+      val s = side(o.tradeDir)
+      putQueue(s, o.orderPriceCents, queueAt(s, o.orderPriceCents) :+ o)
+    }
+
+    private def removeAt(s: MapState[Int, PriceLevel], price: Int,
+        orderNo: String): Unit = {
+      val q = queueAt(s, price)
+      val i = q.indexWhere(_.orderNo == orderNo)
+      if (i >= 0) putQueue(s, price, q.patch(i, Nil, 1))
+    }
+
+    private def delete(o: Order): Unit = {
+      val s = side(o.tradeDir)
+      removeAt(s, o.orderPriceCents, o.orderNo)
+      // reference falls back to scanning the whole side when the
+      // delete row carries no/odd price (Order_Price 0)
+      if (o.orderPriceCents == 0) {
+        val prices = { // materialize: removeAt mutates under the iterator
+          val b = List.newBuilder[Int]
+          val it = s.keys()
+          while (it.hasNext) b += it.next()
+          b.result()
+        }
+        prices.foreach(p => removeAt(s, p, o.orderNo))
+      }
+    }
+
+    private def bestCrossing(opposite: MapState[Int, PriceLevel],
+        isBuy: Boolean, limit: Int): Option[Int] = {
+      var best = -1
+      val it = opposite.keys()
+      while (it.hasNext) {
+        val p = it.next()
+        if (isBuy) { if (p <= limit && (best < 0 || p < best)) best = p }
+        else if (p >= limit && (best < 0 || p > best)) best = p
+      }
+      if (best < 0) None else Some(best)
+    }
+
+    private def matchOrder(incoming: Order): List[Trade] = {
+      val trades = scala.collection.mutable.ListBuffer.empty[Trade]
+      var remaining = incoming.orderVol - incoming.orderExecVol
+      val isBuy = incoming.tradeDir == "B"
+      val opposite = if (isBuy) sellPool else buyPool
+      val ts = Order.hhmmss(incoming.lastUpdTime)
+      var done = false
+      while (remaining > 0 && !done) {
+        bestCrossing(opposite, isBuy, incoming.orderPriceCents) match {
+          case None => done = true
+          case Some(price) =>
+            val queue = queueAt(opposite, price)
+            val resting = queue.head
+            val restingVol = resting.orderVol - resting.orderExecVol
+            val vol = math.min(remaining, restingVol)
+            trades += Trade(incoming.secCode,
+              buyNo = if (isBuy) incoming.orderNo else resting.orderNo,
+              sellNo = if (isBuy) resting.orderNo else incoming.orderNo,
+              priceCents = price, volume = vol, tsHHMMSS = ts)
+            remaining -= vol
+            putQueue(opposite, price,
+              if (vol == restingVol) queue.tail
+              else resting.copy(orderExecVol = resting.orderExecVol + vol) ::
+                queue.tail)
+        }
+      }
+      if (remaining > 0)
+        insert(incoming.copy(orderExecVol = incoming.orderVol - remaining))
+      trades.toList
+    }
+
+    private def process(o: Order): List[Trade] = o.tranMaintCode match {
+      case "X" | "" => Nil
+      case "D" => delete(o); Nil
+      case _ =>
+        if (Order.hhmmss(o.lastUpdTime) < Order.ContinuousOpenHHMMSS) {
+          insert(o); Nil
+        } else matchOrder(o)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Order],
+        timerValues: TimerValues): Iterator[Trade] = {
+      val sorted = rows.toSeq.sortBy(o =>
+        (Order.hhmmss(o.lastUpdTime), o.orderNo.length, o.orderNo))
+      sorted.flatMap(process).iterator
+    }
+  }
+
+  /** Streaming order-book matching on the TWS MapState form. */
+  def orderBook(orders: Dataset[Order]): Dataset[Trade] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .filter(o => o.tranMaintCode != "X" && o.tranMaintCode.nonEmpty)
+      .groupByKey(_.secCode)
+      .transformWithState(new OrderBookProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Spark conf required by transformWithState. */

@@ -53,6 +53,40 @@ class OrderBookStreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  /** The transformWithState port (per-price MapState, the reference's
+    * exact dual-pool state shape) must produce the identical trade
+    * stream. */
+  test("TWS MapState order book over file replay == batch twin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orders-tws").toString
+    OrderReplaySource.writeSyntheticOrders(s"$dir/orders.txt",
+      Seq("S1", "S2", "S3"), ordersPerSec = 120)
+
+    val batchTrades = OrderBook
+      .batch(OrderReplaySource.readFile(spark, s"$dir/orders.txt"))
+      .collect().sortBy(t => (t.secCode, t.tsHHMMSS, t.buyNo, t.sellNo))
+    assert(batchTrades.nonEmpty, "fixture produced no trades")
+
+    val (k, v) = graft.streaming.TransformWithStateOps.RocksDbProvider
+    val previous = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try {
+      val stream = graft.streaming.TransformWithStateOps.orderBook(
+        OrderReplaySource.readStream(spark, dir))
+      val q = stream.writeStream.format("memory").queryName("ob_tws")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val twsTrades = spark.table("ob_tws").as[Trade]
+          .collect().sortBy(t => (t.secCode, t.tsHHMMSS, t.buyNo, t.sellNo))
+        assert(twsTrades.toSeq === batchTrades.toSeq)
+      } finally q.stop()
+    } finally previous match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("streaming order book over file replay == batch twin") {
     val dir = Files.createTempDirectory("orders").toString
     OrderReplaySource.writeSyntheticOrders(s"$dir/orders.txt",
