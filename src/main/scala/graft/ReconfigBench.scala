@@ -50,7 +50,8 @@ object ReconfigBench {
       initialParallelism = 8,
       reuseCheckpointOnRemap = pinned,
       statePartitions = if (pinned) Some(32) else None,
-      fileSinkDir = Some(sinkDir))
+      fileSinkDir = Some(sinkDir),
+      drainOnSync = false) // rate source never drains; stop() is the barrier
     val t0 = System.nanoTime()
     rq.start()
     val reports = scala.collection.mutable.ArrayBuffer.empty[
@@ -75,7 +76,7 @@ object ReconfigBench {
         reports += ((delta, wallMs))
       }
     }
-    rq.processAllAvailable()
+    Thread.sleep(2000) // let the final generation commit some batches
     val wallSec = (System.nanoTime() - t0) / 1e9
     rq.stop()
     // sustained throughput: last value per key in the file sink is the

@@ -144,7 +144,16 @@ final class ReconfigurableCountQuery(
     reuseCheckpointOnRemap: Boolean = false,
     observePlacement: Boolean = false,
     statePartitions: Option[Int] = None,
-    fileSinkDir: Option[String] = None)
+    fileSinkDir: Option[String] = None,
+    /** Synchronize-phase barrier: `true` (default, test sources)
+      * drains every available batch before stopping —
+      * `processAllAvailable` never returns against a continuously
+      * generating source (rate, live Kafka), so continuous pipelines
+      * set `false`: stop() alone IS the sync barrier there, because
+      * the in-flight batch is uncommitted and replays from the
+      * checkpoint after resume (at-least-once, same guarantee the
+      * sinks already handle). */
+    drainOnSync: Boolean = true)
   extends ReconfigurationExecutor {
 
   import spark.implicits._
@@ -309,7 +318,7 @@ final class ReconfigurableCountQuery(
         (s.parallelism == p.parallelism && s.udfName == p.udfName))
     }
     profiler.time("synchronize") {
-      query.processAllAvailable() // drain in-flight batch = sync barrier
+      if (drainOnSync) query.processAllAvailable() // drain = sync barrier
       query.stop()
     }
     if (!routingOnly) {
