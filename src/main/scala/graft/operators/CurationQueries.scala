@@ -115,6 +115,106 @@ object CurationQueries {
       |WHERE rn <= 5
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Sequence packing — the training-batch construction step: fill
+    * fixed token-budget bins (512 here) with documents, greedy
+    * contiguous fill in (token count desc, doc_id) order, packed PER
+    * SOURCE. A doc's bin is its running-sum start offset divided by
+    * the budget, so assignment is one window over (source) — the
+    * partitioned-window shape that parallelizes by stratum at corpus
+    * scale (a global FFD order would need a single-partition window).
+    * Long docs straddle bin boundaries; the trainer's example-packing
+    * handles the split, this operator decides placement. Output is the
+    * per-bin summary (docs, tokens, fill ratio vs budget). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val packSequencesSql: String =
+    """SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+      |        ORDER BY n_tokens DESC, doc_id) - n_tokens) / 512) AS BIGINT) AS bin
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |    FROM documents))
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
+  /** Mixture rebalancing — domain reweighting at the corpus level:
+    * given target mixture shares per source (share_i ∝ i+1 over the
+    * src0..srcN fixture sources) and a global budget of HALF the
+    * corpus tokens, compute each source's keep-rate
+    * `min(1, budget·share/tokens)` and apply it with the
+    * deterministic md5-fraction coin every sampling operator here
+    * uses. Up- and down-weighted sources both appear (high-index
+    * sources keep everything, low-index ones are thinned). Plan: one
+    * per-source aggregate (tiny) broadcast back over the corpus —
+    * the scan stays narrow, decisions are per-row. */
+  def mixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        // src7 -> index 7; fraction coin in [0, 1) from md5 of doc_id
+        substring(col("source"), 4, 10).cast("int").as("src_idx"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long") % 1000000L).as("coin"))
+    val per = toks.groupBy(col("source"), col("src_idx"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = per.agg(sum(col("src_tokens")).as("total_tokens"),
+      sum(col("src_idx") + 1).as("share_denom"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("keep_rate",
+        least(lit(1.0), (col("total_tokens") * 0.5) *
+          ((col("src_idx") + 1) / col("share_denom")) / col("src_tokens")))
+    toks.join(broadcast(rates.select(col("source"), col("keep_rate"))),
+        Seq("source"))
+      .withColumn("kept", col("coin") < col("keep_rate") * 1000000L)
+      .groupBy(col("source"))
+      .agg(round(first(col("keep_rate")), 6).as("keep_rate"),
+        count(when(col("kept"), 1)).as("docs_kept"),
+        sum(when(col("kept"), col("n_tokens"))).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureRebalanceSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(substr(source, 4) AS INT) AS src_idx,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS coin
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, src_idx, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      |  FROM toks GROUP BY source, src_idx),
+      |tot AS (
+      |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(src_idx + 1) AS BIGINT) AS share_denom FROM per),
+      |rates AS (
+      |  SELECT source,
+      |    LEAST(1.0, (total_tokens * 0.5) * ((src_idx + 1) / CAST(share_denom AS DOUBLE)) / src_tokens) AS keep_rate
+      |  FROM per, tot)
+      |SELECT t.source, ROUND(ANY_VALUE(r.keep_rate), 6) AS keep_rate,
+      |  CAST(COUNT(CASE WHEN t.coin < r.keep_rate * 1000000 THEN 1 END) AS BIGINT) AS docs_kept,
+      |  CAST(SUM(CASE WHEN t.coin < r.keep_rate * 1000000 THEN t.n_tokens END) AS BIGINT) AS tokens_kept
+      |FROM toks t JOIN rates r ON r.source = t.source
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+
   /** Repetition-based quality signal (the Gopher/C4 rule family):
     * share of the document's word bigrams taken by its single most
     * frequent bigram — high values mark boilerplate/looping text.
@@ -292,7 +392,9 @@ object CurationQueries {
     "s_sample_hash" -> (sampleHash _),
     "s_sample_stratified" -> (sampleStratified _),
     "t_repetition" -> (repetition _),
-    "t_length_percentiles" -> (lengthPercentiles _))
+    "t_length_percentiles" -> (lengthPercentiles _),
+    "t_pack_sequences" -> (packSequences _),
+    "t_mixture_rebalance" -> (mixtureRebalance _))
 
   val oracles: Map[String, String] = Map(
     "t_quality_buckets" -> qualityBucketsSql,
@@ -301,5 +403,7 @@ object CurationQueries {
     "s_sample_hash" -> sampleHashSql,
     "s_sample_stratified" -> sampleStratifiedSql,
     "t_repetition" -> repetitionSql,
-    "t_length_percentiles" -> lengthPercentilesSql)
+    "t_length_percentiles" -> lengthPercentilesSql,
+    "t_pack_sequences" -> packSequencesSql,
+    "t_mixture_rebalance" -> mixtureRebalanceSql)
 }
