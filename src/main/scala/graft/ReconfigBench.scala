@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.controlplane.{KeygroupRouter, ReconfigurableCountQuery}
+import graft.controlplane.{ControlLoop, KeygroupRouter,
+  ReconfigurableCountQuery, StreamSwitchController}
 import graft.model.KeyedTuple
+import graft.streaming.Metrics
 
 /** Reconfiguration-cost benchmark — the reference's headline
   * experiment (reference scripts/trisk_reconfig/micro-bench.sh:100-117:
@@ -95,6 +97,53 @@ object ReconfigBench {
     f"""{"mode":"$mode","reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":{"mean":${wallXs.sum / wallXs.size}%.0f,"max":${wallXs.max}%.0f},"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
   }
 
+  /** The CLOSED StreamSwitch loop under live load: per-batch observed
+    * keygroup rates feed the λ/μ policy, whose decisions drive REAL
+    * reconfigurations of the running query (the reference's
+    * metrics → StreamSwitch → reconfiguration cycle,
+    * StreamSwitch.java:110-154 — here exercised live, not from
+    * recorded rates). μ is set BELOW offered/parallelism so the
+    * policy must scale out step by step until utilization clears the
+    * target: 60k ev/s at μ=5k/task and target 0.8 stabilizes at
+    * p ≥ 15. */
+  private def runStreamSwitch(spark: SparkSession, rate: Int, nKeys: Int,
+      seconds: Int, tickSec: Int): String = {
+    import spark.implicits._
+    val checkpointRoot =
+      java.nio.file.Files.createTempDirectory("reconfig-ss").toString
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("reconfig-ss-out").toString +
+        "/counts"
+    val mp = 128
+    val sourceFactory = () => spark.readStream
+      .format("rate").option("rowsPerSecond", rate).load()
+      .select(col("value")).as[Long]
+      .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
+    val rq = new ReconfigurableCountQuery(spark, sourceFactory,
+      checkpointRoot, "ss_sink", maxParallelism = mp,
+      initialParallelism = 8, reuseCheckpointOnRemap = true,
+      statePartitions = Some(32), fileSinkDir = Some(sinkDir),
+      drainOnSync = false)
+    val collector = new Metrics.ProgressCollector
+    spark.streams.addListener(collector)
+    val controller = new StreamSwitchController(rq.OperatorName,
+      serviceRatePerTask = 5000.0, maxParallelism = mp, maxTasks = 32)
+    val loop = new ControlLoop(rq, controller, collector)
+    val t0 = System.nanoTime()
+    rq.start()
+    val deadline = t0 + seconds * 1_000_000_000L
+    while (System.nanoTime() < deadline) {
+      Thread.sleep(tickSec * 1000L)
+      loop.tick()
+    }
+    rq.stop()
+    spark.streams.removeListener(collector)
+    val finalP = rq.getPlan.operators(rq.OperatorName).parallelism
+    val decisions = loop.reports.map(r => "\"" +
+      r.reason.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    f"""{"mode":"streamswitch","offered_rows_per_sec":$rate,"service_rate_per_task":5000,"initial_parallelism":8,"final_parallelism":$finalP,"decisions":$decisions,"run_sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")
     val rate = args.lift(1).map(_.toInt).getOrElse(60000)
@@ -113,6 +162,8 @@ object ReconfigBench {
     val lines = mode match {
       case "pinned" => Seq(runMode(spark, pinned = true, rate, nKeys, seconds, remapSec))
       case "legacy" => Seq(runMode(spark, pinned = false, rate, nKeys, seconds, remapSec))
+      case "streamswitch" =>
+        Seq(runStreamSwitch(spark, rate, nKeys, seconds, tickSec = 3))
       case _ => Seq(
         runMode(spark, pinned = true, rate, nKeys, seconds, remapSec),
         runMode(spark, pinned = false, rate, nKeys, seconds, remapSec))
