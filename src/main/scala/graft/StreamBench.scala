@@ -53,7 +53,13 @@ object StreamBench {
       .format("rate")
       .option("rowsPerSecond", rate)
       .load()
-    val tuples = Metrics.observeSourceTs(raw, "timestamp")
+    // latency observation costs one max() aggregation per batch; A/B'd
+    // as negligible, but the toggle keeps the pure-throughput form
+    // measurable (SPARK_GRAFT_NO_LATENCY=1)
+    val observed =
+      if (sys.env.contains("SPARK_GRAFT_NO_LATENCY")) raw
+      else Metrics.observeSourceTs(raw, "timestamp")
+    val tuples = observed
       .select(col("value"))
       .as[Long]
       .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
