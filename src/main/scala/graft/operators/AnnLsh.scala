@@ -105,7 +105,7 @@ object AnnLsh {
     * every corpus up to 2048 vectors (all oracle-gated SFs) hashes
     * exactly as the static DuckDB oracle does. Override:
     * `spark.graft.lsh.bits`. */
-  private def bitsFor(s: SparkSession, n: Long): Int =
+  private[graft] def bitsFor(s: SparkSession, n: Long): Int =
     s.conf.getOption("spark.graft.lsh.bits").map(_.toInt).getOrElse(
       math.max(6, math.ceil(
         math.log(math.max(1L, n) / 32.0) / math.log(2)).toInt))

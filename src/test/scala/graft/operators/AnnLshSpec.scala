@@ -28,6 +28,42 @@ class AnnLshSpec extends AnyFunSuite {
     assert(scoredPerQuery <= total.toDouble)
   }
 
+  /** The multi-probe claim: with a QUARTER of the index (4 tables vs
+    * 16), probing 1-bit-flip neighbors must keep recall in the same
+    * band as the single-probe form — and strictly beat single-probe
+    * at the same 4 tables. */
+  test("multi-probe at 4 tables matches 16-table single-probe recall") {
+    val exact = SimilarityQueries.cosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) =
+      (exact & rows.map(r => (r.getLong(0), r.getLong(2))).toSet)
+        .size.toDouble / exact.size
+    val single16 = recallOf(AnnLsh.annTopK(spark, dir).collect())
+    val single4 = recallOf(
+      AnnLsh.annTopK(spark, dir, tables = 4).collect())
+    val multi4 = recallOf(AnnLsh.annMultiProbe(spark, dir).collect())
+    assert(multi4 >= single4,
+      s"multi-probe ($multi4) should not lose to single-probe at the " +
+        s"same 4 tables ($single4)")
+    assert(multi4 >= single16 - 0.1,
+      s"multi-probe at 4 tables ($multi4) fell out of the 16-table " +
+        s"single-probe band ($single16)")
+  }
+
+  /** The occupancy-bounded width that keeps the near-dup bucket join
+    * linear in corpus size: 6-bit floor through 2048 vectors (every
+    * oracle-gated SF), then +1 bit per doubling. */
+  test("LSH signature width scales with log2 of the corpus") {
+    assert(AnnLsh.bitsFor(spark, 500) === 6)
+    assert(AnnLsh.bitsFor(spark, 2000) === 6)
+    assert(AnnLsh.bitsFor(spark, 2048) === 6)
+    assert(AnnLsh.bitsFor(spark, 20000) === 10)
+    assert(AnnLsh.bitsFor(spark, 2000000) === 16)
+    spark.conf.set("spark.graft.lsh.bits", "12")
+    try assert(AnnLsh.bitsFor(spark, 500) === 12)
+    finally spark.conf.unset("spark.graft.lsh.bits")
+  }
+
   test("ann ranks candidates by exact cosine") {
     val rows = AnnLsh.annTopK(spark, dir).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
