@@ -44,6 +44,42 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(out.count() === 100)
   }
 
+  /** The OTHER half of the skew story: when the join IS
+    * AQE-splittable, Spark's runtime re-plan must handle the hot key
+    * without manual salting — this pins the claim that saltedJoin is
+    * only for the non-splittable/known-skew cases. Thresholds are
+    * lowered so the test fixture's hot partition qualifies. */
+  test("AQE splits the skewed partition of a sort-merge join") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0 dominates the probe; one build row per key keeps the
+      // join output collectable
+      val probe = spark.range(200000)
+        .select(when(col("id") < 150000, 0L).otherwise(col("id") % 1000)
+          .as("k"), concat(lit("payload_"), col("id")).as("v"))
+      val build = spark.range(1000)
+        .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+      val joined = probe.join(build, Seq("k"))
+      // materialize THIS QueryExecution (count() would plan a new one)
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.toLowerCase.contains("skew"), // skew=true / AQEShuffleRead
+        "AQE did not mark any skewed partition:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hot key rows spread across salt buckets") {
     import spark.implicits._
     val probe = spark.range(50000).select(lit(0L).as("k"), col("id").as("v"))
