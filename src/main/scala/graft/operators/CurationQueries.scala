@@ -215,6 +215,61 @@ object CurationQueries {
       |GROUP BY t.source
       |ORDER BY t.source""".stripMargin
 
+  /** Cross-source overlap matrix — the corpus diagnostic behind
+    * mixture decisions: for every source pair, the count of shared
+    * distinct 3-gram shingles and the shingle-set Jaccard. Detects
+    * inter-source duplication/contamination (mirror sites, shared
+    * boilerplate) before it skews dedup or mixture weights. Plan: one
+    * (source, shingle) distinct, then a self-join keyed on the
+    * shingle — fan-out per shingle is bounded by C(#sources, 2), not
+    * corpus size, so the pair aggregation stays linear at 100 TB. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("kh"))
+      .distinct()
+    val perSource = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.kh") === col("b.kh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(perSource.select(col("source").as("src_a"),
+        col("n_shingles").as("na"))), Seq("src_a"))
+      .join(broadcast(perSource.select(col("source").as("src_b"),
+        col("n_shingles").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        (col("shared") / (col("na") + col("nb") - col("shared")))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS kh
+      |  FROM (
+      |    SELECT source, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM toks)),
+      |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM sh a JOIN sh b ON a.kh = b.kh AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT src_a, src_b, shared,
+      |  shared / (pa.n + pb.n - shared) AS jaccard
+      |FROM pairs
+      |JOIN per pa ON pa.source = src_a
+      |JOIN per pb ON pb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Repetition-based quality signal (the Gopher/C4 rule family):
     * share of the document's word bigrams taken by its single most
     * frequent bigram — high values mark boilerplate/looping text.
@@ -394,7 +449,8 @@ object CurationQueries {
     "t_repetition" -> (repetition _),
     "t_length_percentiles" -> (lengthPercentiles _),
     "t_pack_sequences" -> (packSequences _),
-    "t_mixture_rebalance" -> (mixtureRebalance _))
+    "t_mixture_rebalance" -> (mixtureRebalance _),
+    "t_source_overlap" -> (sourceOverlap _))
 
   val oracles: Map[String, String] = Map(
     "t_quality_buckets" -> qualityBucketsSql,
@@ -405,5 +461,6 @@ object CurationQueries {
     "t_repetition" -> repetitionSql,
     "t_length_percentiles" -> lengthPercentilesSql,
     "t_pack_sequences" -> packSequencesSql,
-    "t_mixture_rebalance" -> mixtureRebalanceSql)
+    "t_mixture_rebalance" -> mixtureRebalanceSql,
+    "t_source_overlap" -> sourceOverlapSql)
 }
