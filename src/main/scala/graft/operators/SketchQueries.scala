@@ -171,11 +171,61 @@ object SketchQueries {
       |UNION ALL SELECT 'true_matches' AS metric, n FROM exact
       |ORDER BY metric""".stripMargin
 
+  private val LC = 4096 // linear-counting bitmap size
+
+  /** Distinct-cardinality sketch (linear counting): hash every word
+    * occurrence into an LC-bit bitmap; the estimate is
+    * `−m·ln(V/m)` for V unset bits. The aggregation is a FIXED-SIZE
+    * distinct over ≤ m bucket ids — a bounded shuffle regardless of
+    * vocabulary, the cardinality member of the sketch family next to
+    * count-min (frequency) and bloom (membership). The md5 bucket
+    * makes the occupied-bit count deterministic, and the estimate is
+    * rounded to an integer, so the ~1-ulp ln() differences between
+    * engines cannot move the checked value. The exact distinct runs
+    * beside it as the checked ground truth (this is the
+    * sketch-vs-exact validation query; production uses only the
+    * sketch side). */
+  def distinctSketch(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val occupied = words.select(
+      (conv(substring(md5(concat(lit("lc:"), col("word")).cast("binary")),
+        1, 8), 16, 10).cast("long") % LC).as("bit"))
+      .agg(countDistinct(col("bit")).as("occupied"))
+    val exact = words.agg(countDistinct(col("word")).as("exact_distinct"))
+    occupied.crossJoin(exact)
+      .select(lit(LC.toLong).as("m"), col("occupied"),
+        // greatest(1, …) guards the saturated-bitmap edge (V = 0):
+        // linear counting is out of range there and reports m·ln(m)
+        round(lit(-LC.toDouble) *
+            log(greatest(lit(1.0), lit(LC) - col("occupied"))) +
+          lit(LC.toDouble) * log(lit(LC.toDouble))).cast("long")
+          .as("estimate"),
+        col("exact_distinct"))
+  }
+
+  val distinctSketchSql: String =
+    s"""WITH occ AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      |  FROM documents),
+      |w AS (SELECT word FROM occ WHERE length(word) > 0),
+      |bits AS (
+      |  SELECT CAST(COUNT(DISTINCT CAST(('0x' || substr(md5('lc:' || word), 1, 8)) AS BIGINT) % $LC) AS BIGINT) AS occupied
+      |  FROM w),
+      |ex AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS exact_distinct FROM w)
+      |SELECT CAST($LC AS BIGINT) AS m, occupied,
+      |  CAST(ROUND(-$LC * ln(GREATEST(1, $LC - occupied)) + $LC * ln(CAST($LC AS DOUBLE))) AS BIGINT) AS estimate,
+      |  exact_distinct
+      |FROM bits, ex""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "t_distinct_sketch" -> (distinctSketch _),
     "join_bloom_prefilter" -> (bloomPrefilter _))
 
   val oracles: Map[String, String] = Map(
     "t_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "t_distinct_sketch" -> distinctSketchSql,
     "join_bloom_prefilter" -> bloomPrefilterSql)
 }

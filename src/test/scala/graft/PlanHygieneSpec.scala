@@ -60,7 +60,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     * scale. Still must not degrade to CartesianProduct (that would
     * mean the one-row side wasn't broadcast). */
   private val singleRowBroadcasts = Set("q15_top_supplier",
-    "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance")
+    "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance",
+    "t_distinct_sketch")
 
   test("no query plan degrades to an unintended cross product") {
     SparkEntry.queries.keys
