@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.GraftFunctions.{shinglesOfTokens, tokens}
@@ -222,12 +223,17 @@ object CurationQueries {
     * boilerplate) before it skews dedup or mixture weights. Plan: one
     * (source, shingle) distinct, then a self-join keyed on the
     * shingle — fan-out per shingle is bounded by C(#sources, 2), not
-    * corpus size, so the pair aggregation stays linear at 100 TB. */
+    * corpus size, so the pair aggregation stays linear at 100 TB.
+    * The distinct (source, shingle) set is PERSISTED before the
+    * self-join: without it both join sides re-run the full
+    * tokenize+shingle+explode+distinct pipeline — two corpus scans
+    * for one logical input. Verify/Bench unpersist between queries. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("source"),
         explode(shingleHashes(tokens(col("text")), 3)).as("kh"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val perSource = sh.groupBy(col("source"))
       .agg(count(lit(1)).as("n_shingles"))
     val pairs = sh.as("a")

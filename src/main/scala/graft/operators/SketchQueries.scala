@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -26,10 +27,6 @@ object SketchQueries {
     conv(substring(md5(concat(lit(s"$j:"), word).cast("binary")), 1, 8),
       16, 10).cast("long") % W
 
-  private def cellsOf(word: Column): Column =
-    explode(array((0 until D).map(j =>
-      struct(lit(j).as("j"), bucket(j, word).as("b"))): _*))
-
   /** Heavy hitters via count-min: estimate = min over the d cells a
     * word hashes to; report every word whose estimate clears the
     * threshold next to its exact count (the sketch-then-exact-verify
@@ -43,28 +40,44 @@ object SketchQueries {
     * test `min_j cells[j][b_j(word)] >= 500` is a ZERO-SHUFFLE
     * map-side filter on the occurrence stream, and the only
     * vocab-keyed aggregation that runs is the exact count over the
-    * few surviving words. No full-vocabulary shuffle anywhere. */
+    * few surviving words. No full-vocabulary shuffle anywhere.
+    *
+    * The occurrence stream is persisted WITH its d bucket columns
+    * across the two passes, so the corpus is scanned + tokenized
+    * exactly once AND each occurrence's d md5 buckets are computed
+    * exactly once (the survivor filter and the est column read the
+    * cached buckets instead of re-hashing). Past memory the cache
+    * spills to local disk — at 100 TB that is a sequential columnar
+    * re-read, strictly cheaper than re-scanning + re-tokenizing + re-
+    * hashing the source table. Verify/Bench unpersist between
+    * queries. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Tables.documents(s, dir)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
+      .select(col("word") +:
+        (0 until D).map(j => bucket(j, col("word")).as(s"b$j")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // the sketch itself: d*w = 256 cells, indexed j*W + b
     val cellArr = new Array[Long](D * W)
-    w.select(cellsOf(col("word")).as("c"))
+    w.select(explode(array((0 until D).map(j =>
+        struct(lit(j).as("j"), col(s"b$j").as("b"))): _*)).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .as[(Int, Long, Long)].collect()
       .foreach { case (j, b, cnt) => cellArr(j * W + b.toInt) = cnt }
     val cellsLit = typedLit(cellArr.toSeq)
-    def estOf(word: Column): Column = least((0 until D).map(j =>
+    val est: Column = least((0 until D).map(j =>
       element_at(cellsLit,
-        (lit(j * W) + bucket(j, word)).cast("int") + 1)): _*)
+        (lit(j * W) + col(s"b$j")).cast("int") + 1)): _*)
     // exact pass touches only the sketch's survivors: map-side filter
-    // on occurrences, then a survivor-only aggregation
-    w.filter(estOf(col("word")) >= 500)
-      .groupBy(col("word")).agg(count(lit(1)).as("true_n"))
-      .select(col("word"), estOf(col("word")).as("est"), col("true_n"))
+    // on the cached occurrences, then a survivor-only aggregation
+    // (est is constant per word, so min() just carries it through)
+    w.filter(est >= 500)
+      .groupBy(col("word"))
+      .agg(min(est).as("est"), count(lit(1)).as("true_n"))
+      .select(col("word"), col("est"), col("true_n"))
       .orderBy(col("est").desc, col("word"))
   }
 
@@ -184,17 +197,20 @@ object SketchQueries {
     * engines cannot move the checked value. The exact distinct runs
     * beside it as the checked ground truth (this is the
     * sketch-vs-exact validation query; production uses only the
-    * sketch side). */
+    * sketch side).
+    *
+    * Both distincts run in ONE aggregation over one corpus scan
+    * (Catalyst expands multi-distinct into a single expand+agg job) —
+    * no second pass, no cross join. */
   def distinctSketch(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-    val occupied = words.select(
-      (conv(substring(md5(concat(lit("lc:"), col("word")).cast("binary")),
-        1, 8), 16, 10).cast("long") % LC).as("bit"))
-      .agg(countDistinct(col("bit")).as("occupied"))
-    val exact = words.agg(countDistinct(col("word")).as("exact_distinct"))
-    occupied.crossJoin(exact)
+    words.select(col("word"),
+        (conv(substring(md5(concat(lit("lc:"), col("word")).cast("binary")),
+          1, 8), 16, 10).cast("long") % LC).as("bit"))
+      .agg(countDistinct(col("bit")).as("occupied"),
+        countDistinct(col("word")).as("exact_distinct"))
       .select(lit(LC.toLong).as("m"), col("occupied"),
         // greatest(1, …) guards the saturated-bitmap edge (V = 0):
         // linear counting is out of range there and reports m·ln(m)

@@ -60,8 +60,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     * scale. Still must not degrade to CartesianProduct (that would
     * mean the one-row side wasn't broadcast). */
   private val singleRowBroadcasts = Set("q15_top_supplier",
-    "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance",
-    "t_distinct_sketch")
+    "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance")
 
   test("no query plan degrades to an unintended cross product") {
     SparkEntry.queries.keys
@@ -91,6 +90,48 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("cms heavy hitters plans no vocabulary-scale join") {
     val p = plan(graft.operators.SketchQueries
       .cmsHeavyHitters(spark, dir))
+    assert(!p.contains("Join"), p)
+  }
+
+  /** The corpus must be scanned + tokenized exactly once: the
+    * sketch-build job materializes the persisted word stream, and the
+    * survivor pass must read it back from cache rather than re-scan
+    * the parquet source. */
+  test("cms survivor pass reads the cached word stream, not a second scan") {
+    val p = plan(graft.operators.SketchQueries
+      .cmsHeavyHitters(spark, dir))
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("TableCacheQueryStage"), p)
+  }
+
+  /** Both sides of the shingle self-join must read the one persisted
+    * (source, shingle) set — an unmaterialized subquery would re-run
+    * tokenize+shingle+explode+distinct twice (two corpus scans). */
+  test("source overlap self-join reads one cached shingle set") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.operators.CurationQueries.sourceOverlap(spark, dir)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("TableCacheQueryStage"), p)
+    // the executed tree must reach documents ONLY through the cache:
+    // no FileSourceScan node outside the InMemoryRelation definition
+    // (the plan STRING re-prints the cached child per scan site, so
+    // string-counting overcounts — walk the tree instead)
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val docScans = scans(df.queryExecution.executedPlan)
+      .filter(_.toString.contains("documents"))
+    assert(docScans.isEmpty, s"documents scanned outside the cache:\n$p")
+  }
+
+  /** Linear counting runs both distincts (bitmap occupancy + exact) in
+    * ONE aggregation job — no cross join, no second corpus scan. */
+  test("distinct sketch is a single aggregation, no cross join") {
+    val p = plan(graft.operators.SketchQueries.distinctSketch(spark, dir))
     assert(!p.contains("Join"), p)
   }
 
