@@ -24,16 +24,30 @@ final class ControlLoop(
   private val reportsBuf = List.newBuilder[ReconfigReport]
 
   /** Offer unseen batch metrics to the controller; returns any
-    * reconfiguration applied during this tick. */
+    * reconfiguration applied during this tick.
+    *
+    * ONE action per tick (the reference's migration_interval-gated
+    * loop, StreamSwitch.java:110-154): once the controller applies a
+    * reconfiguration, the remaining drained records are discarded —
+    * they were measured under the plan that no longer exists, and
+    * feeding them forward let a single tick chain several stale-data
+    * reconfigurations back to back. */
   def tick(): Option[ReconfigReport] = {
     val ps = collector.progresses
     val fresh = ps.drop(consumed)
     consumed = ps.size
-    val applied = fresh.flatMap { p =>
-      controller.onProgress(executor, p)
-    }
+    offer(fresh)
+  }
+
+  private[controlplane] def offer(
+      fresh: List[graft.streaming.Metrics.BatchProgress])
+      : Option[ReconfigReport] = {
+    var applied: Option[ReconfigReport] = None
+    val it = fresh.iterator
+    while (applied.isEmpty && it.hasNext)
+      applied = controller.onProgress(executor, it.next())
     applied.foreach(reportsBuf += _)
-    applied.lastOption
+    applied
   }
 
   def reports: List[ReconfigReport] = reportsBuf.result()

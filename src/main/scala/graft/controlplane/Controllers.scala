@@ -169,18 +169,35 @@ final class FraudDetectionController(operator: String,
   *  2. else if the load would fit p−1 tasks under
   *     scaleInUtilization: scale IN by one task;
   *  3. else: no action.
-  */
+  *
+  * Steady-state sampling: a reconfiguration restarts the query, and
+  * the first post-restart batch replays the backlog that accumulated
+  * during the restart — a catch-up burst whose rows/duration ratio is
+  * NOT the arrival rate (measuring it as such made the live loop walk
+  * 8→24 at a workload whose even-spread optimum is 15). The reference
+  * samples steady-state rates per interval (StreamSwitch.java:22-218),
+  * so after every applied action the next `settleBatches` observation
+  * windows are discarded outright — no EMA update, no decision. */
 final class StreamSwitchController(operator: String,
     serviceRatePerTask: Double,
     targetUtilization: Double = 0.8,
     scaleInUtilization: Double = 0.5,
     emaAlpha: Double = 0.5,
     maxParallelism: Int = 128,
-    maxTasks: Int = 32)
+    maxTasks: Int = 32,
+    settleBatches: Int = 1)
   extends Controller {
   val name = "stream-switch"
 
   private val rates = new Array[Double](maxParallelism)
+  private var settling = 0
+
+  /** Mark an action applied: the windows that follow it measure the
+    * restart's replay burst, not arrival — skip them. */
+  private def applied(r: ReconfigReport): Option[ReconfigReport] = {
+    settling = settleBatches
+    Some(r)
+  }
 
   def onBatch(e: ReconfigurationExecutor, b: Long,
       m: Map[Int, Long]): Option[ReconfigReport] = None // needs onProgress
@@ -203,6 +220,7 @@ final class StreamSwitchController(operator: String,
 
   override def onProgress(ex: ReconfigurationExecutor,
       p: graft.streaming.Metrics.BatchProgress): Option[ReconfigReport] = {
+    if (settling > 0) { settling -= 1; return None } // catch-up burst
     if (p.durationMs <= 0 || p.rowsPerKeygroup.values.sum == 0) return None
     val sec = p.durationMs / 1000.0
     var kg = 0
@@ -225,12 +243,13 @@ final class StreamSwitchController(operator: String,
       val (migrated, migratedMax) = packByRate(par)
       if (migratedMax / mu <= targetUtilization) {
         ex.assignWorkload(operator, migrated)
-        Some(ex.execute(f"$name@batch${p.batchId} migrate maxUtil=$maxUtil%.2f"))
+        applied(ex.execute(
+          f"$name@batch${p.batchId} migrate maxUtil=$maxUtil%.2f"))
       } else if (par < maxTasks) {
         val (scaled, _) = packByRate(par + 1)
         ex.assignResources(operator, par + 1)
         ex.assignWorkload(operator, scaled)
-        Some(ex.execute(
+        applied(ex.execute(
           f"$name@batch${p.batchId} scale-out $par->${par + 1} maxUtil=$maxUtil%.2f"))
       } else None
     } else if (par > 1 && totalRate / (mu * (par - 1)) < scaleInUtilization) {
@@ -244,7 +263,7 @@ final class StreamSwitchController(operator: String,
       if (packedMax / mu <= targetUtilization) {
         ex.assignResources(operator, par - 1)
         ex.assignWorkload(operator, packed)
-        Some(ex.execute(
+        applied(ex.execute(
           f"$name@batch${p.batchId} scale-in $par->${par - 1}"))
       } else None
     } else None

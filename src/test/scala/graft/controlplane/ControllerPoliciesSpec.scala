@@ -70,8 +70,10 @@ class ControllerPoliciesSpec extends AnyFunSuite {
 
   test("stream-switch scales in when the load fits fewer tasks") {
     val ex = new FakeExecutor(4)
+    // settleBatches = 0: this test exercises consecutive POLICY
+    // decisions on clean steady-state windows (no restart between them)
     val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
-      emaAlpha = 1.0)
+      emaAlpha = 1.0, settleBatches = 0)
     // 20 rows/s total over 3 remaining tasks → util 0.07 < 0.5
     val r = ctl.onProgress(ex, progress(1, Map(0 -> 10L, 64 -> 10L)))
     assert(r.isDefined && r.get.reason.contains("scale-in"))
@@ -109,6 +111,52 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     assert(ctl.onProgress(ex,
       progress(1, Map(0 -> 70L, 64 -> 70L))).isEmpty)
     assert(ex.plan.operators("op").parallelism === 2)
+  }
+
+  test("stream-switch discards the post-restart catch-up window") {
+    val ex = new FakeExecutor(2)
+    val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
+      emaAlpha = 1.0)
+    val steady = Map(0 -> 60L, 1 -> 60L, 2 -> 60L, 64 -> 60L)
+    // overload at p=2 (any pack bottlenecks ≥ 120): scale out to 3
+    assert(ctl.onProgress(ex, progress(1, steady)).isDefined)
+    assert(ex.plan.operators("op").parallelism === 3)
+    // the restart replays the downtime backlog: a 10× burst window.
+    // The naive estimator read this as demand — walking the live loop
+    // to 24 tasks where 15 was optimal — so a post-action window must
+    // be DISCARDED outright: no decision, no plan change, and the
+    // burst never enters the EMA.
+    val burst = steady.view.mapValues(_ * 10).toMap
+    assert(ctl.onProgress(ex, progress(2, burst)).isEmpty)
+    assert(ex.plan.operators("op").parallelism === 3)
+    // clean window at p=3: 4×60 still packs to a 120 bottleneck → out
+    // to 4 (one step per clean window — steady-state convergence)
+    assert(ctl.onProgress(ex, progress(3, steady)).isDefined)
+    assert(ex.plan.operators("op").parallelism === 4)
+    // burst again, discarded again
+    assert(ctl.onProgress(ex, progress(4, burst)).isEmpty)
+    // converged: 60 per task at p=4 is util 0.6 ≤ 0.8 and the load
+    // does not fit 3 tasks under the scale-in bar — the plan holds,
+    // with no residue of the two bursts
+    assert(ctl.onProgress(ex, progress(5, steady)).isEmpty)
+    assert(ex.plan.operators("op").parallelism === 4)
+  }
+
+  test("control loop applies at most one action per tick") {
+    val ex = new FakeExecutor(2)
+    val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
+      emaAlpha = 1.0, settleBatches = 0)
+    val loop = new ControlLoop(ex, ctl,
+      new graft.streaming.Metrics.ProgressCollector)
+    val overload = Map(0 -> 60L, 1 -> 60L, 2 -> 60L, 64 -> 60L)
+    // three overloaded windows drained in ONE tick: all measured under
+    // the p=2 plan — acting on each would chain three stale-data
+    // scale-outs. Exactly one may apply.
+    val r = loop.offer(List(
+      progress(1, overload), progress(2, overload), progress(3, overload)))
+    assert(r.isDefined)
+    assert(ex.plan.operators("op").parallelism === 3)
+    assert(loop.reports.size === 1)
   }
 
   test("fraud-detection controller escalates logic on load spike, " +
