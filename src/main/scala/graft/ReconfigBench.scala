@@ -83,10 +83,14 @@ object ReconfigBench {
     rq.stop()
     // sustained throughput: last value per key in the file sink is the
     // total per-key count => sum = total rows processed
-    val totalRows = spark.read.parquet(sinkDir)
-      .groupBy(col("key"))
-      .agg(max_by(col("value"), col("batch_id")).as("value"))
-      .agg(sum(col("value"))).collect()(0).getLong(0)
+    // guard the edge configs: a run with seconds <= remapSec fires no
+    // reconfig (reports empty), and a run too short to commit a batch
+    // leaves the sink empty (sum(value) is SQL NULL)
+    val totalRows = scala.util.Try {
+      val sumRow = ReconfigurableCountQuery.readFileSink(spark, sinkDir)
+        .agg(sum(col("value"))).collect()(0)
+      if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    }.getOrElse(0L) // no committed batch => no files to read
     val mode = if (pinned) "pinned" else "legacy"
     val phaseNames = reports.flatMap(_._1.keys).distinct.sorted
     val phaseJson = phaseNames.map { ph =>
@@ -94,7 +98,10 @@ object ReconfigBench {
       f""""$ph":{"mean_ms":${xs.sum / xs.size}%.0f,"max_ms":${xs.max}%.0f}"""
     }.mkString("{", ",", "}")
     val wallXs = reports.map(_._2)
-    f"""{"mode":"$mode","reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":{"mean":${wallXs.sum / wallXs.size}%.0f,"max":${wallXs.max}%.0f},"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
+    val wallJson =
+      if (wallXs.isEmpty) """{"mean":null,"max":null}"""
+      else f"""{"mean":${wallXs.sum / wallXs.size}%.0f,"max":${wallXs.max}%.0f}"""
+    f"""{"mode":"$mode","reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":$wallJson,"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
   }
 
   /** The CLOSED StreamSwitch loop under live load: per-batch observed

@@ -94,14 +94,14 @@ final class ControllerEndpoint(
         handleSource(ex) { (name, source) =>
           val c = DynamicCompiler.compileController(source)
           activeController = Some(c)
-          s"""{"compiled":"$name","controller":"${c.name}"}"""
+          s"""{"compiled":${jsonStr(name)},"controller":${jsonStr(c.name)}}"""
         }
     })
     server.createContext("/jobs/udf/source", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         handleSource(ex) { (name, source) =>
           DynamicCompiler.compileAndRegisterCountLogic(name, source)
-          s"""{"registered":"$name"}"""
+          s"""{"registered":${jsonStr(name)}}"""
         }
     })
     server.createContext("/jobs/controller", new HttpHandler {
@@ -112,13 +112,14 @@ final class ControllerEndpoint(
           controllers.get(name) match {
             case Some(factory) =>
               activeController = Some(factory())
-              respond(ex, 200, s"""{"registered":"$name"}""")
+              respond(ex, 200, s"""{"registered":${jsonStr(name)}}""")
             case None =>
-              respond(ex, 404, s"""{"error":"unknown controller $name"}""")
+              respond(ex, 404,
+                s"""{"error":${jsonStr(s"unknown controller $name")}}""")
           }
         case "GET" =>
-          respond(ex, 200,
-            s"""{"active":"${activeController.map(_.name).getOrElse("none")}"}""")
+          respond(ex, 200, s"""{"active":${
+            jsonStr(activeController.map(_.name).getOrElse("none"))}}""")
         case _ => respond(ex, 405, """{"error":"method not allowed"}""")
       }
     })
@@ -126,7 +127,8 @@ final class ControllerEndpoint(
       override def handle(ex: HttpExchange): Unit = {
         val plan = executor.getPlan
         val ops = plan.operators.map { case (name, d) =>
-          s""""$name":{"parallelism":${d.parallelism},"udf":"${d.udfName}"}"""
+          s"""${jsonStr(name)}:{"parallelism":${d.parallelism},"udf":${
+            jsonStr(d.udfName)}}"""
         }.mkString("{", ",", "}")
         respond(ex, 200,
           s"""{"maxParallelism":${plan.maxParallelism},"operators":$ops}""")

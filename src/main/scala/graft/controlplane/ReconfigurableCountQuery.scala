@@ -54,6 +54,27 @@ object ReconfigurableCountQuery {
   private[controlplane] def removeSink(table: String): Unit =
     sinks.remove(table)
 
+  /** THE reader contract for the production file sink (the other half
+    * of `fileSinkDir`'s at-least-once append): the sink logs
+    * update-mode rows (key, value, batch_id, generation). Two kinds of
+    * duplication are legal in the log —
+    *  - a replayed micro-batch (failure between the parquet append and
+    *    the checkpoint commit) appends the SAME rows twice;
+    *  - a non-routing reconfiguration bumps the generation and starts
+    *    a fresh checkpoint, so batch ids RESTART at 0 while appending
+    *    to the same directory (an earlier generation may hold the
+    *    numerically highest batch_id).
+    * The current count per key is therefore the value at the highest
+    * (generation, batch_id) — comparing by batch_id alone can resolve
+    * to a stale row from a longer-lived earlier generation. */
+  def readFileSink(spark: SparkSession, dir: String): Dataset[KeyedTuple] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .groupBy(col("key"))
+      .agg(max_by(col("value"),
+        struct(col("generation"), col("batch_id"))).as("value"))
+      .as[KeyedTuple]
+  }
 }
 
 trait ReconfigurationExecutor {
@@ -125,13 +146,14 @@ trait ReconfigurationExecutor {
   *        re-feed state.
   * @param fileSinkDir PRODUCTION sink: when set, each micro-batch's
   *        updates append to parquet under this directory (stamped with
-  *        the batch id) as a fully DISTRIBUTED executor-side write —
-  *        no driver collect, no O(total rows) view rebuild — under the
-  *        same checkpoint-resume contract as the default sink. Readers
-  *        take the row with the highest (batch_id, value) per key;
-  *        foreachBatch is at-least-once on resume, and a replayed
-  *        batch rewrites identical rows, so the last-writer-wins read
-  *        is unaffected. Unset = the driver-side row-log + temp-view
+  *        the (generation, batch_id) pair) as a fully DISTRIBUTED
+  *        executor-side write — no driver collect, no O(total rows)
+  *        view rebuild — under the same checkpoint-resume contract as
+  *        the default sink. Read it back with
+  *        [[ReconfigurableCountQuery.readFileSink]], which owns the
+  *        last-writer-wins contract (replayed batches rewrite
+  *        identical rows; generation bumps restart batch ids).
+  *        Unset = the driver-side row-log + temp-view
   *        sink (a test/debug harness: it exists to mimic
   *        `format("memory")` while surviving checkpoint recovery). */
 final class ReconfigurableCountQuery(
@@ -258,9 +280,14 @@ final class ReconfigurableCountQuery(
     query = fileSinkDir match {
       case Some(dir) =>
         // production path: distributed executor-side append, nothing
-        // through the driver
+        // through the driver. Rows are stamped with (generation,
+        // batch_id) — batch ids restart at 0 when a non-routing
+        // reconfig opens a new generation, so readers order by the
+        // PAIR (see readFileSink)
+        val g = generation
         writer.foreachBatch { (ds: Dataset[KeyedTuple], batchId: Long) =>
           ds.withColumn("batch_id", lit(batchId))
+            .withColumn("generation", lit(g))
             .write.mode("append").parquet(dir)
           ()
         }.start()

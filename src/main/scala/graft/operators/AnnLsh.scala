@@ -182,8 +182,21 @@ object AnnLsh {
   def annLshQuery(s: SparkSession, dir: String): DataFrame =
     annTopK(s, dir)
 
-  def nearDupLshQuery(s: SparkSession, dir: String): DataFrame =
-    nearDupLsh(s, dir)
+  /** Oracle-gated entry: the DuckDB oracle ([[nearDupLshSql]]) is
+    * pinned at the 6-bit floor width, which [[bitsFor]] only yields up
+    * to 2048 vectors. Auto-scaling past that would silently diverge
+    * from the static SQL — fail LOUDLY instead, so a gated corpus
+    * growth shows up as an error, not a hash mismatch. Non-gated
+    * callers use [[nearDupLsh]] directly and scale freely. */
+  def nearDupLshQuery(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val width = bitsFor(s, n)
+    require(width == 6,
+      s"nearDupLsh oracle SQL is pinned at 6-bit buckets but bitsFor(n=$n) " +
+        s"= $width; regenerate the oracle for this width or gate a corpus " +
+        "<= 2048 vectors")
+    nearDupLsh(s, dir, bits = width)
+  }
 
   /** Oracle CTE chain reproducing the md5-Rademacher buckets in DuckDB:
     * emb → normed (vec_id, v, norm) → planes (t, b, ±1 vector) →

@@ -176,12 +176,111 @@ class ReconfigurationSpec extends AnyFunSuite {
 
     // no driver-side row log was created for this pipeline
     assert(spark.catalog.tableExists("fs_sink_unused") === false)
-    // newest batch per key wins (update-mode log compaction at read)
-    val counts = spark.read.parquet(sinkDir)
+    // newest (generation, batch_id) per key wins (update-mode log
+    // compaction at read — the readFileSink contract)
+    val counts = ReconfigurableCountQuery.readFileSink(spark, sinkDir)
+      .collect().map(t => t.key -> t.value).toMap
+    assert(counts === (0 until 10).map(k => s"A$k" -> 5L).toMap)
+  }
+
+  /** The file sink's at-least-once contract, pinned as code:
+    *  - a non-routing reconfiguration opens a new GENERATION whose
+    *    micro-batch ids restart at 0 while appending to the same
+    *    directory — if the old generation ran more batches, ordering
+    *    by batch_id alone resolves to its stale rows; the reader must
+    *    order by (generation, batch_id);
+    *  - a batch replayed after a failure between the parquet append
+    *    and the checkpoint commit appends byte-identical rows, which
+    *    the max-by read absorbs. */
+  test("file sink reader survives generation restarts and batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max_by}
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-gen").toString
+    val sinkDir = Files.createTempDirectory("reconfig-gen-out").toString +
+      "/counts"
+    var stream = MemoryStream[KeyedTuple]
+    // LEGACY mode: state follows parallelism, so the rescale below is
+    // a full reconfiguration — generation bumps, batch ids restart
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "gen_sink_unused", initialParallelism = 2,
+      fileSinkDir = Some(sinkDir))
+    rq.start()
+    // three generation-0 batches => gen0's max batch_id is 2
+    (1 to 3).foreach { _ =>
+      stream.addData(tuples(0 until 10, 1): _*)
+      rq.processAllAvailable()
+    }
+    rq.assignResources(rq.OperatorName, 4)
+    stream = MemoryStream[KeyedTuple] // repositioned source for gen 1
+    rq.execute("legacy rescale => new generation")
+    // ONE generation-1 batch: its batch_id (0) is numerically smaller
+    // than gen0's (2), but its counts are newer
+    stream.addData(tuples(0 until 10, 1): _*)
+    rq.processAllAvailable()
+    rq.stop()
+
+    val correct = ReconfigurableCountQuery.readFileSink(spark, sinkDir)
+      .collect().map(t => t.key -> t.value).toMap
+    assert(correct === (0 until 10).map(k => s"A$k" -> 4L).toMap)
+    // the defect this contract fixes: batch_id-only ordering resolves
+    // to generation 0's last row (count 3) — stale
+    val staleRead = spark.read.parquet(sinkDir)
       .groupBy(col("key"))
       .agg(max_by(col("value"), col("batch_id")).as("value"))
-      .as[(String, Long)].collect().toMap
-    assert(counts === (0 until 10).map(k => s"A$k" -> 5L).toMap)
+      .as[KeyedTuple].collect().map(t => t.key -> t.value).toMap
+    assert(staleRead === (0 until 10).map(k => s"A$k" -> 3L).toMap)
+
+    // at-least-once replay: re-append one committed batch's rows
+    // verbatim (the failure-between-append-and-commit shape); the
+    // max-by reader must be unaffected
+    val replayed = spark.read.parquet(sinkDir)
+      .filter(col("generation") === 0 && col("batch_id") === 1)
+    replayed.write.mode("append").parquet(sinkDir)
+    val afterReplay = ReconfigurableCountQuery.readFileSink(spark, sinkDir)
+      .collect().map(t => t.key -> t.value).toMap
+    assert(afterReplay === correct)
+  }
+
+  /** Kill/resume: stop the pipeline with data in flight (uncommitted
+    * batch), bring up a NEW pipeline instance on the same checkpoint
+    * root and sink — the replayed batch appends again, and the reader
+    * contract yields exactly the counts of an unkilled run. */
+  test("file sink counts match an unkilled run after kill and resume") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-kill").toString
+    val sinkDir = Files.createTempDirectory("reconfig-kill-out").toString +
+      "/counts"
+    val stream = MemoryStream[KeyedTuple]
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "kill_sink_unused", initialParallelism = 2,
+      reuseCheckpointOnRemap = true, statePartitions = Some(16),
+      fileSinkDir = Some(sinkDir))
+    rq.start()
+    stream.addData(tuples(0 until 10, 2): _*)
+    rq.processAllAvailable()
+    // data lands, then the driver dies before the trigger fires:
+    // stop() without draining leaves these rows uncommitted
+    stream.addData(tuples(0 until 10, 1): _*)
+    rq.stop()
+
+    // resume: a fresh instance on the same checkpoint root; the same
+    // MemoryStream stands in for a durable source resuming offsets
+    val rq2 = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "kill_sink_unused2", initialParallelism = 2,
+      reuseCheckpointOnRemap = true, statePartitions = Some(16),
+      fileSinkDir = Some(sinkDir))
+    rq2.start()
+    rq2.processAllAvailable() // replays/consumes the in-flight rows
+    stream.addData(tuples(0 until 10, 1): _*) // and life goes on
+    rq2.processAllAvailable()
+    rq2.stop()
+
+    val counts = ReconfigurableCountQuery.readFileSink(spark, sinkDir)
+      .collect().map(t => t.key -> t.value).toMap
+    // identical to an unkilled run over the same inputs: 2 + 1 + 1
+    assert(counts === (0 until 10).map(k => s"A$k" -> 4L).toMap)
   }
 
   /** The reference's full submit-source story
