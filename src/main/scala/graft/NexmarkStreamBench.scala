@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Bid
+import graft.sources.NexmarkSources
+import graft.streaming.Metrics
+
+/** Nexmark queries at the reference's published source configuration:
+  * 100 000 ev/s sine-modulated bids over a 60 s cycle for Q1/Q2/Q5/Q11
+  * (reference examples/src/main/java/Nexmark/queries/Query1.java:52-55,
+  * Query5.java:66-69; curve Util.java:14-20). Each query runs from a
+  * fresh sine-modulated source for `seconds` and reports sustained
+  * rate + batch-duration and end-to-end latency percentiles — the
+  * reference's sink-side acceptance metric
+  * (DummyLatencyCountingSink.java:41-47).
+  *
+  * Usage: runMain graft.NexmarkStreamBench [amplitude] [cycleSec] [seconds] [outFile]
+  *   amplitude: the reference's srcRate — offered rate follows
+  *   (sin(2π·epoch/cycle)+1)·amplitude, i.e. 0..2·amplitude with mean
+  *   amplitude (default 100 000).
+  */
+object NexmarkStreamBench {
+
+  /** Sine-modulated WALLCLOCK bid stream: the rate source runs at the
+    * curve's peak (2·amplitude rows/s) with real ingest timestamps,
+    * and each one-second epoch keeps the sine-sized prefix of its
+    * sequence range — the same deterministic curve as
+    * [[NexmarkSources.bidStreamSine]], but event times are wallclock
+    * so the watermarked windows and the end-to-end latency metric
+    * measure real elapsed time, not generator time. */
+  private def sineBids(spark: SparkSession, base: Int, amplitude: Int,
+      cycleSec: Int): Dataset[Bid] = {
+    import spark.implicits._
+    val peak = base + 2 * amplitude
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", peak).load()
+    Metrics.observeSourceTs(raw, "timestamp")
+      .select(col("timestamp"), col("value"))
+      .as[(Timestamp, Long)]
+      .flatMap { case (ts, i) =>
+        val epochSec = i / peak // peak rows arrive per epoch second
+        if (i % peak <
+            NexmarkSources.sineRate(base, amplitude, cycleSec, epochSec))
+          Iterator.single(NexmarkSources.bidAt(i).copy(dateTime = ts))
+        else Iterator.empty
+      }
+  }
+
+  /** Q1 — currency conversion map (Query1.java): stateless per-record
+    * arithmetic, the pure pipeline-overhead measurement. */
+  private def q1(b: Dataset[Bid]) =
+    b.select(col("auction"), col("bidder"),
+      (col("price") * 0.908).as("price_eur"), col("dateTime"))
+
+  /** Q2 — selection (Query2.java): bids on a sparse auction subset. */
+  private def q2(b: Dataset[Bid]) =
+    b.filter(col("auction") % 123 === 0)
+      .select(col("auction"), col("price"))
+
+  /** Q5 — hot items (Query5.java): sliding-window bid counts per
+    * auction; scaled to seconds like the reference's micro configs. */
+  private def q5(b: Dataset[Bid]) =
+    b.withWatermark("dateTime", "2 seconds")
+      .groupBy(window(col("dateTime"), "10 seconds", "2 seconds"),
+        col("auction"))
+      .agg(count(lit(1)).as("bids"))
+
+  /** Q11 — user sessions (Query11.java): per-bidder session windows
+    * (5 s gap), append on watermark close. */
+  private def q11(b: Dataset[Bid]) =
+    b.withWatermark("dateTime", "2 seconds")
+      .groupBy(session_window(col("dateTime"), "5 seconds"), col("bidder"))
+      .agg(count(lit(1)).as("bids"))
+
+  def main(args: Array[String]): Unit = {
+    val amplitude = args.headOption.map(_.toInt).getOrElse(100000)
+    val cycleSec = args.lift(1).map(_.toInt).getOrElse(60)
+    val seconds = args.lift(2).map(_.toInt).getOrElse(70)
+    val outFile = args.lift(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries: Seq[(String, Dataset[Bid] => Dataset[_], String)] = Seq(
+      ("q1_currency", q1 _, "append"),
+      ("q2_filter", q2 _, "append"),
+      ("q5_sliding_hot", q5 _, "update"),
+      ("q11_sessions", q11 _, "append"))
+
+    val results = queries.map { case (name, build, mode) =>
+      val r = StreamBench.measure(spark, amplitude, seconds) {
+        build(sineBids(spark, base = 0, amplitude, cycleSec))
+          .writeStream.format("noop").outputMode(mode).start()
+      }
+      System.err.println(s"[nexmark-stream] $name ${r.json}")
+      s""""$name":${r.json}"""
+    }
+    val line =
+      s"""{"metric":"nexmark_stream_rates","config":{"src_rate":$amplitude,"cycle_sec":$cycleSec,"seconds_per_query":$seconds,"offered":"(sin(2pi*epoch/cycle)+1)*src_rate, mean = src_rate"},"queries":{${results.mkString(",")}}}"""
+    println(line)
+    outFile.foreach(f => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f), line + "\n"))
+    spark.stop()
+  }
+}

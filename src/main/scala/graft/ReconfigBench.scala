@@ -26,13 +26,15 @@ import graft.streaming.Metrics
   * (the profiler accumulates, so successive reports are diffed) and
   * the sustained input rate around the reconfigs.
   *
-  * Usage: runMain graft.ReconfigBench [mode] [rate] [nKeys] [seconds] [remapSec] [outFile]
-  *   mode ∈ pinned | legacy | both (default both)
+  * Usage: runMain graft.ReconfigBench [mode] [rate] [nKeys] [seconds] [remapSec] [outFile] [stateBytes]
+  *   mode ∈ pinned | legacy | both | streamswitch (default both)
+  *   stateBytes = per-key state ballast (reference state-size sweep:
+  *   1024 / 10240 / 102400, micro-bench.sh:137-140); default 0
   */
 object ReconfigBench {
 
   private def runMode(spark: SparkSession, pinned: Boolean, rate: Int,
-      nKeys: Int, seconds: Int, remapSec: Int): String = {
+      nKeys: Int, seconds: Int, remapSec: Int, stateBytes: Int): String = {
     import spark.implicits._
     val checkpointRoot =
       java.nio.file.Files.createTempDirectory(s"reconfig-bench").toString
@@ -53,6 +55,7 @@ object ReconfigBench {
       reuseCheckpointOnRemap = pinned,
       statePartitions = if (pinned) Some(32) else None,
       fileSinkDir = Some(sinkDir),
+      statePayloadBytes = stateBytes,
       drainOnSync = false) // rate source never drains; stop() is the barrier
     val t0 = System.nanoTime()
     rq.start()
@@ -101,7 +104,7 @@ object ReconfigBench {
     val wallJson =
       if (wallXs.isEmpty) """{"mean":null,"max":null}"""
       else f"""{"mean":${wallXs.sum / wallXs.size}%.0f,"max":${wallXs.max}%.0f}"""
-    f"""{"mode":"$mode","reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":$wallJson,"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
+    f"""{"mode":"$mode","state_bytes_per_key":$stateBytes,"reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":$wallJson,"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
   }
 
   /** The CLOSED StreamSwitch loop under live load: per-batch observed
@@ -158,6 +161,7 @@ object ReconfigBench {
     val seconds = args.lift(3).map(_.toInt).getOrElse(45)
     val remapSec = args.lift(4).map(_.toInt).getOrElse(10)
     val outFile = args.lift(5)
+    val stateBytes = args.lift(6).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -167,13 +171,15 @@ object ReconfigBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val lines = mode match {
-      case "pinned" => Seq(runMode(spark, pinned = true, rate, nKeys, seconds, remapSec))
-      case "legacy" => Seq(runMode(spark, pinned = false, rate, nKeys, seconds, remapSec))
+      case "pinned" => Seq(
+        runMode(spark, pinned = true, rate, nKeys, seconds, remapSec, stateBytes))
+      case "legacy" => Seq(
+        runMode(spark, pinned = false, rate, nKeys, seconds, remapSec, stateBytes))
       case "streamswitch" =>
         Seq(runStreamSwitch(spark, rate, nKeys, seconds, tickSec = 3))
       case _ => Seq(
-        runMode(spark, pinned = true, rate, nKeys, seconds, remapSec),
-        runMode(spark, pinned = false, rate, nKeys, seconds, remapSec))
+        runMode(spark, pinned = true, rate, nKeys, seconds, remapSec, stateBytes),
+        runMode(spark, pinned = false, rate, nKeys, seconds, remapSec, stateBytes))
     }
     lines.foreach(println)
     outFile.foreach(f => java.nio.file.Files.writeString(

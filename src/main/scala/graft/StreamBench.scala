@@ -43,29 +43,17 @@ object StreamBench {
       s(math.min(s.length - 1, math.ceil(q * s.length).toInt - 1).max(0))
     }
 
-  /** One measured run at a fixed rate (fresh source, fresh listener). */
-  def runOnce(spark: SparkSession, rate: Int, nKeys: Int,
-      perKeyBytes: Int, seconds: Int): StepResult = {
-    import spark.implicits._
+  /** Measure ANY streaming query for `seconds`: attach a fresh
+    * progress listener, start the query via `startQuery`, run, stop,
+    * summarize rates + duration/latency percentiles. Shared by the
+    * micro-bench below and [[NexmarkStreamBench]]. */
+  private[graft] def measure(spark: SparkSession, rate: Int, seconds: Int)(
+      startQuery: => org.apache.spark.sql.streaming.StreamingQuery)
+      : StepResult = {
     val collector = new Metrics.ProgressCollector
     spark.streams.addListener(collector)
-    val raw = spark.readStream
-      .format("rate")
-      .option("rowsPerSecond", rate)
-      .load()
-    // latency observation costs one max() aggregation per batch; A/B'd
-    // as negligible, but the toggle keeps the pure-throughput form
-    // measurable (SPARK_GRAFT_NO_LATENCY=1)
-    val observed =
-      if (sys.env.contains("SPARK_GRAFT_NO_LATENCY")) raw
-      else Metrics.observeSourceTs(raw, "timestamp")
-    val tuples = observed
-      .select(col("value"))
-      .as[Long]
-      .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
     val t0 = System.nanoTime()
-    val q = StatefulOps.statefulPayload(tuples, perKeyBytes)
-      .writeStream.format("noop").outputMode("update").start()
+    val q = startQuery
     Thread.sleep(seconds * 1000L)
     q.stop()
     val wallSec = (System.nanoTime() - t0) / 1e9
@@ -80,6 +68,30 @@ object StreamBench {
       durs.sum / 1000.0 / wallSec,
       pct(durs, 0.50), pct(durs, 0.95), pct(durs, 0.99),
       pct(lats, 0.50), pct(lats, 0.95), pct(lats, 0.99))
+  }
+
+  /** One measured run at a fixed rate (fresh source, fresh listener). */
+  def runOnce(spark: SparkSession, rate: Int, nKeys: Int,
+      perKeyBytes: Int, seconds: Int): StepResult = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rate)
+      .load()
+    // latency observation costs one max() aggregation per batch; A/B'd
+    // as negligible, but the toggle keeps the pure-throughput form
+    // measurable (SPARK_GRAFT_NO_LATENCY=1)
+    val observed =
+      if (sys.env.contains("SPARK_GRAFT_NO_LATENCY")) raw
+      else Metrics.observeSourceTs(raw, "timestamp")
+    val tuples = observed
+      .select(col("value"))
+      .as[Long]
+      .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
+    measure(spark, rate, seconds) {
+      StatefulOps.statefulPayload(tuples, perKeyBytes)
+        .writeStream.format("noop").outputMode("update").start()
+    }
   }
 
   def main(args: Array[String]): Unit = {

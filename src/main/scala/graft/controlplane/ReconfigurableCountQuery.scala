@@ -10,8 +10,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.model.KeyedTuple
 import graft.streaming.Metrics.ReconfigProfiler
 
-/** State of the reconfigurable running-count operator. */
-case class CountState(count: Long)
+/** State of the reconfigurable running-count operator. `payload` is
+  * ballast for the reference's state-size sweep (micro-bench.sh:137-140
+  * runs 1 KiB / 10 KiB / 100 KiB per key): it rides along in the state
+  * store so reconfiguration cost can be measured as a function of
+  * state VOLUME — the pinned layout's zero-movement claim is exactly
+  * that its cost does not grow with this field. */
+case class CountState(count: Long, payload: Array[Byte] = Array.empty)
 
 /** The controller-facing API — the analog of the reference's
   * `ReconfigurationExecutor` (reference
@@ -167,6 +172,11 @@ final class ReconfigurableCountQuery(
     observePlacement: Boolean = false,
     statePartitions: Option[Int] = None,
     fileSinkDir: Option[String] = None,
+    /** Per-key state ballast in bytes (0 = none): the reference's
+      * state-size sweep dimension. The legacy migration path pays for
+      * it (read + re-feed scales with state volume); the pinned path
+      * must not. */
+    statePayloadBytes: Int = 0,
     /** Synchronize-phase barrier: `true` (default, test sources)
       * drains every available batch before stopping —
       * `processAllAvailable` never returns against a continuously
@@ -253,12 +263,14 @@ final class ReconfigurableCountQuery(
         t
       }
     val grouped = placed.groupByKey(_.key)
+    val padBytes = statePayloadBytes
     val fn = (key: String, rows: Iterator[KeyedTuple],
         state: GroupState[CountState]) => {
       val logic = UdfRegistry(logicName)
       val prev = state.getOption.map(_.count).getOrElse(0L)
       val next = logic(key, prev, rows.size.toLong)
-      state.update(CountState(next))
+      state.update(CountState(next,
+        if (padBytes == 0) Array.empty else new Array[Byte](padBytes)))
       Iterator.single(KeyedTuple(key, next))
     }
     val stream = initState match {
@@ -320,12 +332,17 @@ final class ReconfigurableCountQuery(
     val raw = spark.read.format("statestore").load(checkpoint)
     val valueFields = raw.schema("value").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
-    val countCol =
-      if (valueFields.contains("groupState")) col("value.groupState.count")
-      else col("value.count")
-    raw.select(col("key.value").as("key"), countCol.as("count"))
-      .as[(String, Long)]
-      .map { case (k, c) => (k, CountState(c)) }
+    val prefix =
+      if (valueFields.contains("groupState")) "value.groupState"
+      else "value"
+    // the payload ballast MUST migrate with the count — dropping it
+    // would let the legacy path's measured cost shrink with exactly
+    // the bytes the state-size sweep is varying
+    raw.select(col("key.value").as("key"), col(s"$prefix.count").as("count"),
+        col(s"$prefix.payload").as("payload"))
+      .as[(String, Long, Array[Byte])]
+      .map { case (k, c, p) =>
+        (k, CountState(c, if (p == null) Array.empty else p)) }
   }
 
   /** Apply staged changes: the four primitives at the batch boundary. */
