@@ -24,14 +24,22 @@ package graft.controlplane
   * is a remote-code-execution surface, and the reference gates its
   * path behind the trisk.* config too.
   *
-  * Scale note: the compiled classes live in the DRIVER's toolbox
-  * classloader. That is exactly where controllers run, and count
-  * logic is resolved from the registry by name per executor — on a
-  * multi-JVM cluster the registry singleton would be empty on
-  * executors, so the cluster path ships the compiled bytes as a jar
-  * (`SparkContext.addJar`, the analog of the reference's blob-server
-  * upload at StreamManager.java:987-989) and registers on executor
-  * first-use; single-JVM (local[*]) resolves directly.
+  * Scale note — SINGLE-JVM ONLY, BY CONSTRUCTION. The compiled
+  * classes live in the driver's in-memory toolbox classloader.
+  * Controllers run driver-side, so controller submission is fully
+  * general; compiled COUNT LOGIC, however, is resolved from the
+  * [[UdfRegistry]] singleton by name inside the stateful closure,
+  * which executes on executors — correct in `local[*]` (one JVM, as
+  * in this repo's deployment), but on a multi-JVM cluster the
+  * executor-side registry has no entry and resolution fails fast
+  * with the registry's unknown-name error. Future work for a real
+  * cluster deployment: extract the class bytes from the toolbox's
+  * virtual directory into a jar, ship it (`SparkContext.addJar`, the
+  * analog of the reference's blob-server upload at
+  * StreamManager.java:987-989) and install into the executor-side
+  * registry on first use. None of that exists today; built-in
+  * (pre-compiled) logic swaps are unaffected since their classes are
+  * on every JVM's classpath.
   */
 object DynamicCompiler {
 

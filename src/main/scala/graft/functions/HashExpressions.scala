@@ -162,6 +162,31 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** Count of common elements of two SORTED-ASCENDING distinct long
+    * arrays by a single merge walk. Equivalent built-in pipeline:
+    * `size(array_intersect(a, b))` — which builds a per-pair hash set
+    * and materializes the intersection array, pure garbage when only
+    * the COUNT is needed. Identical result on the sorted-distinct
+    * arrays the shingle/signature kernels emit. This is the
+    * exact-verification inner loop of the near-dup operators: it runs
+    * once per CANDIDATE PAIR, the hottest loop in the dedup family at
+    * scale. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** `k` bloom bit positions of a pre-salted key string: md5 the UTF-8
     * bytes and take consecutive 4-byte big-endian windows mod `m` —
     * bit-identical to `CAST('0x' || substr(md5(s), 1 + 8j, 8) AS
@@ -202,6 +227,31 @@ case class BloomBitPositions(child: Expression, k: Int, m: Int)
       s"${ev.value} = graft.functions.HashImpl.bloomBits($c, $k, $m);")
   override protected def withNewChildInternal(newChild: Expression)
       : BloomBitPositions = copy(child = newChild)
+}
+
+/** Merge-walk intersection count of two sorted ARRAY<LONG>s —
+  * [[HashImpl.sortedIntersectCount]]. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashImpl.sortedIntersectCount($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Base for the unary kernel-backed expressions: ARRAY<LONG> result,
@@ -298,6 +348,8 @@ object HashExpressions {
     column(LshBuckets(expression(v), tables, bits))
   def bloomBitPositions(s: Column, k: Int, m: Int): Column =
     column(BloomBitPositions(expression(s), k, m))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 
   private def intLit(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -320,5 +372,7 @@ object HashExpressions {
         intLit(es(2), "lsh_buckets")))
     GraftSqlBridge.registerFunction(spark, "array_dot",
       es => ArrayDotProduct(es(0), es(1)))
+    GraftSqlBridge.registerFunction(spark, "sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)))
   }
 }

@@ -58,8 +58,13 @@ object DedupQueries {
   /** Exact Jaccard ≥ `t` verification of candidate (id1, id2) pairs
     * against the doc-array inventory: two one-row-per-doc joins (AQE
     * broadcasts them at small scale; at 100 TB they are shuffled hash
-    * joins keyed on doc_id, still one row per doc), then an in-place
-    * sorted-array intersection — no per-shingle row explosion. */
+    * joins keyed on doc_id, still one row per doc), then a merge-walk
+    * intersection COUNT of the two sorted arrays — the
+    * [[graft.functions.HashImpl.sortedIntersectCount]] kernel: no
+    * per-shingle row explosion, no per-pair hash set, no materialized
+    * intersection array (`size(array_intersect(..))` built both; this
+    * loop runs once per candidate pair, the hottest loop of the dedup
+    * family at scale). */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame,
       t: Double): DataFrame = {
     val a = docs.select(col("doc_id").as("id1"), col("n_sh").as("n1"),
@@ -68,7 +73,8 @@ object DedupQueries {
       col("khs").as("k2"))
     cand.join(a, "id1").join(b, "id2")
       .withColumn("inter",
-        size(array_intersect(col("k1"), col("k2"))).cast("long"))
+        graft.functions.HashExpressions.sortedIntersectCount(
+          col("k1"), col("k2")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= t)
@@ -86,26 +92,46 @@ object DedupQueries {
     * the verification join). Joins run on the compact 60-bit
     * md5-derived `kh` key, which the oracle mirrors, instead of the
     * shingle string. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    verifyJaccard(ngramCandidates(s, dir), docShingleArrays(s, dir), 0.7)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Candidate (id1, id2) pairs of [[ngramJaccard]] — exposed for
+    * stage profiling ([[graft.tools.ProfileNgram]]). Exactness: every
+    * pruning rule below only DISCARDS pairs the exact verification
+    * would discard anyway; every true J ≥ 0.7 pair survives. */
+  private[graft] def ngramCandidates(s: SparkSession, dir: String)
+      : DataFrame = {
     val docs = docShingleArrays(s, dir)
     // prefix = first n − ⌈t·n⌉ + 1 hashes of the doc's canonically
-    // (numerically) sorted array — a slice, no window sort needed
+    // (numerically) sorted array — a slice, no window sort needed —
+    // WITH each hash's position for the PPJoin bound below
     val prefix = docs.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("khs"), lit(1),
+      posexplode(slice(col("khs"), lit(1),
         (col("n_sh") - ceil(col("n_sh") * lit(0.7)) + 1).cast("int")))
-        .as("kh"))
-    val cand = prefix.as("a")
+        .as(Seq("pos", "kh")))
+    // PPJoin positional upper bound: matching at 0-based positions
+    // (pa, pb) of the sorted arrays, the overlap can be at most
+    // 1 + min(n1−pa−1, n2−pb−1) (the match itself + everything after
+    // it); J ≥ t needs overlap ≥ ⌈t/(1+t)·(n1+n2)⌉. At the FIRST
+    // common element every common element is ≥ it, so the bound is
+    // valid there — a true pair always survives on that row.
+    val overlapNeeded =
+      (lit(0.7) / lit(1.7)) * (col("a.n_sh") + col("b.n_sh"))
+    val positionalBound =
+      lit(1) + least(col("a.n_sh") - col("a.pos") - 1,
+        col("b.n_sh") - col("b.pos") - 1)
+    prefix.as("a")
       .join(prefix.as("b"), col("a.kh") === col("b.kh") &&
         col("a.doc_id") < col("b.doc_id") &&
         // length filter: J ≥ 0.7 forces min(n1,n2) ≥ 0.7·max(n1,n2) —
         // prunes candidates only, so float rounding can't lose a true
         // pair that the exact verification would keep
         least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-          greatest(col("a.n_sh"), col("b.n_sh")).cast("double") * lit(0.7))
+          greatest(col("a.n_sh"), col("b.n_sh")).cast("double") * lit(0.7) &&
+        positionalBound.cast("double") >= overlapNeeded)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    verifyJaccard(cand, docs, 0.7)
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** Oracle counts intersections on the same 60-bit md5 key as the

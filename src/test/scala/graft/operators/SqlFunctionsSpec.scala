@@ -54,6 +54,38 @@ class SqlFunctionsSpec extends AnyFunSuite {
       spark.sql("SELECT lsh_buckets(array('a'), 2, 4)").head
     }
     assert(e3.getMessage.contains("ARRAY<double>"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array('a'), array(1L))").head
+    }
+    assert(e4.getMessage.contains("ARRAY<BIGINT>"), e4.getMessage)
+  }
+
+  /** The merge-walk count must agree with the built-in pipeline it
+    * replaces — size(array_intersect) — on the sorted-distinct arrays
+    * the shingle kernels emit, including the disjoint and empty
+    * edges. */
+  test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    HashExpressions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      val a = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (a, b)
+    } :+ ((Array.emptyLongArray, Array(1L, 2L)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        HashExpressions.sortedIntersectCount(col("a"), col("b")).as("kernel"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(col("kernel") =!= col("builtin"))
+      .count()
+    assert(bad === 0)
+    // and the SQL registration routes to the same expression
+    val viaSql = spark.sql(
+      "SELECT sorted_intersect_count(array(1L,3L,5L), array(3L,4L,5L))").head
+    assert(viaSql.getLong(0) === 2L)
   }
 
   test("non-literal size argument is rejected with a clear error") {
