@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.GraftFunctions.{shinglesOfTokens, tokens}
@@ -220,34 +219,107 @@ object CurationQueries {
     * mixture decisions: for every source pair, the count of shared
     * distinct 3-gram shingles and the shingle-set Jaccard. Detects
     * inter-source duplication/contamination (mirror sites, shared
-    * boilerplate) before it skews dedup or mixture weights. Plan: one
-    * (source, shingle) distinct, then a self-join keyed on the
-    * shingle — fan-out per shingle is bounded by C(#sources, 2), not
-    * corpus size, so the pair aggregation stays linear at 100 TB.
-    * The distinct (source, shingle) set is PERSISTED before the
-    * self-join: without it both join sides re-run the full
-    * tokenize+shingle+explode+distinct pipeline — two corpus scans
-    * for one logical input. Verify/Bench unpersist between queries. */
+    * boilerplate) before it skews dedup or mixture weights.
+    *
+    * Plan (join-free, bitmask): the source dimension is a tiny label
+    * set (one per ingest feed), so each source gets a bit in a LONG.
+    * One codegen aggregation collapses the corpus to (shingle ->
+    * source bitmask) via `bit_or`; a second collapses that to
+    * (mask -> shingle count), whose cardinality is the number of
+    * distinct SHARING PATTERNS (≤ 2^#sources, in practice dozens) —
+    * so the pair explosion runs over a handful of mask rows, never
+    * per shingle, and per-mask fan-out is bounded by C(#sources, 2).
+    * The totals/pairs branches split above one shared tiny exchange
+    * (executed once via AQE stage reuse): one corpus scan, no shingle
+    * self-join, nothing persisted, whole-stage codegen end to end
+    * (no ObjectHashAggregate — `collect_set` never touches the big
+    * stream). Sources beyond 64 bits fall back to the collect_set
+    * form with identical semantics. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    // dense alphabetical source index, read through the pruned
+    // `source` column (dictionary page, not the text payload); the
+    // collect is bounded by the source-label cardinality
+    val srcNames = Tables.documents(s, dir)
+      .select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (srcNames.length > 64) return sourceOverlapWide(s, dir)
+    val idxMap = typedlit(srcNames.zipWithIndex.toMap)
+    val byKh = Tables.documents(s, dir)
+      .select(explode(shingleHashes(tokens(col("text")), 3)).as("kh"),
+        element_at(idxMap, col("source")).as("sidx"))
+      .selectExpr("kh", "shiftleft(1L, sidx) AS bit")
+      .groupBy(col("kh"))
+      .agg(expr("bit_or(bit)").as("mask"))
+    val maskCounts = byKh.groupBy(col("mask"))
+      .agg(count(lit(1)).as("cnt"))
+    // indices present in the mask, ascending (== alphabetical order);
+    // materialized as a column so the five references inside `combos`
+    // read the array instead of re-running the bit filter each time
+    val withIdxs = maskCounts.withColumn("idxs", expr(
+      s"filter(sequence(0, ${srcNames.length - 1}), " +
+        "i -> (mask & shiftleft(1L, i)) != 0L)"))
+    val idxs = col("idxs")
+    // tagged union per mask: membership rows in BOTH orientations —
+    // (i, -1) feeds the src_a totals window, (-1, i) feeds the src_b
+    // totals window — plus ordered (i, j) pair rows (ascending indices
+    // make src_a < src_b structural). Keeping totals and pairs in ONE
+    // stream means the heavy aggregation has a single consumer: no
+    // branch, no self-join, no reliance on AQE stage reuse.
+    val combos = concat(
+      transform(idxs, x => struct(x.as("ia"), lit(-1).as("ib"))),
+      transform(idxs, x => struct(lit(-1).as("ia"), x.as("ib"))),
+      flatten(transform(idxs, (x, i) =>
+        transform(slice(idxs, i + lit(2), size(idxs)), y =>
+          struct(x.as("ia"), y.as("ib"))))))
+    val counts = withIdxs.select(explode(combos).as("c"), col("cnt"))
+      .groupBy(col("c.ia").as("ia"), col("c.ib").as("ib"))
+      .agg(sum(col("cnt")).as("n"))
+    // totals attach via two windows over the ≤ (2·#sources +
+    // C(#sources, 2))-row counts frame — each pair row sees its (i,-1)
+    // sibling in the ia partition and its (-1,j) sibling in the ib
+    // partition; membership rows drop out of the final filter
+    val names = typedlit(srcNames)
+    counts
+      .withColumn("na", max(when(col("ib") === -1, col("n")))
+        .over(Window.partitionBy(col("ia"))))
+      .withColumn("nb", max(when(col("ia") === -1, col("n")))
+        .over(Window.partitionBy(col("ib"))))
+      .filter(col("ia") =!= -1 && col("ib") =!= -1)
+      .select(element_at(names, col("ia") + 1).as("src_a"),
+        element_at(names, col("ib") + 1).as("src_b"),
+        col("n").as("shared"),
+        (col("n") / (col("na") + col("nb") - col("n"))).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Fallback overlap form for > 64 sources: same semantics with a
+    * per-shingle `collect_set` (ObjectHashAggregate) instead of the
+    * bitmask — still one corpus scan and no self-join, just without
+    * the mask-collapse compression. */
+  private def sourceOverlapWide(s: SparkSession, dir: String): DataFrame = {
+    val bySh = Tables.documents(s, dir)
       .select(col("source"),
         explode(shingleHashes(tokens(col("text")), 3)).as("kh"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val perSource = sh.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.kh") === col("b.kh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("kh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val combos = concat(
+      transform(col("srcs"), x =>
+        struct(x.as("src_a"), lit(null).cast("string").as("src_b"))),
+      flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+          struct(x.as("src_a"), y.as("src_b"))))))
+    val counts = bySh.select(explode(combos).as("c"))
+      .groupBy(col("c.src_a").as("src_a"), col("c.src_b").as("src_b"))
+      .agg(count(lit(1)).as("cnt"))
+    val per = counts.filter(col("src_b").isNull)
+    val pairs = counts.filter(col("src_b").isNotNull)
     pairs
-      .join(broadcast(perSource.select(col("source").as("src_a"),
-        col("n_shingles").as("na"))), Seq("src_a"))
-      .join(broadcast(perSource.select(col("source").as("src_b"),
-        col("n_shingles").as("nb"))), Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("shared"),
-        (col("shared") / (col("na") + col("nb") - col("shared")))
+      .join(broadcast(per.select(col("src_a"), col("cnt").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(per.select(col("src_a").as("src_b"),
+        col("cnt").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("cnt").as("shared"),
+        (col("cnt") / (col("na") + col("nb") - col("cnt")))
           .as("jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }

@@ -104,28 +104,36 @@ class PlanHygieneSpec extends AnyFunSuite {
       p.contains("TableCacheQueryStage"), p)
   }
 
-  /** Both sides of the shingle self-join must read the one persisted
-    * (source, shingle) set — an unmaterialized subquery would re-run
-    * tokenize+shingle+explode+distinct twice (two corpus scans). */
-  test("source overlap self-join reads one cached shingle set") {
+  /** The r7 join-free plan: the corpus is scanned ONCE into the
+    * (shingle -> source set) aggregation, pairs come from an explode
+    * of that set (never a shingle self-join), and the totals/pairs
+    * branches share one exchange via AQE stage reuse. Executes the
+    * query so the final adaptive tree (where reuse is visible) is
+    * what gets walked. */
+  test("source overlap: one corpus scan, no shingle self-join") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val df = graft.operators.CurationQueries.sourceOverlap(spark, dir)
-    val p = plan(df)
-    assert(p.contains("InMemoryTableScan") ||
-      p.contains("TableCacheQueryStage"), p)
-    // the executed tree must reach documents ONLY through the cache:
-    // no FileSourceScan node outside the InMemoryRelation definition
-    // (the plan STRING re-prints the cached child per scan site, so
-    // string-counting overcounts — walk the tree instead)
-    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
-      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-      case f: FileSourceScanExec => Seq(f)
-      case o => o.children.flatMap(scans)
+    df.collect() // finalize AQE so stage reuse is visible in the tree
+    def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case r: ReusedExchangeExec => Seq(r) // reused stage: runs once
+      case o => o +: o.children.flatMap(walk)
     }
-    val docScans = scans(df.queryExecution.executedPlan)
-      .filter(_.toString.contains("documents"))
-    assert(docScans.isEmpty, s"documents scanned outside the cache:\n$p")
+    val nodes = walk(df.queryExecution.executedPlan)
+    val docScans = nodes.collect {
+      case f: FileSourceScanExec if f.toString.contains("documents") => f
+    }
+    assert(docScans.size == 1,
+      s"expected exactly one documents scan, got ${docScans.size}:\n${plan(df)}")
+    val shuffleJoins = nodes.filter(n =>
+      n.nodeName.contains("SortMergeJoin") ||
+        n.nodeName.contains("ShuffledHashJoin") ||
+        n.nodeName.contains("CartesianProduct"))
+    assert(shuffleJoins.isEmpty,
+      s"overlap must not self-join the shingle set:\n${plan(df)}")
   }
 
   /** Linear counting runs both distincts (bitmap occupancy + exact) in
