@@ -50,11 +50,14 @@ object NexmarkStreamBench {
       }
   }
 
-  /** Q1 — currency conversion map (Query1.java): stateless per-record
-    * arithmetic, the pure pipeline-overhead measurement. */
+  /** Q1 — currency conversion map (Query1.java:83-85): stateless
+    * per-record arithmetic, the pure pipeline-overhead measurement.
+    * Same truncating `(long)(0.82 * price)` constant as the
+    * oracle-gated twin ([[graft.operators.EventQueries]] e1). */
   private def q1(b: Dataset[Bid]) =
     b.select(col("auction"), col("bidder"),
-      (col("price") * 0.908).as("price_eur"), col("dateTime"))
+      floor(col("price") * 0.82).cast("long").as("price_eur"),
+      col("dateTime"))
 
   /** Q2 — selection (Query2.java): bids on a sparse auction subset. */
   private def q2(b: Dataset[Bid]) =

@@ -198,7 +198,23 @@ final class ReconfigurableCountQuery(
         "countV1", maxParallelism)))
   @volatile private var staged: QueryPlanDescriptor = plan
 
-  private var generation = 0
+  // Resume the highest generation already present under the
+  // checkpoint root: a predecessor instance that performed non-routing
+  // reconfigs left its live state in gen<N>, and an instance that
+  // restarted at a hardcoded 0 would silently resume the STALE gen0
+  // checkpoint while stamping sink rows generation=0 — readFileSink
+  // would then prefer the dead instance's higher-generation rows.
+  private var generation = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(checkpointRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("gen\\d+") =>
+        n.stripPrefix("gen").toInt }
+      .foldLeft(0)(math.max)
+  }
   private var query: StreamingQuery = _
   private var initState: Option[Dataset[(String, CountState)]] = None
   val profiler = new ReconfigProfiler

@@ -110,6 +110,17 @@ object AnnLsh {
       math.max(6, math.ceil(
         math.log(math.max(1L, n) / 32.0) / math.log(2)).toInt))
 
+  /** Corpus count memo, keyed by (session identity, dir): the width
+    * gate needs the count at PLAN-CONSTRUCTION time, but query
+    * registration sweeps and plan-hygiene inspection build these
+    * DataFrames repeatedly — one count job per (session, dir) is the
+    * construction-time ceiling, not one per build. */
+  private val corpusCounts =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private def embeddingCount(s: SparkSession, dir: String): Long =
+    corpusCounts.getOrElseUpdate((System.identityHashCode(s), dir),
+      Tables.embeddings(s, dir).count())
+
   /** Embedding near-dup pairs via LSH buckets — the scale path for the
     * pairs shape (the brute-force all-pairs form is the test oracle
     * only). Candidates share ≥1 (table, bucket); survivors are exactly
@@ -120,7 +131,7 @@ object AnnLsh {
       tables: Int = 16, bits: Int = -1): DataFrame = {
     val width =
       if (bits > 0) bits
-      else bitsFor(s, Tables.embeddings(s, dir).count())
+      else bitsFor(s, embeddingCount(s, dir))
     val b = bucketed(s, dir, tables, width).cache()
     val cand = b.as("a")
       .join(b.as("b"),
@@ -189,7 +200,7 @@ object AnnLsh {
     * growth shows up as an error, not a hash mismatch. Non-gated
     * callers use [[nearDupLsh]] directly and scale freely. */
   def nearDupLshQuery(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embeddingCount(s, dir)
     val width = bitsFor(s, n)
     require(width == 6,
       s"nearDupLsh oracle SQL is pinned at 6-bit buckets but bitsFor(n=$n) " +

@@ -283,6 +283,62 @@ class ReconfigurationSpec extends AnyFunSuite {
     assert(counts === (0 until 10).map(k => s"A$k" -> 4L).toMap)
   }
 
+  /** Kill/resume AFTER a non-routing reconfiguration: the predecessor
+    * died on generation 1, so the successor must derive its starting
+    * generation from the gen* directories on disk — a successor that
+    * restarted at a hardcoded gen0 would resume the STALE pre-reconfig
+    * checkpoint and stamp its rows generation=0, which readFileSink
+    * silently loses to the dead instance's generation-1 rows. */
+  test("resume after a generation-bumping reconfig continues the latest generation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val checkpointRoot = Files.createTempDirectory("reconfig-genkill").toString
+    val sinkDir = Files.createTempDirectory("reconfig-genkill-out")
+      .toString + "/counts"
+    var stream = MemoryStream[KeyedTuple]
+    // LEGACY mode: the rescale below is a full reconfiguration, so it
+    // bumps the generation before the kill
+    val rq = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "genkill_sink_unused", initialParallelism = 2,
+      fileSinkDir = Some(sinkDir))
+    rq.start()
+    stream.addData(tuples(0 until 10, 2): _*)
+    rq.processAllAvailable()
+
+    rq.assignResources(rq.OperatorName, 4)
+    stream = MemoryStream[KeyedTuple] // repositioned source for gen 1
+    rq.execute("legacy rescale => generation 1")
+    stream.addData(tuples(0 until 10, 1): _*)
+    rq.processAllAvailable()
+    // in-flight rows land, then the driver dies without draining
+    stream.addData(tuples(0 until 10, 1): _*)
+    rq.stop()
+
+    // successor on the same root: must pick up generation 1 from disk
+    val rq2 = new ReconfigurableCountQuery(spark, () => stream.toDS(),
+      checkpointRoot, "genkill_sink_unused2", initialParallelism = 4,
+      fileSinkDir = Some(sinkDir))
+    rq2.start()
+    rq2.processAllAvailable() // replays the in-flight rows
+    rq2.stop()
+
+    // 2 (gen0) + 1 (gen1 drained) + 1 (replayed after resume) per key
+    val counts = ReconfigurableCountQuery.readFileSink(spark, sinkDir)
+      .collect().map(t => t.key -> t.value).toMap
+    assert(counts === (0 until 10).map(k => s"A$k" -> 4L).toMap)
+    // and the successor really continued generation 1 — no generation-2
+    // checkpoint was opened, no rows regressed to generation 0 stamps
+    val gens = spark.read.parquet(sinkDir)
+      .select(col("generation")).distinct()
+      .as[Int].collect().sorted
+    assert(gens === Array(0, 1))
+    val newestGen = spark.read.parquet(sinkDir)
+      .filter(col("generation") === 1)
+      .groupBy().max("batch_id").as[Long].head()
+    assert(newestGen >= 1L) // successor appended into generation 1
+  }
+
   /** The reference's full submit-source story
     * (udm/FraudDetectionController.java:155-190 POSTs Java source,
     * StreamManager.java:973-996 compiles it, changeOfLogic swaps the
