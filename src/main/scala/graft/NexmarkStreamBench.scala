@@ -64,6 +64,28 @@ object NexmarkStreamBench {
     b.filter(col("auction") % 123 === 0)
       .select(col("auction"), col("price"))
 
+  /** Q3 — the reference's two-stream config (Query3.java:60-62:
+    * auctions at srcRate, persons at srcRate/2) through the unbounded
+    * incremental symmetric join. Latency is observed on the auction
+    * side (the volume-dominant stream; one observation per query —
+    * the metric name is shared). Join-state growth (person cache +
+    * pending-auction buffers for sellers whose person never passes
+    * the state filter — same accumulation as the reference's MapState
+    * buffer) is reported via the state-rows/bytes columns. */
+  private def q3(spark: SparkSession, aRate: Int, pRate: Int) = {
+    import spark.implicits._
+    val araw = spark.readStream.format("rate")
+      .option("rowsPerSecond", aRate).load()
+    val auctions = Metrics.observeSourceTs(araw, "timestamp")
+      .select(col("value")).as[Long]
+      .map(i => NexmarkSources.auctionAt(i))
+    val persons = spark.readStream.format("rate")
+      .option("rowsPerSecond", pRate).load()
+      .select(col("value")).as[Long]
+      .map(i => NexmarkSources.personAt(i))
+    graft.streaming.SymmetricJoin.join(persons, auctions)
+  }
+
   /** Q5 — hot items (Query5.java): sliding-window bid counts per
     * auction; scaled to seconds like the reference's micro configs. */
   private def q5(b: Dataset[Bid]) =
@@ -106,6 +128,16 @@ object NexmarkStreamBench {
       }
       System.err.println(s"[nexmark-stream] $name ${r.json}")
       s""""$name":${r.json}"""
+    } :+ {
+      // Q3 runs the reference's own two-stream rates (Query3.java:
+      // 60-62), constant not sine: 20k auctions/s + 10k persons/s
+      val (aRate, pRate) = (20000, 10000)
+      val r = StreamBench.measure(spark, aRate + pRate, seconds) {
+        q3(spark, aRate, pRate)
+          .writeStream.format("noop").outputMode("append").start()
+      }
+      System.err.println(s"[nexmark-stream] q3_join ${r.json}")
+      s""""q3_join":${r.json}"""
     }
     val line =
       s"""{"metric":"nexmark_stream_rates","config":{"src_rate":$amplitude,"cycle_sec":$cycleSec,"seconds_per_query":$seconds,"offered":"(sin(2pi*epoch/cycle)+1)*src_rate, mean = src_rate"},"queries":{${results.mkString(",")}}}"""

@@ -31,9 +31,10 @@ object StreamBench {
   case class StepResult(rate: Int, meanRps: Double, batches: Int,
       totalRows: Long, busyFraction: Double,
       durP50: Long, durP95: Long, durP99: Long,
-      latP50: Long, latP95: Long, latP99: Long) {
+      latP50: Long, latP95: Long, latP99: Long,
+      stateRowsEnd: Long = 0L, stateBytesMax: Long = 0L) {
     def json: String =
-      f"""{"rate":$rate,"rows_per_sec":$meanRps%.0f,"batches":$batches,"total_rows":$totalRows,"busy_fraction":$busyFraction%.2f,"duration_ms":{"p50":$durP50,"p95":$durP95,"p99":$durP99},"latency_ms":{"p50":$latP50,"p95":$latP95,"p99":$latP99}}"""
+      f"""{"rate":$rate,"rows_per_sec":$meanRps%.0f,"batches":$batches,"total_rows":$totalRows,"busy_fraction":$busyFraction%.2f,"duration_ms":{"p50":$durP50,"p95":$durP95,"p99":$durP99},"latency_ms":{"p50":$latP50,"p95":$latP95,"p99":$latP99},"state_rows_end":$stateRowsEnd,"state_bytes_max":$stateBytesMax}"""
   }
 
   private def pct(xs: Seq[Long], q: Double): Long =
@@ -67,7 +68,9 @@ object StreamBench {
       ps.size, ps.map(_.numInputRows).sum,
       durs.sum / 1000.0 / wallSec,
       pct(durs, 0.50), pct(durs, 0.95), pct(durs, 0.99),
-      pct(lats, 0.50), pct(lats, 0.95), pct(lats, 0.99))
+      pct(lats, 0.50), pct(lats, 0.95), pct(lats, 0.99),
+      ps.lastOption.map(_.stateRows).getOrElse(0L),
+      if (ps.isEmpty) 0L else ps.map(_.stateBytes).max)
   }
 
   /** One measured run at a fixed rate (fresh source, fresh listener). */

@@ -24,22 +24,23 @@ package graft.controlplane
   * is a remote-code-execution surface, and the reference gates its
   * path behind the trisk.* config too.
   *
-  * Scale note — SINGLE-JVM ONLY, BY CONSTRUCTION. The compiled
-  * classes live in the driver's in-memory toolbox classloader.
+  * Scale note — TWO paths with different envelopes:
+  *  - the TOOLBOX path ([[compileAndRegisterCountLogic]]) compiles
+  *    into the driver's in-memory classloader: single-JVM only
+  *    (`local[*]`), because executor-side registry resolution has no
+  *    class to find on a real cluster;
+  *  - the JAR-SHIP path ([[compileCountLogicJar]] +
+  *    [[shipAndRegisterCountLogic]]) compiles the submission to real
+  *    class files, packages them into a jar, ships it with
+  *    `SparkContext.addJar` (the analog of the reference's
+  *    blob-server upload at StreamManager.java:987-989), and
+  *    executor-side [[UdfRegistry]] resolution falls back to loading
+  *    `graft.dynamic.CountLogicGen_<name>` from the task context
+  *    classloader — so a source-compiled swap works on a multi-JVM
+  *    cluster (proven on `local-cluster` executors in
+  *    DynamicJarShipSpec).
   * Controllers run driver-side, so controller submission is fully
-  * general; compiled COUNT LOGIC, however, is resolved from the
-  * [[UdfRegistry]] singleton by name inside the stateful closure,
-  * which executes on executors — correct in `local[*]` (one JVM, as
-  * in this repo's deployment), but on a multi-JVM cluster the
-  * executor-side registry has no entry and resolution fails fast
-  * with the registry's unknown-name error. Future work for a real
-  * cluster deployment: extract the class bytes from the toolbox's
-  * virtual directory into a jar, ship it (`SparkContext.addJar`, the
-  * analog of the reference's blob-server upload at
-  * StreamManager.java:987-989) and install into the executor-side
-  * registry on first use. None of that exists today; built-in
-  * (pre-compiled) logic swaps are unaffected since their classes are
-  * on every JVM's classpath.
+  * general on either path.
   */
 object DynamicCompiler {
 
@@ -99,6 +100,84 @@ object DynamicCompiler {
         throw new CompileException(s"count logic $name", e)
       case _: Exception => () // user logic may throw on the probe input
     }
+    UdfRegistry.register(name, fn)
+    fn
+  }
+
+  /** Compile a count-logic submission into a REAL jar on disk. The
+    * expression is wrapped in a generator class named by the shared
+    * [[UdfRegistry.ShippedClassPrefix]] convention, compiled with the
+    * resident Scala compiler against this JVM's full classpath, and
+    * packaged — the cluster-deployable form of the toolbox path.
+    * Same feature flag: compiling submitted source is an RCE surface
+    * whichever classloader it lands in. */
+  def compileCountLogicJar(name: String, source: String)
+      : java.nio.file.Path = {
+    import java.nio.file.{Files, Path}
+    if (!enabled) throw new IllegalStateException(
+      s"dynamic compilation is disabled — set -D$FlagKey=true " +
+        "(or GRAFT_DYNAMIC_COMPILE=1) to allow source submission")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"shippable logic name must be an identifier, got '$name'")
+    val cls = UdfRegistry.ShippedClassPrefix.split('.').last + name
+    val wrapped =
+      s"""package graft.dynamic
+         |class $cls extends scala.Function0[(String, Long, Long) => Long]
+         |    with java.io.Serializable {
+         |  def apply(): (String, Long, Long) => Long = {
+         |$source
+         |  }
+         |}""".stripMargin
+    val outDir = Files.createTempDirectory(s"graft-dyn-$name")
+    val settings = new scala.tools.nsc.Settings
+    settings.usejavacp.value = true
+    // under sbt's layered classloaders java.class.path is still the
+    // forked JVM's full application classpath (fork := true)
+    settings.classpath.value = sys.props("java.class.path")
+    settings.outputDirs.setSingleOutput(outDir.toString)
+    val reporter = new scala.tools.nsc.reporters.StoreReporter(settings)
+    val g = new scala.tools.nsc.Global(settings, reporter)
+    new g.Run().compileSources(List(
+      new scala.reflect.internal.util.BatchSourceFile(
+        s"$cls.scala", wrapped)))
+    if (reporter.hasErrors)
+      throw new CompileException(s"count logic $name",
+        new IllegalArgumentException(reporter.infos
+          .filter(_.severity == reporter.ERROR)
+          .map(i => s"${i.pos.line}: ${i.msg}").mkString("; ")))
+    val jar = outDir.resolve(s"$name.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      Files.newOutputStream(jar))
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".class"))
+        .foreach { p: Path =>
+          jos.putNextEntry(new java.util.jar.JarEntry(
+            outDir.relativize(p).toString.replace('\\', '/')))
+          jos.write(Files.readAllBytes(p))
+          jos.closeEntry()
+        }
+    } finally jos.close()
+    jar
+  }
+
+  /** Cluster form of [[compileAndRegisterCountLogic]]: compile to a
+    * jar, `addJar` it so every executor's task classloader can load
+    * the generated class ([[UdfRegistry]]'s shipped-class fallback),
+    * and register driver-side through the same classloader mechanism
+    * the executors will use. */
+  def shipAndRegisterCountLogic(name: String, source: String,
+      sc: org.apache.spark.SparkContext): UdfRegistry.CountLogic = {
+    val jar = compileCountLogicJar(name, source)
+    sc.addJar(jar.toString)
+    val loader = new java.net.URLClassLoader(
+      Array(jar.toUri.toURL), getClass.getClassLoader)
+    val fn = Class.forName(UdfRegistry.ShippedClassPrefix + name,
+        true, loader)
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[() => UdfRegistry.CountLogic].apply()
     UdfRegistry.register(name, fn)
     fn
   }

@@ -27,6 +27,34 @@ object UdfRegistry {
     "countV2" -> ((_, prev, n) => prev + 2 * n))
 
   def register(name: String, fn: CountLogic): Unit = fns.put(name, fn)
-  def apply(name: String): CountLogic = fns(name)
+
+  /** Resolve by name. On a registry miss, fall back to the SHIPPED
+    * form of runtime-compiled logic: [[DynamicCompiler]]'s jar path
+    * compiles a submission into class
+    * `graft.dynamic.CountLogicGen_<name>` and ships the jar with
+    * `SparkContext.addJar` — on an executor JVM the in-memory registry
+    * is empty, but the class IS on the task's context classloader
+    * (Spark's mutable URL classloader includes shipped jars), so it is
+    * instantiated once here and cached. Names that resolve neither way
+    * fail fast with the registry's unknown-name error, as before. */
+  def apply(name: String): CountLogic =
+    fns.getOrElse(name, resolveShipped(name).getOrElse(fns(name)))
+
   def names: Set[String] = fns.keySet.toSet
+
+  /** Fully-qualified class prefix of jar-shipped compiled logic —
+    * shared convention with [[DynamicCompiler.compileCountLogicJar]]. */
+  val ShippedClassPrefix = "graft.dynamic.CountLogicGen_"
+
+  private def resolveShipped(name: String): Option[CountLogic] =
+    if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) None
+    else try {
+      val loader = Option(Thread.currentThread.getContextClassLoader)
+        .getOrElse(getClass.getClassLoader)
+      val cls = Class.forName(ShippedClassPrefix + name, true, loader)
+      val fn = cls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[() => CountLogic].apply()
+      fns.putIfAbsent(name, fn)
+      Some(fn)
+    } catch { case _: ClassNotFoundException => None }
 }

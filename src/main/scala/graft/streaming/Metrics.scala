@@ -28,7 +28,13 @@ object Metrics {
       rowsPerKeygroup: Map[Int, Long] = Map.empty,
       /** end-to-end latency: batch completion wallclock − max source
         * event time seen in the batch (needs [[observeSourceTs]]). */
-      latencyMs: Option[Long] = None)
+      latencyMs: Option[Long] = None,
+      /** keyed-state footprint after the batch (sum over stateful
+        * operators): row count and store memory — the join/agg
+        * state-size curve of the reference's numRecordsIn*-style state
+        * metrics. */
+      stateRows: Long = 0L,
+      stateBytes: Long = 0L)
 
   /** Per-keygroup load instrumentation, the analog of the reference's
     * per-key-group rate metrics (KafkaMetricsManager.java:242-250):
@@ -86,7 +92,9 @@ object Metrics {
           endMs - maxTsMs
         }
       buf.add(BatchProgress(p.batchId, p.numInputRows,
-        p.processedRowsPerSecond, p.batchDuration, kg, latency))
+        p.processedRowsPerSecond, p.batchDuration, kg, latency,
+        p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.memoryUsedBytes).sum))
     }
   }
 
