@@ -2,9 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all suites (one JVM, forked by sbt). */
+/** One shared local session for all suites (one JVM, forked by sbt).
+  * A method, not a lazy val: a suite that needs its own master (e.g.
+  * DynamicJarShipSpec's `local-cluster`) stops the JVM-wide context,
+  * and the next suite must get a fresh session, not the stopped one. */
 object SparkTestSession {
-  lazy val spark: SparkSession = {
+  def spark: SparkSession = synchronized {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")

@@ -27,6 +27,13 @@ class DynamicJarShipSpec extends AnyFunSuite {
     // local-cluster workers locate the dist through spark.test.home
     sys.props("spark.testing") = "true"
     sys.props("spark.test.home") = "/opt/spark"
+    // one SparkContext per JVM: retire the shared local[4] session so
+    // getOrCreate builds THIS master (SparkTestSession revives a fresh
+    // one for whatever suite runs next)
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local-cluster[2,1,1024]")
       .appName("graft-jar-ship")
@@ -63,6 +70,8 @@ class DynamicJarShipSpec extends AnyFunSuite {
       assert(taskJvms.nonEmpty)
     } finally {
       spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       sys.props.remove("spark.testing")
       sys.props.remove("spark.test.home")
       sys.props.remove(DynamicCompiler.FlagKey)
