@@ -487,6 +487,100 @@ object CurationQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Cross-document duplicated SPANS (ExactSubstr-style, Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"):
+    * per document, the maximal runs of consecutive 5-gram word
+    * shingles that also occur in at least one OTHER document — i.e.
+    * the boilerplate spans substring-dedup would cut, with their run
+    * structure. Complements [[novelty]] (distinct unordered keys, no
+    * positions): here a 60-word shared license header reads as one
+    * 56-shingle run, not 56 scattered keys.
+    * Output per doc: shingle-position count, duplicated-position
+    * count, longest duplicated run, number of runs ≥ 3 shingles
+    * (≥ 7 words), duplicated fraction.
+    *
+    * Plan: positional (doc, pos, kh) explode; cross-doc shared-key
+    * set via distinct + count ≥ 2 on the 60-bit md5 key (one row per
+    * key — no fan-out on hot boilerplate keys); shuffle join back on
+    * kh to keep only shared positions; then gaps-and-islands per doc
+    * (`pos − row_number`) where the window's doc_id partitioning is
+    * reused by both downstream aggregations (HashPartitioning(doc_id)
+    * satisfies the (doc_id, grp) clustering) — so runs/per-doc rollup
+    * add NO further exchange. The suffix array of the paper is
+    * replaced by the shingle-df sketch, the distributed-friendly
+    * form: all shuffles linear in corpus size, no self-join, nothing
+    * collected. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val sh = toks
+      .select(col("doc_id"),
+        posexplode(shinglesOfTokens(col("w"), 5)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("kh"))
+    val shared = sh.select(col("doc_id"), col("kh")).distinct()
+      .groupBy(col("kh")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("kh"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = sh.join(shared, "kh")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    val per = runs.groupBy(col("doc_id"))
+      .agg(max(col("len")).as("max_run"),
+        sum(col("len")).as("n_dup_pos"),
+        sum(when(col("len") >= 3, 1L).otherwise(0L)).as("n_spans"))
+    toks
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 4, lit(0)).cast("long").as("n_pos"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_frac",
+        when(col("n_pos") > 0,
+          col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST(('0x' || substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]), 1, 15)) AS BIGINT) AS kh
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-3, 1))) AS i) t),
+      |shared AS (
+      |  SELECT kh FROM (SELECT DISTINCT doc_id, kh FROM sh)
+      |  GROUP BY kh HAVING COUNT(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM sh JOIN shared USING (kh)),
+      |runs AS (
+      |  SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM hits),
+      |runlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM runs GROUP BY doc_id, grp),
+      |per AS (
+      |  SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_run,
+      |    CAST(SUM(len) AS BIGINT) AS n_dup_pos,
+      |    CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+      |  FROM runlen GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id, CAST(greatest(len(string_split_regex(trim(text), '\s+')) - 4, 0) AS BIGINT) AS n_pos
+      |  FROM documents)
+      |SELECT b.doc_id, b.n_pos,
+      |  COALESCE(p.n_dup_pos, 0) AS n_dup_pos,
+      |  COALESCE(p.max_run, 0) AS max_run,
+      |  COALESCE(p.n_spans, 0) AS n_spans,
+      |  CASE WHEN b.n_pos > 0
+      |    THEN CAST(COALESCE(p.n_dup_pos, 0) AS DOUBLE) / CAST(b.n_pos AS DOUBLE)
+      |    ELSE 0.0 END AS dup_frac
+      |FROM base b LEFT JOIN per p USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   /** CCNet-style head/middle/tail bucketing: per source, documents
     * are split into length tertiles (n_chars stands in for the
     * perplexity score CCNet buckets on — the operator is the
@@ -528,7 +622,8 @@ object CurationQueries {
     "t_length_percentiles" -> (lengthPercentiles _),
     "t_pack_sequences" -> (packSequences _),
     "t_mixture_rebalance" -> (mixtureRebalance _),
-    "t_source_overlap" -> (sourceOverlap _))
+    "t_source_overlap" -> (sourceOverlap _),
+    "t_dup_spans" -> (dupSpans _))
 
   val oracles: Map[String, String] = Map(
     "t_quality_buckets" -> qualityBucketsSql,
@@ -540,5 +635,6 @@ object CurationQueries {
     "t_length_percentiles" -> lengthPercentilesSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_mixture_rebalance" -> mixtureRebalanceSql,
-    "t_source_overlap" -> sourceOverlapSql)
+    "t_source_overlap" -> sourceOverlapSql,
+    "t_dup_spans" -> dupSpansSql)
 }
