@@ -136,6 +136,44 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"overlap must not self-join the shingle set:\n${plan(df)}")
   }
 
+  /** Duplicated-span detection must stay the linear shape: the only
+    * joins are the shared-key join on kh and the per-doc left join —
+    * never a corpus self-join on doc pairs — and the gaps-and-islands
+    * window's doc_id partitioning must feed the run/per-doc
+    * aggregations directly (no exchange between Window and its
+    * downstream HashAggregates). */
+  test("dup spans: window partitioning reused, no pairwise self-join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = graft.operators.CurationQueries.dupSpans(spark, dir)
+    df.collect()
+    def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case r: ReusedExchangeExec => Seq(r)
+      case o => o +: o.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")), plan(df))
+    // the window feeds its aggregations through the existing doc_id
+    // partitioning: no Exchange may sit between Window and the run-
+    // length/per-doc HashAggregates above it
+    def pathHasExchangeAboveWindow(pl: SparkPlan,
+        sawAgg: Boolean = false): Boolean = pl match {
+      case a: AdaptiveSparkPlanExec => pathHasExchangeAboveWindow(a.executedPlan, sawAgg)
+      case q: QueryStageExec => pathHasExchangeAboveWindow(q.plan, sawAgg)
+      case o if o.nodeName.contains("Window") => false
+      case o if o.nodeName.contains("Exchange") && sawAgg =>
+        o.children.exists(c => walk(c).exists(_.nodeName.contains("Window")))
+      case o =>
+        val saw = sawAgg || o.nodeName.contains("HashAggregate")
+        o.children.exists(c => pathHasExchangeAboveWindow(c, saw))
+    }
+    assert(!pathHasExchangeAboveWindow(df.queryExecution.executedPlan),
+      s"exchange between the window and its aggregations:\n${plan(df)}")
+  }
+
   /** Linear counting runs both distincts (bitmap occupancy + exact) in
     * ONE aggregation job — no cross join, no second corpus scan. */
   test("distinct sketch is a single aggregation, no cross join") {
