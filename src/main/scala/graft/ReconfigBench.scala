@@ -57,6 +57,12 @@ object ReconfigBench {
       fileSinkDir = Some(sinkDir),
       statePayloadBytes = stateBytes,
       drainOnSync = false) // rate source never drains; stop() is the barrier
+    // steady-state observation: per-batch progress for the whole run;
+    // batches that do not continue the batch-id sequence (the replay/
+    // state-reload batch right after each restart, or a legacy-mode
+    // id reset on a fresh checkpoint) are excluded from the steady rate
+    val collector = new Metrics.ProgressCollector
+    spark.streams.addListener(collector)
     val t0 = System.nanoTime()
     rq.start()
     val reports = scala.collection.mutable.ArrayBuffer.empty[
@@ -84,6 +90,24 @@ object ReconfigBench {
     Thread.sleep(2000) // let the final generation commit some batches
     val wallSec = (System.nanoTime() - t0) / 1e9
     rq.stop()
+    spark.streams.removeListener(collector)
+    // steady processing rate: rows/processing-time over batches whose
+    // id continues the previous one — the cross-mode comparable number
+    // (the end-to-end `sustained` figure also pays stop windows and
+    // checkpoint reloads, which scale with restart COUNT, so the mode
+    // with CHEAPER reconfigs pays them more often in a fixed window)
+    val (steadyRows, steadyMs, steadyN) = {
+      var prev = Long.MinValue
+      var rows = 0L; var ms = 0L; var n = 0
+      collector.progresses.filter(_.numInputRows > 0).foreach { p =>
+        if (prev != Long.MinValue && p.batchId == prev + 1) {
+          rows += p.numInputRows; ms += p.durationMs; n += 1
+        }
+        prev = p.batchId
+      }
+      (rows, ms, n)
+    }
+    val steadyRps = if (steadyMs == 0) 0.0 else steadyRows * 1000.0 / steadyMs
     // sustained throughput: last value per key in the file sink is the
     // total per-key count => sum = total rows processed
     // guard the edge configs: a run with seconds <= remapSec fires no
@@ -104,7 +128,7 @@ object ReconfigBench {
     val wallJson =
       if (wallXs.isEmpty) """{"mean":null,"max":null}"""
       else f"""{"mean":${wallXs.sum / wallXs.size}%.0f,"max":${wallXs.max}%.0f}"""
-    f"""{"mode":"$mode","state_bytes_per_key":$stateBytes,"reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":$wallJson,"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
+    f"""{"mode":"$mode","state_bytes_per_key":$stateBytes,"reconfigs":${reports.size},"phases":$phaseJson,"reconfig_wall_ms":$wallJson,"sustained_rows_per_sec":${totalRows / wallSec}%.0f,"steady_rows_per_sec":$steadyRps%.0f,"steady_batches":$steadyN,"offered_rows_per_sec":$rate,"run_sec":$wallSec%.1f}"""
   }
 
   /** The CLOSED StreamSwitch loop under live load: per-batch observed
