@@ -20,6 +20,7 @@ object Bench {
       (includes.isEmpty || includes.exists(name.contains)) &&
         !excludes.exists(e => name.contains(e.drop(1)))
     val repeats = if (args.length > 1) args(1).toInt else 1
+    require(repeats >= 1, s"repeats must be >= 1, got $repeats")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -140,7 +140,7 @@ object NexmarkStreamBench {
       s""""q3_join":${r.json}"""
     }
     val line =
-      s"""{"metric":"nexmark_stream_rates","config":{"src_rate":$amplitude,"cycle_sec":$cycleSec,"seconds_per_query":$seconds,"offered":"(sin(2pi*epoch/cycle)+1)*src_rate, mean = src_rate"},"queries":{${results.mkString(",")}}}"""
+      s"""{"metric":"nexmark_stream_rates","config":{"src_rate":$amplitude,"cycle_sec":$cycleSec,"seconds_per_query":$seconds,"offered":"(sin(2pi*epoch/cycle)+1)*src_rate, mean = src_rate","q3_offered":"CONSTANT 20000 auctions/s + 10000 persons/s (Query3.java:60-62), not sine"},"queries":{${results.mkString(",")}}}"""
     println(line)
     outFile.foreach(f => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f), line + "\n"))

@@ -91,19 +91,21 @@ object ReconfigBench {
     val wallSec = (System.nanoTime() - t0) / 1e9
     rq.stop()
     spark.streams.removeListener(collector)
-    // steady processing rate: rows/processing-time over batches whose
-    // id continues the previous one — the cross-mode comparable number
-    // (the end-to-end `sustained` figure also pays stop windows and
-    // checkpoint reloads, which scale with restart COUNT, so the mode
-    // with CHEAPER reconfigs pays them more often in a fixed window)
+    // steady processing rate: rows/processing-time excluding each
+    // run's FIRST batch — a restart opens a new runId, and its first
+    // batch pays checkpoint reload + offset backlog whether or not the
+    // previous run's last batch committed (batch-id continuity alone
+    // misses that committed-boundary case). The cross-mode comparable
+    // number: the end-to-end `sustained` figure also pays stop windows
+    // and reloads, which scale with restart COUNT, so the mode with
+    // CHEAPER reconfigs pays them more often in a fixed window.
     val (steadyRows, steadyMs, steadyN) = {
-      var prev = Long.MinValue
       var rows = 0L; var ms = 0L; var n = 0
-      collector.progresses.filter(_.numInputRows > 0).foreach { p =>
-        if (prev != Long.MinValue && p.batchId == prev + 1) {
-          rows += p.numInputRows; ms += p.durationMs; n += 1
-        }
-        prev = p.batchId
+      collector.progresses.groupBy(_.runId).values.foreach { run =>
+        run.sortBy(_.batchId).drop(1).filter(_.numInputRows > 0)
+          .foreach { p =>
+            rows += p.numInputRows; ms += p.durationMs; n += 1
+          }
       }
       (rows, ms, n)
     }

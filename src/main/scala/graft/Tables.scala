@@ -17,6 +17,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Construction-time memo for the few queries that need a
+    * driver-side scan while BUILDING the plan (LSH width gate,
+    * source-overlap bitmask index). Keyed by (session identity, path,
+    * path mtime) so a table regenerated in place within a session is
+    * re-read instead of served stale; a dead session's entries are
+    * harmless (identity keys never match a live session). */
+  private val planMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Long), Any]
+  def memoizedAtConstruction[T](s: SparkSession, dir: String,
+      table: String)(compute: => T): T = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val stamp = scala.util.Try(
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(path).getModificationTime).getOrElse(0L)
+    planMemo.getOrElseUpdate(
+      (System.identityHashCode(s), path.toString, stamp), compute)
+      .asInstanceOf[T]
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -160,8 +160,20 @@ object DynamicCompiler {
           jos.closeEntry()
         }
     } finally jos.close()
+    // the loose class files are fully contained in the jar now; the
+    // jar itself must outlive this call (Spark's file server streams
+    // it to executors from this path)
+    import scala.jdk.CollectionConverters._
+    Files.walk(outDir).iterator().asScala.toSeq
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".class"))
+      .foreach(Files.delete)
     jar
   }
+
+  /** Names already shipped via [[shipAndRegisterCountLogic]] — one
+    * submission per name (see the throw site for why). */
+  private val shippedNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Cluster form of [[compileAndRegisterCountLogic]]: compile to a
     * jar, `addJar` it so every executor's task classloader can load
@@ -170,14 +182,28 @@ object DynamicCompiler {
     * the executors will use. */
   def shipAndRegisterCountLogic(name: String, source: String,
       sc: org.apache.spark.SparkContext): UdfRegistry.CountLogic = {
+    // one submission per name, enforced: executors resolve the shipped
+    // class lazily and cache the FIRST instance (a JVM cannot reload
+    // an identically-named class from a second addJar), so re-shipping
+    // under an existing name would update the driver registry while
+    // executors silently kept v1. New logic ⇒ new name (then
+    // assignExecutionLogic(newName)) — same contract as the
+    // reference's per-class blob registration
+    // (StreamManager.registerFunctionClass).
+    if (!shippedNames.add(name)) throw new IllegalArgumentException(
+      s"count logic '$name' was already shipped; executor-side " +
+        "classloaders cache the first-loaded class, so submit " +
+        "changed logic under a NEW name and assignExecutionLogic to it")
     val jar = compileCountLogicJar(name, source)
     sc.addJar(jar.toString)
     val loader = new java.net.URLClassLoader(
       Array(jar.toUri.toURL), getClass.getClassLoader)
-    val fn = Class.forName(UdfRegistry.ShippedClassPrefix + name,
-        true, loader)
-      .getDeclaredConstructor().newInstance()
-      .asInstanceOf[() => UdfRegistry.CountLogic].apply()
+    val fn =
+      try Class.forName(UdfRegistry.ShippedClassPrefix + name,
+          true, loader)
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[() => UdfRegistry.CountLogic].apply()
+      finally loader.close() // classes stay loaded; frees the jar handle
     UdfRegistry.register(name, fn)
     fn
   }

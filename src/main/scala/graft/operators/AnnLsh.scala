@@ -110,16 +110,16 @@ object AnnLsh {
       math.max(6, math.ceil(
         math.log(math.max(1L, n) / 32.0) / math.log(2)).toInt))
 
-  /** Corpus count memo, keyed by (session identity, dir): the width
-    * gate needs the count at PLAN-CONSTRUCTION time, but query
+  /** Corpus count memo ([[Tables.memoizedAtConstruction]], keyed with
+    * the table's mtime so an in-session regeneration re-counts): the
+    * width gate needs the count at PLAN-CONSTRUCTION time, but query
     * registration sweeps and plan-hygiene inspection build these
-    * DataFrames repeatedly — one count job per (session, dir) is the
-    * construction-time ceiling, not one per build. */
-  private val corpusCounts =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+    * DataFrames repeatedly — one count job per (session, table
+    * version) is the construction-time ceiling, not one per build. */
   private def embeddingCount(s: SparkSession, dir: String): Long =
-    corpusCounts.getOrElseUpdate((System.identityHashCode(s), dir),
-      Tables.embeddings(s, dir).count())
+    Tables.memoizedAtConstruction(s, dir, "embeddings") {
+      Tables.embeddings(s, dir).count()
+    }
 
   /** Embedding near-dup pairs via LSH buckets — the scale path for the
     * pairs shape (the brute-force all-pairs form is the test oracle

@@ -238,10 +238,14 @@ object CurationQueries {
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     // dense alphabetical source index, read through the pruned
     // `source` column (dictionary page, not the text payload); the
-    // collect is bounded by the source-label cardinality
-    val srcNames = Tables.documents(s, dir)
-      .select(col("source")).distinct()
-      .collect().map(_.getString(0)).sorted
+    // collect is bounded by the source-label cardinality and memoized
+    // per (session, table version) so registration sweeps and repeated
+    // bench constructions pay the scan once
+    val srcNames = Tables.memoizedAtConstruction(s, dir, "documents") {
+      Tables.documents(s, dir)
+        .select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    }.toArray
     if (srcNames.length > 64) return sourceOverlapWide(s, dir)
     val idxMap = typedlit(srcNames.zipWithIndex.toMap)
     val byKh = Tables.documents(s, dir)

@@ -34,7 +34,12 @@ object Metrics {
         * state-size curve of the reference's numRecordsIn*-style state
         * metrics. */
       stateRows: Long = 0L,
-      stateBytes: Long = 0L)
+      stateBytes: Long = 0L,
+      /** the owning StreamingQuery run — a restart opens a new runId,
+        * which is the explicit marker for "this run's first batch paid
+        * checkpoint reload/replay" (batch-id continuity alone misses
+        * the committed-boundary case). */
+      runId: String = "")
 
   /** Per-keygroup load instrumentation, the analog of the reference's
     * per-key-group rate metrics (KafkaMetricsManager.java:242-250):
@@ -94,7 +99,8 @@ object Metrics {
       buf.add(BatchProgress(p.batchId, p.numInputRows,
         p.processedRowsPerSecond, p.batchDuration, kg, latency,
         p.stateOperators.map(_.numRowsTotal).sum,
-        p.stateOperators.map(_.memoryUsedBytes).sum))
+        p.stateOperators.map(_.memoryUsedBytes).sum,
+        p.runId.toString))
     }
   }
 

@@ -29,30 +29,41 @@ class DynamicJarShipSpec extends AnyFunSuite {
     sys.props("spark.test.home") = "/opt/spark"
     // one SparkContext per JVM: retire the shared local[4] session so
     // getOrCreate builds THIS master (SparkTestSession revives a fresh
-    // one for whatever suite runs next)
-    SparkSession.getActiveSession.foreach(_.stop())
-    SparkSession.getDefaultSession.foreach(_.stop())
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master("local-cluster[2,1,1024]")
-      .appName("graft-jar-ship")
-      // executors need the repo classes (UdfRegistry) + spark jars;
-      // the forked test JVM's classpath carries exactly that set
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.executor.extraJavaOptions", addOpens)
-      // the worker builds the executor command in-JVM; without the
-      // dist launch scripts the scala version must come from the env
-      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // one for whatever suite runs next). Session construction sits
+    // INSIDE the try: if local-cluster startup fails, the finally must
+    // still strip the test-mode + RCE-flag props from the shared JVM.
+    var spark: SparkSession = null
     try {
+      SparkSession.getActiveSession.foreach(_.stop())
+      SparkSession.getDefaultSession.foreach(_.stop())
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = SparkSession.builder()
+        .master("local-cluster[2,1,1024]")
+        .appName("graft-jar-ship")
+        // executors need the repo classes (UdfRegistry) + spark jars;
+        // the forked test JVM's classpath carries exactly that set
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", addOpens)
+        // the worker builds the executor command in-JVM; without the
+        // dist launch scripts the scala version must come from the env
+        .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
       val fn = DynamicCompiler.shipAndRegisterCountLogic("shippedV2",
         "(k: String, prev: Long, rows: Long) => prev + 2 * rows",
         spark.sparkContext)
       // driver-side registration works through the jar classloader
       assert(fn("k", 10L, 3L) === 16L)
       assert(UdfRegistry.names.contains("shippedV2"))
+      // re-shipping an existing name is refused: executor-side
+      // classloaders cache the first-loaded class, so a same-name
+      // resubmission would silently leave executors on v1
+      intercept[IllegalArgumentException] {
+        DynamicCompiler.shipAndRegisterCountLogic("shippedV2",
+          "(k: String, prev: Long, rows: Long) => prev + 3 * rows",
+          spark.sparkContext)
+      }
 
       val driverJvm =
         java.lang.management.ManagementFactory.getRuntimeMXBean.getName
@@ -69,7 +80,7 @@ class DynamicJarShipSpec extends AnyFunSuite {
         s"tasks ran in the driver JVM ($driverJvm): $taskJvms")
       assert(taskJvms.nonEmpty)
     } finally {
-      spark.stop()
+      if (spark != null) spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       sys.props.remove("spark.testing")
