@@ -616,6 +616,45 @@ object CurationQueries {
       |  FROM documents)
       |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
 
+  /** Fixed-size token-window chunking with overlap — the standard
+    * pretraining chunker: every document becomes ceil(n/stride)
+    * chunks of ≤ `window` (50) tokens taken at `stride` (30) token
+    * steps, so consecutive chunks overlap by 20 tokens and no token
+    * is dropped. Each chunk is identified by the md5 of its re-joined
+    * text: downstream consumers key on `chunk_md5` for chunk-level
+    * exact dedup and on (doc_id, chunk_start) for provenance.
+    *
+    * Scale: map-only — one corpus scan, per-document fan-out of
+    * n_tokens/stride rows, no join and no aggregation; the only
+    * shuffle is the presentation sort (dropped in production, where
+    * the output partitioning is chosen by the consumer — e.g. by
+    * chunk_md5 for the dedup that follows). At 100 TB this is an
+    * embarrassingly parallel pass. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val window = 50
+    val stride = 30
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(stride))).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("chunk_start"),
+        slice(col("w"), col("s"), lit(window)).as("cw"))
+      .select(col("doc_id"), col("chunk_start"),
+        size(col("cw")).cast("long").as("n_tok"),
+        md5(array_join(col("cw"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+  }
+
+  val chunkWindowsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |st AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) + 1, 30)) AS s FROM toks)
+      |SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+      |  CAST(len(w[s:s+49]) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(w[s:s+49], ' ')) AS chunk_md5
+      |FROM st ORDER BY doc_id, chunk_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_quality_buckets" -> (qualityBuckets _),
     "t_novelty" -> (novelty _),
@@ -627,7 +666,8 @@ object CurationQueries {
     "t_pack_sequences" -> (packSequences _),
     "t_mixture_rebalance" -> (mixtureRebalance _),
     "t_source_overlap" -> (sourceOverlap _),
-    "t_dup_spans" -> (dupSpans _))
+    "t_dup_spans" -> (dupSpans _),
+    "t_chunk_windows" -> (chunkWindows _))
 
   val oracles: Map[String, String] = Map(
     "t_quality_buckets" -> qualityBucketsSql,
@@ -640,5 +680,6 @@ object CurationQueries {
     "t_pack_sequences" -> packSequencesSql,
     "t_mixture_rebalance" -> mixtureRebalanceSql,
     "t_source_overlap" -> sourceOverlapSql,
-    "t_dup_spans" -> dupSpansSql)
+    "t_dup_spans" -> dupSpansSql,
+    "t_chunk_windows" -> chunkWindowsSql)
 }

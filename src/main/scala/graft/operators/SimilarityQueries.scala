@@ -176,15 +176,58 @@ object SimilarityQueries {
       |  FROM embeddings)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Per-class (label) centroid of the embedding space, long-form
+    * (label, dim) — the building block behind nearest-class-mean
+    * classification, SemDeDup-style cluster pruning, and IVF codebook
+    * refinement.
+    *
+    * Determinism contract: each float component is scaled to
+    * fixed-point (`floor(e · 1e6)` as BIGINT) BEFORE summation, so
+    * the aggregate is an exact integer sum — order-independent and
+    * engine-identical — and the double `centroid` is derived from it
+    * by two IEEE-754 divisions in a fixed order. No floating-point
+    * accumulation anywhere.
+    *
+    * Scale: one 64× posexplode fan-out (map-side), one shuffle on
+    * (label, dim) with partial aggregation — each map partition
+    * contributes at most |labels|·dims rows to the shuffle regardless
+    * of corpus size; output is |labels|·dims rows. */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("e").cast("double") * 1e6)).as("sum_e6"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("sum_e6"), col("n"),
+        (col("sum_e6").cast("double") / 1e6 / col("n")).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val embCentroidsSql: String =
+    """SELECT label, dim, sum_e6, n,
+      |  CAST(sum_e6 AS DOUBLE) / 1000000.0 / n AS centroid
+      |FROM (
+      |  SELECT CAST(label AS BIGINT) AS label, CAST(ord - 1 AS BIGINT) AS dim,
+      |    CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
+      |    COUNT(*) AS n
+      |  FROM (SELECT label, unnest(embedding) AS e,
+      |          generate_subscripts(embedding, 1) AS ord
+      |        FROM embeddings)
+      |  GROUP BY 1, 2)
+      |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_knn_label" -> (knnLabel _),
     "sim_embedding_near_dup" -> (embeddingNearDup _),
-    "sim_label_stats" -> (labelStats _))
+    "sim_label_stats" -> (labelStats _),
+    "sim_centroids" -> (embCentroids _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_knn_label" -> knnLabelSql,
     "sim_embedding_near_dup" -> embeddingNearDupSql,
-    "sim_label_stats" -> labelStatsSql)
+    "sim_label_stats" -> labelStatsSql,
+    "sim_centroids" -> embCentroidsSql)
 }
