@@ -655,6 +655,47 @@ object CurationQueries {
       |  md5(array_to_string(w[s:s+49], ' ')) AS chunk_md5
       |FROM st ORDER BY doc_id, chunk_start""".stripMargin
 
+  /** Seeded deterministic global shuffle + shard assignment — the
+    * step between curation and the dataloader: every doc gets a
+    * shuffle key md5(seed ++ doc_id), a shard (top 32 key bits mod
+    * `nShards`), and a position within its shard (rank by key). The
+    * shuffle is reproducible from the seed alone, and any shard can
+    * be re-derived independently of the others.
+    *
+    * Scale: one scan; the only shuffle is the window's hash exchange
+    * on `shard` — positions are assigned per-shard, NEVER via a
+    * global single-partition row_number. With nShards sized to the
+    * cluster (thousands in production, 8 here so the oracle output
+    * stays inspectable), each shard's rank sort fits one task. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))
+          .cast("binary")).as("skey"))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"),
+        col("skey"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shardAssignSql: String =
+    """SELECT shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+      |       AS BIGINT) AS pos,
+      |  doc_id, source, skey
+      |FROM (
+      |  SELECT doc_id, source,
+      |    md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey,
+      |    CAST(('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) % 8 AS shard
+      |  FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_quality_buckets" -> (qualityBuckets _),
     "t_novelty" -> (novelty _),
@@ -667,7 +708,8 @@ object CurationQueries {
     "t_mixture_rebalance" -> (mixtureRebalance _),
     "t_source_overlap" -> (sourceOverlap _),
     "t_dup_spans" -> (dupSpans _),
-    "t_chunk_windows" -> (chunkWindows _))
+    "t_chunk_windows" -> (chunkWindows _),
+    "t_shard_assign" -> (shardAssign _))
 
   val oracles: Map[String, String] = Map(
     "t_quality_buckets" -> qualityBucketsSql,
@@ -681,5 +723,6 @@ object CurationQueries {
     "t_mixture_rebalance" -> mixtureRebalanceSql,
     "t_source_overlap" -> sourceOverlapSql,
     "t_dup_spans" -> dupSpansSql,
-    "t_chunk_windows" -> chunkWindowsSql)
+    "t_chunk_windows" -> chunkWindowsSql,
+    "t_shard_assign" -> shardAssignSql)
 }

@@ -217,17 +217,102 @@ object SimilarityQueries {
       |  GROUP BY 1, 2)
       |ORDER BY label, dim""".stripMargin
 
+  /** One Lloyd (k-means) iteration over the label clustering — the
+    * refinement step behind IVF codebook training and SemDeDup-style
+    * cluster pruning: recompute each label's centroid, reassign every
+    * vector to its nearest centroid, and report the old→new label
+    * confusion matrix.
+    *
+    * Determinism contract: everything is exact integer arithmetic on
+    * a 1e-4 fixed-point grid. Components quantize to
+    * `floor(e · 1e4)` (BIGINT); centroids are the floor of the exact
+    * integer mean on that grid (`floor(Σq / n)` — the double division
+    * of two <2^53 integers is exactly rounded, and the true quotient
+    * is never within 1/n of crossing an integer, so the floor is
+    * exact in both engines); distances are integer sums of squares
+    * (≤ 64·(2·10⁴)² ≈ 2.6e10, far inside BIGINT). Ties break to the
+    * smallest label on both sides.
+    *
+    * Scale: the centroid pass is the [[embCentroids]] shape (map-side
+    * partial aggregation, |labels|·dims shuffle rows per task); the
+    * k·dims centroid table is MODEL STATE — collected to the driver
+    * and re-broadcast as literals exactly like MLlib's KMeans, never
+    * joined. The assignment pass is map-only whole-stage codegen
+    * (zip_with/aggregate over literal arrays), and the confusion
+    * aggregation shuffles at most k² rows per task. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centRows = emb
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("e").cast("double") * 1e4)).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        floor(col("sq").cast("double") / col("n")).cast("long").as("c"))
+      .collect()
+    val labels = centRows.map(_.getLong(0)).distinct.sorted
+    val dims = centRows.map(_.getInt(1)).max + 1
+    val cent = labels.map { l =>
+      val arr = new Array[Long](dims)
+      centRows.filter(_.getLong(0) == l)
+        .foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      l -> arr
+    }
+    val qcol = transform(col("embedding"),
+      e => floor(e.cast("double") * 1e4))
+    val dists = array(cent.map { case (_, arr) =>
+      aggregate(
+        zip_with(col("q"), typedLit(arr.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }.toSeq: _*)
+    emb.select(col("label").cast("long").as("old_label"), qcol.as("q"))
+      .withColumn("dists", dists)
+      .withColumn("new_label",
+        element_at(typedLit(labels.toSeq),
+          array_position(col("dists"), array_min(col("dists"))).cast("int")))
+      .groupBy(col("old_label"), col("new_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("old_label"), col("new_label"))
+  }
+
+  val kmeansStepSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS old_label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT old_label AS label, dim,
+      |    CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      |  FROM ex GROUP BY 1, 2),
+      |d AS (
+      |  SELECT ex.vec_id, ex.old_label, c.label AS cand,
+      |    SUM((ex.q - c.c) * (ex.q - c.c)) AS dist2
+      |  FROM ex JOIN cent c ON ex.dim = c.dim
+      |  GROUP BY 1, 2, 3),
+      |a AS (
+      |  SELECT vec_id, old_label, cand AS new_label,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cand) AS rk
+      |  FROM d)
+      |SELECT old_label, new_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |FROM a WHERE rk = 1
+      |GROUP BY old_label, new_label
+      |ORDER BY old_label, new_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_knn_label" -> (knnLabel _),
     "sim_embedding_near_dup" -> (embeddingNearDup _),
     "sim_label_stats" -> (labelStats _),
-    "sim_centroids" -> (embCentroids _))
+    "sim_centroids" -> (embCentroids _),
+    "sim_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_knn_label" -> knnLabelSql,
     "sim_embedding_near_dup" -> embeddingNearDupSql,
     "sim_label_stats" -> labelStatsSql,
-    "sim_centroids" -> embCentroidsSql)
+    "sim_centroids" -> embCentroidsSql,
+    "sim_kmeans_step" -> kmeansStepSql)
 }
