@@ -630,10 +630,17 @@ object CurationQueries {
     * the output partitioning is chosen by the consumer — e.g. by
     * chunk_md5 for the dedup that follows). At 100 TB this is an
     * embarrassingly parallel pass. */
-  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    chunkTransform(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("chunk_start"))
+
+  /** The chunker as a pure map-only transform over any (doc_id, text)
+    * relation — shared by the batch query above and the streaming
+    * ingestion twin ([[graft.streaming.DedupStream.chunkDedup]]). */
+  def chunkTransform(docs: DataFrame): DataFrame = {
     val window = 50
     val stride = 30
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")), lit(stride))).as("s"))
@@ -642,7 +649,6 @@ object CurationQueries {
       .select(col("doc_id"), col("chunk_start"),
         size(col("cw")).cast("long").as("n_tok"),
         md5(array_join(col("cw"), " ")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_start"))
   }
 
   val chunkWindowsSql: String =

@@ -40,6 +40,19 @@ object DedupStream {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
       .dropDuplicates("digest")
 
+  /** Chunk-level online dedup — the incremental-ingestion form of the
+    * batch chunk pipeline: each arriving document is cut into
+    * overlapping token windows ([[graft.operators.CurationQueries
+    * .chunkTransform]], a pure map that streams untouched) and a
+    * chunk is emitted only the first time its md5 is seen. State is
+    * one row per distinct chunk digest, sharded by digest hash —
+    * exactly the batch groupBy layout, so a 1000-executor cluster
+    * spreads both the chunking (narrow) and the dedup state (one
+    * shuffle) evenly. */
+  def chunkDedup(docs: DataFrame): DataFrame =
+    graft.operators.CurationQueries.chunkTransform(docs)
+      .dropDuplicates("chunk_md5")
+
   /** Watermark-bounded dedup over the events stream: duplicate
     * (user_id, event_type) arrivals inside the watermark horizon are
     * suppressed; state older than the horizon is evicted. */

@@ -28,6 +28,24 @@ class DedupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk dedup emits exactly the batch distinct-chunk set") {
+    val q = DedupStream.chunkDedup(DedupStream.readDocuments(spark, dir))
+      .writeStream.format("memory").queryName("chunk_dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chunk_dedup_stream").collect()
+        .map(_.getAs[String]("chunk_md5"))
+      // one emission per distinct chunk digest, matching the batch
+      // chunker's distinct set
+      assert(got.length === got.toSet.size)
+      val want = graft.operators.CurationQueries.chunkWindows(spark, dir)
+        .select("chunk_md5").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(got.toSet === want)
+    } finally q.stop()
+  }
+
   test("watermark-bounded event dedup suppresses in-horizon duplicates") {
     val events = EventStream.readStream(spark, dir)
     val q = DedupStream.dedupEventsWithinWatermark(events, "1 hour")
