@@ -232,6 +232,45 @@ object TextQueries {
       |    GROUP BY word) df USING (word))
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** The first BPE merge decision — the tokenizer-TRAINING kernel:
+    * aggregate the corpus to a word-frequency table, extract every
+    * adjacent character pair per distinct word, weight by word count,
+    * and rank. Top pair = the symbol merge a BPE trainer would apply
+    * first; iterating this (with pair substitution) trains the vocab.
+    *
+    * Scale: the classic trainer shape — the corpus collapses to the
+    * vocabulary FIRST (one word shuffle; vocab ≪ corpus by Heaps'
+    * law), and all pair work runs on the vocab table, so the pair
+    * explode fans out over distinct words, not corpus tokens. The
+    * final top-20 is a 2-column aggregate ordered with a unique
+    * tie-break. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+    words
+      .filter(length(col("word")) > 1)
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, char_length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    """WITH wf AS (
+      |  SELECT w AS word, COUNT(*) AS wn
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, len(word)),
+      |                               i -> word[i:i+1])) AS pair, wn
+      |  FROM wf WHERE len(word) > 1)
+      |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_tfidf_topk" -> (tfidfTopK _),
     "t_token_count_bpe" -> (tokenCountBpe _),
@@ -239,7 +278,8 @@ object TextQueries {
     "t_quality_score" -> (qualityScore _),
     "t_langid" -> (langId _),
     "t_fingerprint" -> (fingerprint _),
-    "t_top_words_per_source" -> (topWordsPerSource _))
+    "t_top_words_per_source" -> (topWordsPerSource _),
+    "t_bpe_pairs" -> (bpePairs _))
 
   val oracles: Map[String, String] = Map(
     "t_tfidf_topk" -> tfidfTopKSql,
@@ -248,5 +288,6 @@ object TextQueries {
     "t_quality_score" -> qualityScoreSql,
     "t_langid" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,
-    "t_top_words_per_source" -> topWordsPerSourceSql)
+    "t_top_words_per_source" -> topWordsPerSourceSql,
+    "t_bpe_pairs" -> bpePairsSql)
 }
