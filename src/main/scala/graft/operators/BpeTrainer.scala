@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+
+/** Iterative BPE tokenizer training over the corpus — the loop whose
+  * first step is the oracle-gated `t_bpe_pairs` decision: repeatedly
+  * find the highest-count adjacent symbol pair (ties → lexicographic
+  * smallest) and merge it greedily left-to-right in every word.
+  *
+  * Scale shape (the classic trainer): the corpus collapses ONCE to
+  * the word-frequency table (one shuffle; vocab ≪ corpus by Heaps'
+  * law) and every merge round runs on the distributed vocab table —
+  * the only data that ever reaches the driver is the single winning
+  * pair per round (an inherent sequential dependency: merge i+1's
+  * counts depend on merge i's rewrite). The per-word rewrite is a
+  * codegen'd `aggregate` fold, and the vocab is locally checkpointed
+  * every few rounds so the plan does not grow linearly with merges
+  * (same discipline as the connected-components loop in
+  * DedupQueries).
+  */
+object BpeTrainer {
+
+  /** (pair counts over a symbolized vocab) — symbols is an
+    * array<string> column, wn the word count. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("symbols")) > 1)
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, size(symbols) - 1)," +
+          " i -> struct(element_at(symbols, i) AS a," +
+          "             element_at(symbols, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wn")).as("n"))
+
+  /** Greedy left-to-right merge of (a,b) in one word's symbol array:
+    * a sequential fold — if the accumulator ends with `a` and the
+    * next symbol is `b`, the tail is replaced by `a+b`. */
+  private def mergeFold(a: String, b: String): Column =
+    aggregate(col("symbols"),
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** The initial symbolized word-frequency table: one row per
+    * distinct word, split into characters. */
+  def initialVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .select(col("word"), col("wn"),
+        expr("transform(sequence(1, char_length(word))," +
+          " i -> substring(word, i, 1))").as("symbols"))
+
+  /** Run `nMerges` BPE merge rounds; returns the learned merge list
+    * in order plus the final vocab frame. Stops early if no pair
+    * occurs more than once. */
+  def train(s: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    var vocab = initialVocab(s, dir).localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((a, b, n))
+        vocab = vocab.withColumn("symbols", mergeFold(a, b))
+        // cut the growing lineage every few rounds
+        if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint(true)
+        i += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+}
