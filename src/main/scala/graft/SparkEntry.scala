@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnnIvf, AnnLsh, AsofJoin, BehaviorQueries,
-  CurationQueries, DecisionSupportQueries, DedupQueries, DynamicRules,
-  EventQueries, MediaPipeline, RelationalQueries, SemDedup,
-  SimilarityQueries, SketchQueries, SubqueryQueries, TextQueries}
+  BpeTrainer, CurationQueries, DataloaderQueries, DecisionSupportQueries,
+  DedupQueries, DynamicRules, EventQueries, MediaPipeline,
+  RelationalQueries, SemDedup, SimilarityQueries, SketchQueries,
+  SubqueryQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +37,9 @@ object SparkEntry {
       BehaviorQueries.queries ++
       SketchQueries.queries ++
       CurationQueries.queries ++
-      SemDedup.queries
+      SemDedup.queries ++
+      BpeTrainer.queries ++
+      DataloaderQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -54,5 +57,7 @@ object SparkEntry {
       BehaviorQueries.oracles ++
       SketchQueries.oracles ++
       CurationQueries.oracles ++
-      SemDedup.oracles
+      SemDedup.oracles ++
+      BpeTrainer.oracles ++
+      DataloaderQueries.oracles
 }

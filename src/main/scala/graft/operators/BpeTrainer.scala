@@ -58,6 +58,62 @@ object BpeTrainer {
         expr("transform(sequence(1, char_length(word))," +
           " i -> substring(word, i, 1))").as("symbols"))
 
+  /** The learned merge table of an 8-round training run:
+    * (rank, a, b, n) — rank is the merge order, n the weighted pair
+    * count that won the round. Tiny by construction (one row per
+    * merge); the heavy lifting is the distributed loop in [[train]]. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    train(s, dir, Merges)._1.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+      .toDF("rank", "a", "b", "n")
+      .orderBy("rank")
+  }
+
+  private val Merges = 8
+
+  /** DuckDB twin of [[bpeMerges]]: the vocab is a wrapped-symbol
+    * string (US+a+US+US+b+US+..., US = chr(31), which never
+    * occurs in the corpus) so each greedy
+    * left-to-right merge round is a single non-overlapping
+    * `replace` — the same semantics as [[mergeFold]] — and the
+    * 8 rounds chain as MATERIALIZED CTEs (inlining would re-expand
+    * each round's vocab ~4× per level). */
+  private def bpeMergesSql: String = {
+    val rounds = (0 until Merges).map { r =>
+      s""",
+         |p$r AS MATERIALIZED (
+         |  SELECT wn, unnest(list_transform(range(1, len(syms)),
+         |                    i -> {'a': syms[i], 'b': syms[i+1]})) AS pr
+         |  FROM (SELECT wn, string_split(s[2:-2], chr(31)||chr(31)) AS syms FROM v$r)
+         |  WHERE len(syms) > 1),
+         |t$r AS MATERIALIZED (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wn) AS BIGINT) AS n
+         |  FROM p$r GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT wn, replace(s,
+         |    chr(31)||(SELECT a FROM t$r)||chr(31)||chr(31)||(SELECT b FROM t$r)||chr(31),
+         |    chr(31)||(SELECT a||b FROM t$r)||chr(31)) AS s
+         |  FROM v$r)""".stripMargin
+    }.mkString
+    val sel = (0 until Merges)
+      .map(r => s"SELECT ${r + 1} AS rank, a, b, n FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT COUNT(*) AS wn,
+       |         list_aggregate(list_transform(range(1, len(w)+1),
+       |           i -> chr(31) || w[i:i] || chr(31)), 'string_agg', '') AS s
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+       |  GROUP BY w)$rounds
+       |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_merges" -> (bpeMerges _))
+
+  val oracles: Map[String, String] = Map(
+    "t_bpe_merges" -> bpeMergesSql)
+
   /** Run `nMerges` BPE merge rounds; returns the learned merge list
     * in order plus the final vocab frame. Stops early if no pair
     * occurs more than once. */

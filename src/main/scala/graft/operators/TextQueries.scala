@@ -271,6 +271,67 @@ object TextQueries {
       |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
       |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** PII patterns a pretraining scrubber redacts: e-mail, NNN-NNNN
+    * phone, dotted-quad IP. Plain character-class regexes so Java
+    * (Spark) and RE2 (DuckDB) match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact all three PII classes in a text column (global replace;
+    * e-mail first so its digits can't be half-eaten as a phone). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** PII scrubbing with per-document redaction counts. The synthetic
+    * corpus has no natural PII, so the query deterministically plants
+    * a contact line derived from doc_id (identical expression on the
+    * oracle side), then scrubs it — exercising global-replace
+    * semantics end to end. [[scrubPii]] is the reusable operator; the
+    * md5 of the scrubbed text keeps the checked output narrow. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"),
+      lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" at 10."), col("doc_id") % 200,
+      lit("."), col("doc_id") % 250,
+      lit("."), col("doc_id") % 100)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0)))
+          .cast("long").as("n_ip"),
+        md5(scrubPii(col("aug"))).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id || '@example.com or 555-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |           || ' at 10.' || (doc_id % 200) || '.' || (doc_id % 250)
+      |           || '.' || (doc_id % 100) AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |        '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_tfidf_topk" -> (tfidfTopK _),
     "t_token_count_bpe" -> (tokenCountBpe _),
@@ -279,7 +340,8 @@ object TextQueries {
     "t_langid" -> (langId _),
     "t_fingerprint" -> (fingerprint _),
     "t_top_words_per_source" -> (topWordsPerSource _),
-    "t_bpe_pairs" -> (bpePairs _))
+    "t_bpe_pairs" -> (bpePairs _),
+    "t_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
     "t_tfidf_topk" -> tfidfTopKSql,
@@ -289,5 +351,6 @@ object TextQueries {
     "t_langid" -> langIdSql,
     "t_fingerprint" -> fingerprintSql,
     "t_top_words_per_source" -> topWordsPerSourceSql,
-    "t_bpe_pairs" -> bpePairsSql)
+    "t_bpe_pairs" -> bpePairsSql,
+    "t_pii_scrub" -> piiScrubSql)
 }
