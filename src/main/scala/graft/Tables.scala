@@ -26,13 +26,13 @@ object Tables {
   private val planMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Long), Any]
   def memoizedAtConstruction[T](s: SparkSession, dir: String,
-      table: String)(compute: => T): T = {
+      table: String, tag: String = "")(compute: => T): T = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val stamp = scala.util.Try(
       path.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(path).getModificationTime).getOrElse(0L)
     planMemo.getOrElseUpdate(
-      (System.identityHashCode(s), path.toString, stamp), compute)
+      (System.identityHashCode(s), s"$path#$tag", stamp), compute)
       .asInstanceOf[T]
   }
 

@@ -702,7 +702,96 @@ object CurationQueries {
       |  FROM documents)
       |ORDER BY shard, pos""".stripMargin
 
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023):
+    * score every document by how target-like its token distribution
+    * is. Unigram+bigram occurrences hash into 1024 buckets; the
+    * target distribution is fit on the "curated" sources (every 5th
+    * source index), the raw distribution on the whole corpus, both
+    * add-1 smoothed; a document's weight is the sum over its feature
+    * occurrences of log(p_target/p_raw). Positive weight = resample
+    * toward target.
+    *
+    * Cross-engine exactness: per-bucket log-ratios are snapped to a
+    * fixed-point grid (floor(10⁶·Δln) as BIGINT) so the per-doc
+    * aggregation is an exact order-free integer sum — same contract
+    * as [[TextQueries.lmPerplexity]].
+    *
+    * Scale: this is the cheapest possible importance model at
+    * 100 TB — the feature table is FIXED at 1024 rows regardless of
+    * corpus size, so fitting is two hash aggregations with map-side
+    * combine, and scoring joins the corpus gram stream to a
+    * broadcast 1024-row table: zero extra shuffle beyond the final
+    * per-doc sum. Hash-bucket collisions are part of the method
+    * (the paper's "hashed n-gram features"), not an approximation
+    * layered on it. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (substring(col("source"), 4, 10).cast("int") % 5 === 0).as("tgt"),
+        tokens(col("text")).as("toks"))
+    // unigram + bigram occurrences, hashed to 1024 buckets
+    def grams(d: DataFrame): DataFrame = d.select(col("doc_id"), col("tgt"),
+        explode(concat(col("toks"), shinglesOfTokens(col("toks"), 2)))
+          .as("gram"))
+      .select(col("doc_id"), col("tgt"),
+        (conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 1024L).as("bucket"))
+    val g = grams(docs)
+    val counts = g.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_r"),
+        count(when(col("tgt"), 1)).as("n_t"))
+    val totals = counts.agg(sum(col("n_r")).as("nr"), sum(col("n_t")).as("nt"))
+    val w = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(lit(1000000.0) *
+          (log((col("n_t").cast("double") + 1.0) /
+              (col("nt").cast("double") + 1024.0)) -
+           log((col("n_r").cast("double") + 1.0) /
+              (col("nr").cast("double") + 1024.0)))).as("w_scaled"))
+    grams(docs).join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_scaled")).as("sw"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("sw").cast("double") / 1000000.0).as("weight"))
+      .withColumn("toward_target", col("weight") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, (CAST(substr(source, 4) AS INT) % 5 = 0) AS tgt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, tgt,
+      |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS bucket
+      |  FROM (
+      |    SELECT doc_id, tgt,
+      |      unnest(w || list_transform(range(1, greatest(len(w), 1)),
+      |        i -> w[i] || ' ' || w[i+1])) AS gram
+      |    FROM docs)),
+      |counts AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_r,
+      |         CAST(COUNT(CASE WHEN tgt THEN 1 END) AS BIGINT) AS n_t
+      |  FROM grams GROUP BY bucket),
+      |totals AS (
+      |  SELECT CAST(SUM(n_r) AS BIGINT) AS nr, CAST(SUM(n_t) AS BIGINT) AS nt
+      |  FROM counts),
+      |w AS (
+      |  SELECT bucket,
+      |    CAST(floor(1000000.0 *
+      |      (ln((CAST(n_t AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 1024.0)) -
+      |       ln((CAST(n_r AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 1024.0))))
+      |      AS BIGINT) AS w_scaled
+      |  FROM counts CROSS JOIN totals)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |  CAST(SUM(w_scaled) AS DOUBLE) / 1000000.0 AS weight,
+      |  (CAST(SUM(w_scaled) AS DOUBLE) / 1000000.0 > 0.0) AS toward_target
+      |FROM grams JOIN w USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_dsir_weights" -> (dsirWeights _),
     "t_quality_buckets" -> (qualityBuckets _),
     "t_novelty" -> (novelty _),
     "t_decontaminate" -> (decontaminate _),
@@ -718,6 +807,7 @@ object CurationQueries {
     "t_shard_assign" -> (shardAssign _))
 
   val oracles: Map[String, String] = Map(
+    "t_dsir_weights" -> dsirWeightsSql,
     "t_quality_buckets" -> qualityBucketsSql,
     "t_novelty" -> noveltySql,
     "t_decontaminate" -> decontaminateSql,

@@ -300,7 +300,94 @@ object SimilarityQueries {
       |GROUP BY old_label, new_label
       |ORDER BY old_label, new_label""".stripMargin
 
+  /** Scalar-quantized (SQ8) cosine top-5 — the memory-compression leg
+    * of the ANN family: each dimension is affinely quantized to an
+    * 8-bit code against its global [min, max] range, vectors are
+    * dequantized to bucket midpoints, and search runs on the
+    * reconstructed vectors. At 100 TB this is the difference between
+    * a 4-byte-per-dim and a 1-byte-per-dim resident index (4× more
+    * vectors per executor before spill); the codes would be the
+    * stored representation and this query measures exactly what that
+    * representation returns.
+    *
+    * The per-dim [min, max] table is 64 rows — computed once per
+    * (session, table version) via a bounded collect (same contract as
+    * the IVF training sample) and folded into the plan as literals,
+    * so quantization is a pure codegen map over one corpus scan.
+    * Dequantized dot products use the same sequential-fold kernel as
+    * [[cosineTopK]] — bit-identical across engines. */
+  def sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats: (Array[Double], Array[Double]) =
+      Tables.memoizedAtConstruction(s, dir, "embeddings", "sq8stats") {
+        val rows = Tables.embeddings(s, dir)
+          .select(posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .orderBy(col("i"))
+          .collect()
+        (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+      }
+    val (mins, maxs) = stats
+    val mnA = typedlit(mins.toSeq)
+    val mxA = typedlit(maxs.toSeq)
+    // quantize → int8 code → dequantize to the bucket midpoint
+    def dequant(v: Column): Column =
+      zip_with(v, sequence(lit(1), lit(mins.length)), (x, i) => {
+        val mn = element_at(mnA, i)
+        val mx = element_at(mxA, i)
+        val code = when(mx > mn,
+          least(lit(255L), greatest(lit(0L),
+            floor((x - mn) * 256.0 / (mx - mn))))).otherwise(lit(0L))
+        mn + (code.cast("double") + 0.5) * ((mx - mn) / 256.0)
+      })
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dequant(asDouble(col("embedding"))).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cid"))
+    cands.join(broadcast(queries))
+      .withColumn("qcos",
+        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), col("qcos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val sq8TopKSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (
+      |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      |  FROM emb, range(1, 65) AS t(i) GROUP BY i),
+      |deq AS (
+      |  SELECT vec_id,
+      |    list(mn + (CAST(CASE WHEN mx > mn
+      |        THEN LEAST(255, GREATEST(0, CAST(floor((v[t.i] - mn) * 256.0 / (mx - mn)) AS BIGINT)))
+      |        ELSE 0 END AS DOUBLE) + 0.5) * ((mx - mn) / 256.0)
+      |      ORDER BY t.i) AS vq
+      |  FROM emb, range(1, 65) AS t(i) JOIN dims ON dims.i = t.i
+      |  GROUP BY vec_id),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    list_reduce(list_transform(range(1, 65), i -> q.vq[i] * c.vq[i]), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> q.vq[i] * q.vq[i]), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_transform(range(1, 65), i -> c.vq[i] * c.vq[i]), (a, b) -> a + b))) AS qcos
+      |  FROM deq q CROSS JOIN deq c
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, qcos FROM (
+      |  SELECT qid, cid, qcos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq8_topk" -> (sq8TopK _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_knn_label" -> (knnLabel _),
     "sim_embedding_near_dup" -> (embeddingNearDup _),
@@ -309,6 +396,7 @@ object SimilarityQueries {
     "sim_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
+    "sim_sq8_topk" -> sq8TopKSql,
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_knn_label" -> knnLabelSql,
     "sim_embedding_near_dup" -> embeddingNearDupSql,

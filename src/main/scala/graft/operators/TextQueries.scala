@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.{shinglesOfTokens, tokens}
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, language-ID heuristic, fingerprinting — the
@@ -332,7 +332,186 @@ object TextQueries {
       |        '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition rules (Rae et al. 2021, table A1): per
+    * document, the fraction of characters covered by the dominant
+    * {2,3,4}-gram and by duplicated (count ≥ 2) {5,6}-grams, plus the
+    * paper's reject flag at its published thresholds
+    * (0.20/0.18/0.16 top, 0.15/0.14 dup). "Dominant" is
+    * max(count × chars) — a deterministic tie-break the paper leaves
+    * unspecified.
+    *
+    * Scale: one corpus scan; the 5 shingle widths explode in a single
+    * pass (one flattened array per doc), then two hash aggregations —
+    * (doc, n, gram) then (doc, n) — both with map-side partial
+    * aggregation. Fan-out is 5× token count, same family as the
+    * dedup shingle pass; no joins, no windows. Fractions are single
+    * IEEE divisions of exact integer counts, so doubles hash-match
+    * bit-exactly. */
+  def gopherNgram(s: SparkSession, dir: String): DataFrame = {
+    val ns = 2 to 6
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(trim(col("text"))).cast("long").as("n_chars"),
+        tokens(col("text")).as("toks"))
+    val grams = docs.select(col("doc_id"), col("n_chars"),
+        explode(flatten(array(ns.map(n =>
+          transform(shinglesOfTokens(col("toks"), n),
+            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("g"))
+      .select(col("doc_id"), col("n_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+    val perDocN = grams
+      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("chars", col("c") * length(col("gram")).cast("long"))
+      .groupBy(col("doc_id"), col("n_chars"), col("n"))
+      .agg(max(col("chars")).as("top_chars"),
+        sum(when(col("c") >= 2, col("chars"))).as("dup_chars"))
+    def frac(c: Column): Column =
+      coalesce(c, lit(0L)).cast("double") / col("n_chars").cast("double")
+    perDocN.groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        max(when(col("n") === 2, col("top_chars"))).as("t2"),
+        max(when(col("n") === 3, col("top_chars"))).as("t3"),
+        max(when(col("n") === 4, col("top_chars"))).as("t4"),
+        max(when(col("n") === 5, col("dup_chars"))).as("d5"),
+        max(when(col("n") === 6, col("dup_chars"))).as("d6"))
+      .select(col("doc_id"),
+        frac(col("t2")).as("top2_frac"),
+        frac(col("t3")).as("top3_frac"),
+        frac(col("t4")).as("top4_frac"),
+        frac(col("d5")).as("dup5_frac"),
+        frac(col("d6")).as("dup6_frac"))
+      .withColumn("flagged",
+        col("top2_frac") > 0.20 || col("top3_frac") > 0.18 ||
+        col("top4_frac") > 0.16 || col("dup5_frac") > 0.15 ||
+        col("dup6_frac") > 0.14)
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherNgramSql: String = {
+    // one SELECT per shingle width, mirroring shinglesOfTokens
+    val gramSelects = (2 to 6).map { n =>
+      val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""    SELECT doc_id, n_chars, $n AS n,
+         |      unnest(list_transform(range(1, greatest(len(w) - ${n - 2}, 1)),
+         |        i -> $parts)) AS gram
+         |    FROM toks""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars,
+       |         string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |grams AS (
+       |$gramSelects),
+       |per_doc_n AS (
+       |  SELECT doc_id, n_chars, n,
+       |    MAX(chars) AS top_chars,
+       |    SUM(CASE WHEN c >= 2 THEN chars END) AS dup_chars
+       |  FROM (
+       |    SELECT doc_id, n_chars, n, gram, COUNT(*) AS c,
+       |      COUNT(*) * CAST(length(gram) AS BIGINT) AS chars
+       |    FROM grams GROUP BY doc_id, n_chars, n, gram)
+       |  GROUP BY doc_id, n_chars, n),
+       |wide AS (
+       |  SELECT doc_id, n_chars,
+       |    MAX(CASE WHEN n = 2 THEN top_chars END) AS t2,
+       |    MAX(CASE WHEN n = 3 THEN top_chars END) AS t3,
+       |    MAX(CASE WHEN n = 4 THEN top_chars END) AS t4,
+       |    MAX(CASE WHEN n = 5 THEN dup_chars END) AS d5,
+       |    MAX(CASE WHEN n = 6 THEN dup_chars END) AS d6
+       |  FROM per_doc_n GROUP BY doc_id, n_chars)
+       |SELECT doc_id,
+       |  CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top2_frac,
+       |  CAST(COALESCE(t3, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top3_frac,
+       |  CAST(COALESCE(t4, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top4_frac,
+       |  CAST(COALESCE(d5, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup5_frac,
+       |  CAST(COALESCE(d6, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup6_frac,
+       |  (CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.20
+       |   OR CAST(COALESCE(t3, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.18
+       |   OR CAST(COALESCE(t4, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.16
+       |   OR CAST(COALESCE(d5, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.15
+       |   OR CAST(COALESCE(d6, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.14) AS flagged
+       |FROM wide ORDER BY doc_id""".stripMargin
+  }
+
+  /** Bigram language-model quality score (the CCNet/KenLM filter
+    * shape): train add-½-smoothed bigram log-probs on the corpus
+    * itself, then score each document by mean bigram log-prob —
+    * low-probability (garbled / off-distribution) documents rank at
+    * the bottom.
+    *
+    * Cross-engine exactness: ln() may differ from DuckDB's libm in
+    * the last ulp, so each bigram's log-prob is snapped to a fixed
+    * point grid FIRST — floor(10⁶·ln p) as BIGINT — making the
+    * per-document aggregation an exact integer sum (order-free); the
+    * reported mean is then a single IEEE division. A ulp flip could
+    * only matter on an exact floor boundary (~10⁻⁹ probability per
+    * distinct bigram).
+    *
+    * Scale: counts collapse the corpus to the vocab/bigram tables
+    * first (map-side partial aggs); the score pass joins corpus
+    * bigram occurrences to the bigram-count table co-partitioned on
+    * the bigram key — one sort-merge join that scales linearly. At
+    * 100 TB the count table would be top-K-pruned with a unigram
+    * backoff broadcast; here the full table is the exact form. */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // bigram occurrences keyed by the space-joined gram "w1 w2"
+    val bg = docs.select(col("doc_id"),
+        explode(shinglesOfTokens(col("toks"), 2)).as("g"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("g"),
+        floor(lit(1000000.0) *
+          log((col("c2").cast("double") + 0.5) /
+            (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
+          .as("lp_scaled"))
+    bg.join(lp, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_scaled")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000.0)).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+      |    i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM toks),
+      |uni AS (
+      |  SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+      |    SELECT unnest(w) AS w1 FROM toks) GROUP BY 1),
+      |vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |big AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS c2,
+      |    split_part(g, ' ', 1) AS w1
+      |  FROM bg GROUP BY g),
+      |lp AS (
+      |  SELECT g,
+      |    CAST(floor(1000000.0 *
+      |      ln((CAST(c2 AS DOUBLE) + 0.5) /
+      |          (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))) AS BIGINT)
+      |      AS lp_scaled
+      |  FROM big JOIN uni ON uni.w = big.w1 CROSS JOIN vocab)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lp_scaled) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_logp
+      |FROM bg JOIN lp USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_gopher_ngram" -> (gopherNgram _),
+    "t_lm_perplexity" -> (lmPerplexity _),
     "t_tfidf_topk" -> (tfidfTopK _),
     "t_token_count_bpe" -> (tokenCountBpe _),
     "t_token_stats" -> (tokenStats _),
@@ -344,6 +523,8 @@ object TextQueries {
     "t_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "t_gopher_ngram" -> gopherNgramSql,
+    "t_lm_perplexity" -> lmPerplexitySql,
     "t_tfidf_topk" -> tfidfTopKSql,
     "t_token_count_bpe" -> tokenCountBpeSql,
     "t_token_stats" -> tokenStatsSql,

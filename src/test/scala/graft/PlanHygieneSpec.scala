@@ -52,7 +52,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     * scale path is the LSH variant). */
   private val intentionalCrossJoins = Set("sim_cosine_topk",
     "sim_knn_label", "sim_embedding_near_dup", "sim_ann_lsh",
-    "sim_ann_ivf")
+    "sim_ann_ivf", "sim_sq8_topk")
 
   /** Scalar-subquery queries broadcast a ONE-ROW aggregate into the
     * filter (`rev = max(rev)`, `bal·n > Σbal`) — the nested loop runs
@@ -60,7 +60,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     * scale. Still must not degrade to CartesianProduct (that would
     * mean the one-row side wasn't broadcast). */
   private val singleRowBroadcasts = Set("q15_top_supplier",
-    "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance")
+    "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance",
+    "t_dsir_weights", "t_lm_perplexity")
 
   test("no query plan degrades to an unintended cross product") {
     SparkEntry.queries.keys
