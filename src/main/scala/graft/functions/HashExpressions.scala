@@ -187,6 +187,102 @@ object HashImpl {
     c
   }
 
+  /** Gopher repetition statistics of one document in a single per-row
+    * pass — NO shuffle, NO gram explode: the five statistics the
+    * repetition rules need, as [top2, top3, top4, dup5, dup6] where
+    * top_n = max over n-grams of count·chars (chars = gram length
+    * including joining spaces, in characters) and dup_n = Σ over
+    * n-grams occurring ≥ 2× of count·chars.
+    *
+    * Equivalent built-in pipeline: explode 5 shingle widths →
+    * count per (doc, n, gram) → max/sum per (doc, n) — two shuffles
+    * of gram-text keys. The kernel form makes the whole operator a
+    * per-row projection, which is the correct shape at any scale:
+    * every statistic is a within-document property.
+    */
+  def gopherStats(toks: ArrayData): ArrayData = {
+    val len = toks.numElements()
+    val out = new Array[Long](5)
+    val sb = new java.lang.StringBuilder(96)
+    var n = 2
+    while (n <= 6) {
+      if (len >= n) {
+        // gram -> packed (count, chars): chars fits in 31 bits, count in 32
+        val m = new java.util.HashMap[String, Array[Long]]()
+        var i = 0
+        while (i <= len - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            val t = toks.getUTF8String(i + j)
+            if (t != null) sb.append(t.toString)
+            j += 1
+          }
+          val g = sb.toString
+          val slot = m.get(g)
+          if (slot == null) m.put(g, Array(1L, g.codePointCount(0, g.length).toLong))
+          else slot(0) += 1L
+          i += 1
+        }
+        var top = 0L
+        var dup = 0L
+        val it = m.values().iterator()
+        while (it.hasNext) {
+          val slot = it.next()
+          val prod = slot(0) * slot(1)
+          if (prod > top) top = prod
+          if (slot(0) >= 2L) dup += prod
+        }
+        if (n <= 4) out(n - 2) = top else out(n - 2) = dup
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hashed-n-gram feature buckets of one document (the DSIR feature
+    * map): one bucket id per unigram and bigram OCCURRENCE,
+    * bucket = first 8 md5 hex digits of the gram as an unsigned value
+    * mod 1024 — bit-identical to
+    * `conv(substring(md5(gram), 1, 8), 16, 10) % 1024` over the
+    * exploded gram stream, but the gram strings never leave the row:
+    * only compact long bucket ids flow into the count/score
+    * aggregations.
+    */
+  def gramBuckets(toks: ArrayData): ArrayData = {
+    val len = toks.numElements()
+    if (len == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](2 * len - 1)
+    val digest = md5
+    val sb = new java.lang.StringBuilder(64)
+    def bucketOf(s: String): Long = {
+      digest.reset()
+      val d = digest.digest(s.getBytes("UTF-8"))
+      val w = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      w % 1024L
+    }
+    var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(i)
+      out(i) = bucketOf(if (t == null) "" else t.toString)
+      i += 1
+    }
+    i = 0
+    while (i < len - 1) {
+      sb.setLength(0)
+      val a = toks.getUTF8String(i)
+      val b = toks.getUTF8String(i + 1)
+      if (a != null) sb.append(a.toString)
+      sb.append(' ')
+      if (b != null) sb.append(b.toString)
+      out(len + i) = bucketOf(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `k` bloom bit positions of a pre-salted key string: md5 the UTF-8
     * bytes and take consecutive 4-byte big-endian windows mod `m` —
     * bit-identical to `CAST('0x' || substr(md5(s), 1 + 8j, 8) AS
@@ -303,6 +399,30 @@ case class ShingleHashes(child: Expression, n: Int) extends HashKernelExpression
     copy(child = newChild)
 }
 
+/** Per-document Gopher repetition stats — [[HashImpl.gopherStats]]. */
+case class GopherStats(child: Expression) extends HashKernelExpression {
+  override def prettyName: String = "gopher_stats"
+  override protected def inputElementType: DataType = StringType
+  override def nullSafeEval(toks: Any): Any =
+    HashImpl.gopherStats(toks.asInstanceOf[ArrayData])
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.HashImpl.gopherStats($c)"
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+/** Hashed unigram+bigram feature buckets — [[HashImpl.gramBuckets]]. */
+case class GramBuckets(child: Expression) extends HashKernelExpression {
+  override def prettyName: String = "gram_buckets"
+  override protected def inputElementType: DataType = StringType
+  override def nullSafeEval(toks: Any): Any =
+    HashImpl.gramBuckets(toks.asInstanceOf[ArrayData])
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.HashImpl.gramBuckets($c)"
+  override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
+}
+
 /** MinHash signature over shingle keys — [[HashImpl.minhashSig]]. */
 case class MinHashSig(child: Expression, numHashes: Int)
   extends HashKernelExpression {
@@ -342,6 +462,8 @@ object HashExpressions {
   def simhash64(toks: Column): Column = column(SimHash64(expression(toks)))
   def shingleHashes(toks: Column, n: Int): Column =
     column(ShingleHashes(expression(toks), n))
+  def gopherStats(toks: Column): Column = column(GopherStats(expression(toks)))
+  def gramBuckets(toks: Column): Column = column(GramBuckets(expression(toks)))
   def minhashSig(khs: Column, numHashes: Int): Column =
     column(MinHashSig(expression(khs), numHashes))
   def lshBuckets(v: Column, tables: Int, bits: Int): Column =
@@ -365,6 +487,10 @@ object HashExpressions {
       es => SimHash64(es.head))
     GraftSqlBridge.registerFunction(spark, "shingle_hashes",
       es => ShingleHashes(es(0), intLit(es(1), "shingle_hashes")))
+    GraftSqlBridge.registerFunction(spark, "gopher_stats",
+      es => GopherStats(es.head))
+    GraftSqlBridge.registerFunction(spark, "gram_buckets",
+      es => GramBuckets(es.head))
     GraftSqlBridge.registerFunction(spark, "minhash_sig",
       es => MinHashSig(es(0), intLit(es(1), "minhash_sig")))
     GraftSqlBridge.registerFunction(spark, "lsh_buckets",

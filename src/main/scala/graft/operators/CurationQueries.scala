@@ -725,17 +725,16 @@ object CurationQueries {
     * (the paper's "hashed n-gram features"), not an approximation
     * layered on it. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.gramBuckets
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         (substring(col("source"), 4, 10).cast("int") % 5 === 0).as("tgt"),
         tokens(col("text")).as("toks"))
-    // unigram + bigram occurrences, hashed to 1024 buckets
+    // unigram + bigram occurrences hashed to 1024 buckets by the
+    // native kernel — gram strings never leave the row; only compact
+    // long bucket ids flow into the aggregations
     def grams(d: DataFrame): DataFrame = d.select(col("doc_id"), col("tgt"),
-        explode(concat(col("toks"), shinglesOfTokens(col("toks"), 2)))
-          .as("gram"))
-      .select(col("doc_id"), col("tgt"),
-        (conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
-          .cast("long") % 1024L).as("bucket"))
+        explode(gramBuckets(col("toks"))).as("bucket"))
     val g = grams(docs)
     val counts = g.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_r"),

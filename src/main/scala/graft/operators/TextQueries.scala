@@ -340,47 +340,32 @@ object TextQueries {
     * max(count × chars) — a deterministic tie-break the paper leaves
     * unspecified.
     *
-    * Scale: one corpus scan; the 5 shingle widths explode in a single
-    * pass (one flattened array per doc), then two hash aggregations —
-    * (doc, n, gram) then (doc, n) — both with map-side partial
-    * aggregation. Fan-out is 5× token count, same family as the
-    * dedup shingle pass; no joins, no windows. Fractions are single
-    * IEEE divisions of exact integer counts, so doubles hash-match
-    * bit-exactly. */
+    * Scale: every statistic is a within-document property, so the
+    * whole operator is ONE per-row native kernel
+    * ([[graft.functions.HashImpl.gopherStats]]) inside a single
+    * corpus scan — zero shuffles, zero joins, no gram explode; the
+    * only exchange is the output ordering. The equivalent built-in
+    * pipeline (5-width shingle explode → count per (doc, n, gram) →
+    * max/sum per (doc, n)) shuffles gram text twice and benched 4×
+    * slower at sf0.1. Fractions are single IEEE divisions of exact
+    * integer counts, so doubles hash-match bit-exactly. */
   def gopherNgram(s: SparkSession, dir: String): DataFrame = {
-    val ns = 2 to 6
-    val docs = Tables.documents(s, dir)
+    import graft.functions.HashExpressions.gopherStats
+    def frac(c: Column): Column =
+      c.cast("double") / col("n_chars").cast("double")
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         length(trim(col("text"))).cast("long").as("n_chars"),
         tokens(col("text")).as("toks"))
-    val grams = docs.select(col("doc_id"), col("n_chars"),
-        explode(flatten(array(ns.map(n =>
-          transform(shinglesOfTokens(col("toks"), n),
-            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("g"))
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("n_chars"),
-        col("g.n").as("n"), col("g.gram").as("gram"))
-    val perDocN = grams
-      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("chars", col("c") * length(col("gram")).cast("long"))
-      .groupBy(col("doc_id"), col("n_chars"), col("n"))
-      .agg(max(col("chars")).as("top_chars"),
-        sum(when(col("c") >= 2, col("chars"))).as("dup_chars"))
-    def frac(c: Column): Column =
-      coalesce(c, lit(0L)).cast("double") / col("n_chars").cast("double")
-    perDocN.groupBy(col("doc_id"), col("n_chars"))
-      .agg(
-        max(when(col("n") === 2, col("top_chars"))).as("t2"),
-        max(when(col("n") === 3, col("top_chars"))).as("t3"),
-        max(when(col("n") === 4, col("top_chars"))).as("t4"),
-        max(when(col("n") === 5, col("dup_chars"))).as("d5"),
-        max(when(col("n") === 6, col("dup_chars"))).as("d6"))
+        gopherStats(col("toks")).as("gs"))
       .select(col("doc_id"),
-        frac(col("t2")).as("top2_frac"),
-        frac(col("t3")).as("top3_frac"),
-        frac(col("t4")).as("top4_frac"),
-        frac(col("d5")).as("dup5_frac"),
-        frac(col("d6")).as("dup6_frac"))
+        frac(element_at(col("gs"), 1)).as("top2_frac"),
+        frac(element_at(col("gs"), 2)).as("top3_frac"),
+        frac(element_at(col("gs"), 3)).as("top4_frac"),
+        frac(element_at(col("gs"), 4)).as("dup5_frac"),
+        frac(element_at(col("gs"), 5)).as("dup6_frac"))
       .withColumn("flagged",
         col("top2_frac") > 0.20 || col("top3_frac") > 0.18 ||
         col("top4_frac") > 0.16 || col("dup5_frac") > 0.15 ||
