@@ -789,7 +789,100 @@ object CurationQueries {
       |FROM grams JOIN w USING (bucket)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** UniMax sampling (Chung et al. 2023): allocate a total token
+    * budget across sources by water-filling under a per-source epoch
+    * cap — low-resource sources get up to `cap` epochs of their data,
+    * the remaining budget spreads uniformly over the rest. Budget is
+    * half the corpus (floor(Σtokens/2)), cap is 4 epochs.
+    *
+    * Closed form instead of the paper's sequential loop: with capped
+    * supplies s_i = cap·n_i sorted ascending, source i is
+    * supply-limited iff s_i·(k−i+1) + Σ_{j<i}s_j ≤ B (monotone in i,
+    * proof in the sequential-greedy equivalence: if i overflows its
+    * fair share, so does every larger j), so the boundary m and the
+    * uniform share (B − Σ_{j≤m}s_j)/(k−m) come from two window
+    * passes. All arithmetic is integer until the two final IEEE
+    * divisions — exact cross-engine.
+    *
+    * Scale: one corpus aggregation (map-side combine) collapses
+    * 100 TB to one row per source; the window passes run on that
+    * |sources|-row table — the unpartitioned window is a deliberate
+    * single-task frame over dozens of rows, not a corpus-wide sort. */
+  def unimaxSampling(s: SparkSession, dir: String): DataFrame = {
+    val cap = 4L
+    val perSrc = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens"), col("source"))
+    val all = Window.partitionBy()
+    perSrc
+      .withColumn("s_cap", col("n_tokens") * cap)
+      .withColumn("idx", row_number().over(ord).cast("long"))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("budget",
+        floor(sum(col("n_tokens")).over(all).cast("double") / 2.0))
+      .withColumn("cum_prev",
+        coalesce(sum(col("s_cap"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("s_cap") * (col("k") - col("idx") + 1) + col("cum_prev")
+          <= col("budget"))
+      .withColumn("m",
+        max(when(col("capped"), col("idx")).otherwise(0L)).over(all))
+      .withColumn("p_m",
+        coalesce(max(when(col("capped"), col("cum_prev") + col("s_cap")))
+          .over(all), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("idx") <= col("m"), col("s_cap").cast("double"))
+          .otherwise((col("budget") - col("p_m")).cast("double") /
+            (col("k") - col("m")).cast("double")))
+      .withColumn("epochs",
+        col("alloc_tokens") / col("n_tokens").cast("double"))
+      .withColumn("supply_capped", col("idx") <= col("m"))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        col("epochs"), col("supply_capped"))
+      .orderBy(col("source"))
+  }
+
+  val unimaxSamplingSql: String =
+    """WITH per_src AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source),
+      |staged AS (
+      |  SELECT source, n_tokens, n_tokens * 4 AS s_cap,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS idx,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS k,
+      |    CAST(floor(CAST(SUM(n_tokens) OVER () AS DOUBLE) / 2.0) AS BIGINT)
+      |      AS budget,
+      |    CAST(COALESCE(SUM(n_tokens * 4) OVER (ORDER BY n_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_prev
+      |  FROM per_src),
+      |flagged AS (
+      |  SELECT *,
+      |    (s_cap * (k - idx + 1) + cum_prev <= budget) AS capped
+      |  FROM staged),
+      |bounded AS (
+      |  SELECT *,
+      |    CAST(MAX(CASE WHEN capped THEN idx ELSE 0 END) OVER () AS BIGINT)
+      |      AS m,
+      |    CAST(COALESCE(MAX(CASE WHEN capped THEN cum_prev + s_cap END)
+      |      OVER (), 0) AS BIGINT) AS p_m
+      |  FROM flagged)
+      |SELECT source, n_tokens,
+      |  CASE WHEN idx <= m THEN CAST(s_cap AS DOUBLE)
+      |    ELSE CAST(budget - p_m AS DOUBLE) / CAST(k - m AS DOUBLE) END
+      |    AS alloc_tokens,
+      |  CASE WHEN idx <= m THEN CAST(s_cap AS DOUBLE)
+      |    ELSE CAST(budget - p_m AS DOUBLE) / CAST(k - m AS DOUBLE) END
+      |    / CAST(n_tokens AS DOUBLE) AS epochs,
+      |  (idx <= m) AS supply_capped
+      |FROM bounded ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_unimax_sampling" -> (unimaxSampling _),
     "t_dsir_weights" -> (dsirWeights _),
     "t_quality_buckets" -> (qualityBuckets _),
     "t_novelty" -> (novelty _),
@@ -806,6 +899,7 @@ object CurationQueries {
     "t_shard_assign" -> (shardAssign _))
 
   val oracles: Map[String, String] = Map(
+    "t_unimax_sampling" -> unimaxSamplingSql,
     "t_dsir_weights" -> dsirWeightsSql,
     "t_quality_buckets" -> qualityBucketsSql,
     "t_novelty" -> noveltySql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -666,7 +667,69 @@ object DedupQueries {
       |SELECT c.doc_id AS doc_id FROM clusters c JOIN q ON q.doc_id = c.doc_id
       |WHERE q.keep AND c.doc_id = c.rep ORDER BY c.doc_id""".stripMargin
 
+  /** Cluster retention by quality ARGMAX (the FineWeb/Dolma policy)
+    * instead of [[pipelineKeep]]'s min-id representative: for each
+    * near-dup cluster, among its quality-passing members, keep the
+    * one with the highest type-token ratio (tie-break lowest doc_id).
+    * Clusters with no quality-passing member are dropped entirely —
+    * the policy difference that matters in production: min-id keeps
+    * an arbitrary copy, argmax keeps the best copy.
+    *
+    * Scale: [[simhashClusters]]' distributed CC plus ONE extra hash
+    * exchange on cluster_rep; the rank and member-count windows share
+    * that partitioning, so the retention decision adds a single
+    * shuffle regardless of corpus size. TTR ordering is a comparison
+    * of identical IEEE divisions, deterministic cross-engine. */
+  def pipelineKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val q = TextQueries.qualityScore(s, dir)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("ttr"))
+    val members = simhashClusters(s, dir).join(q, "doc_id")
+    val byRep = Window.partitionBy(col("cluster_rep"))
+    val rank = byRep.orderBy(col("ttr").desc, col("doc_id"))
+    members
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("n_kept_members", count(lit(1)).over(byRep))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_rep"), col("n_kept_members"),
+        col("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineKeepBestSql: String =
+    sig64Cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash_hi, b.simhash_hi)) + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3),
+      |peers AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT p.dst AS node, reach.r FROM reach JOIN peers p ON p.src = reach.node),
+      |clusters AS (SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node),
+      |q AS (
+      |  SELECT doc_id, CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+      |    (n_tokens >= 10 AND CAST(n_distinct AS DOUBLE)/n_tokens >= 0.2
+      |      AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5) AS keep
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(w) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |      CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+      |kept AS (
+      |  SELECT c.doc_id, c.rep, q.ttr,
+      |    ROW_NUMBER() OVER (PARTITION BY c.rep ORDER BY q.ttr DESC, c.doc_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY c.rep) AS BIGINT) AS n_kept_members
+      |  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+      |  WHERE q.keep)
+      |SELECT doc_id, rep AS cluster_rep, n_kept_members, ttr
+      |FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_keep_best" -> (pipelineKeepBest _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -676,6 +739,7 @@ object DedupQueries {
     "pipeline_keep" -> (pipelineKeep _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_keep_best" -> pipelineKeepBestSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -494,7 +494,100 @@ object TextQueries {
       |FROM bg JOIN lp USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Naive-Bayes document-quality classifier (the CCNet / fastText
+    * filter shape, Wenzek et al. 2020): fit per-word binary log-odds
+    * against a "curated" target class (every 5th source index — the
+    * same target split as [[CurationQueries.dsirWeights]]), add-1
+    * smoothed over the exact vocabulary, plus the class-prior
+    * log-odds; a document's score is the sum of its token
+    * occurrences' log-odds, predicted target-like iff
+    * score + prior > 0. Differs from DSIR (hashed 1024-bucket
+    * importance RATIO for resampling) in being an exact-vocabulary
+    * CLASSIFIER with a prior and a decision.
+    *
+    * Cross-engine exactness: per-word and prior log-odds snap to the
+    * fixed-point grid (floor(10⁶·Δln) as BIGINT) so the per-doc
+    * aggregation is an exact order-free integer sum — the
+    * [[lmPerplexity]] contract.
+    *
+    * Scale: the corpus collapses to the word-count table first
+    * (map-side partial aggs); scoring joins the token stream to that
+    * table on the word key — linear, one co-partitioned join, same
+    * shape as [[lmPerplexity]]. At 100 TB the weight table would be
+    * top-K-pruned (rare words carry ≈0 evidence under add-1
+    * smoothing) and broadcast; here the full table is the exact
+    * form. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (substring(col("source"), 4, 10).cast("int") % 5 === 0).as("tgt"),
+        tokens(col("text")).as("toks"))
+    val toks = docs.select(col("doc_id"), col("tgt"),
+      explode(col("toks")).as("w"))
+    val counts = toks.groupBy(col("w"))
+      .agg(count(when(col("tgt"), 1)).as("c_t"),
+        count(when(!col("tgt"), 1)).as("c_o"))
+    val totals = counts.agg(sum(col("c_t")).as("nt"),
+      sum(col("c_o")).as("no"), count(lit(1)).as("v"))
+    val prior = docs.agg(
+      floor(lit(1000000.0) *
+        log(count(when(col("tgt"), 1)).cast("double") /
+          count(when(!col("tgt"), 1)).cast("double"))).as("prior_scaled"))
+    val w = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        floor(lit(1000000.0) *
+          (log((col("c_t").cast("double") + 1.0) /
+              (col("nt") + col("v")).cast("double")) -
+           log((col("c_o").cast("double") + 1.0) /
+              (col("no") + col("v")).cast("double")))).as("w_scaled"))
+    toks.join(w, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_scaled")).as("sw"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("sw") + col("prior_scaled")).cast("double") / 1000000.0)
+          .as("log_odds"))
+      .withColumn("pred_target", col("log_odds") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClassifierSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, (CAST(substr(source, 4) AS INT) % 5 = 0) AS tgt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |toks AS (SELECT doc_id, tgt, unnest(w) AS w FROM docs),
+      |counts AS (
+      |  SELECT w, CAST(COUNT(CASE WHEN tgt THEN 1 END) AS BIGINT) AS c_t,
+      |         CAST(COUNT(CASE WHEN NOT tgt THEN 1 END) AS BIGINT) AS c_o
+      |  FROM toks GROUP BY w),
+      |totals AS (
+      |  SELECT CAST(SUM(c_t) AS BIGINT) AS nt, CAST(SUM(c_o) AS BIGINT) AS no,
+      |         CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM counts),
+      |prior AS (
+      |  SELECT CAST(floor(1000000.0 *
+      |    ln(CAST(COUNT(CASE WHEN tgt THEN 1 END) AS DOUBLE) /
+      |       CAST(COUNT(CASE WHEN NOT tgt THEN 1 END) AS DOUBLE))) AS BIGINT)
+      |    AS prior_scaled
+      |  FROM docs),
+      |wt AS (
+      |  SELECT w,
+      |    CAST(floor(1000000.0 *
+      |      (ln((CAST(c_t AS DOUBLE) + 1.0) / CAST(nt + v AS DOUBLE)) -
+      |       ln((CAST(c_o AS DOUBLE) + 1.0) / CAST(no + v AS DOUBLE))))
+      |      AS BIGINT) AS w_scaled
+      |  FROM counts CROSS JOIN totals)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(w_scaled) + MAX(prior_scaled) AS DOUBLE) / 1000000.0
+      |    AS log_odds,
+      |  (CAST(SUM(w_scaled) + MAX(prior_scaled) AS DOUBLE) / 1000000.0 > 0.0)
+      |    AS pred_target
+      |FROM toks JOIN wt USING (w) CROSS JOIN prior
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_quality_classifier" -> (qualityClassifier _),
     "t_gopher_ngram" -> (gopherNgram _),
     "t_lm_perplexity" -> (lmPerplexity _),
     "t_tfidf_topk" -> (tfidfTopK _),
@@ -508,6 +601,7 @@ object TextQueries {
     "t_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "t_quality_classifier" -> qualityClassifierSql,
     "t_gopher_ngram" -> gopherNgramSql,
     "t_lm_perplexity" -> lmPerplexitySql,
     "t_tfidf_topk" -> tfidfTopKSql,

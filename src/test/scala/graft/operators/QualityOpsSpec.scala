@@ -91,4 +91,72 @@ class QualityOpsSpec extends AnyFunSuite {
       .agg(max(abs(col("qcos") - col("cos")))).head.getDouble(0)
     assert(worst < 0.05, s"worst |qcos-cos| = $worst")
   }
+
+  test("unimax: water-filling exhausts the budget under the epoch cap") {
+    val u = CurationQueries.unimaxSampling(spark, dir).cache()
+    try {
+      val total = Tables.documents(spark, dir)
+        .select(sum(size(tokens(col("text")))).cast("long"))
+        .head.getLong(0)
+      val budget = total / 2
+      val allocSum = u.agg(sum(col("alloc_tokens"))).head.getDouble(0)
+      // budget fully spent (the uncapped tail absorbs the remainder)
+      assert(math.abs(allocSum - budget) < 1e-6 * budget,
+        s"alloc $allocSum vs budget $budget")
+      // nobody exceeds the 4-epoch cap; capped sources sit exactly on it
+      assert(u.filter(col("epochs") > 4.0 + 1e-12).count() == 0)
+      assert(u.filter(col("supply_capped") && col("epochs") =!= 4.0)
+        .count() == 0)
+      // every uncapped source gets the same uniform share
+      val shares = u.filter(!col("supply_capped"))
+        .select(col("alloc_tokens")).distinct().count()
+      assert(shares <= 1, s"$shares distinct uncapped shares")
+      // and that share is >= any capped source's full supply (water level)
+      val capped = u.filter(col("supply_capped"))
+      if (capped.count() > 0 && shares == 1) {
+        val maxCapped = capped.agg(max(col("alloc_tokens"))).head.getDouble(0)
+        val share = u.filter(!col("supply_capped"))
+          .head.getAs[Double]("alloc_tokens")
+        assert(share >= maxCapped - 1e-9, s"share $share < capped $maxCapped")
+      }
+    } finally u.unpersist()
+  }
+
+  test("quality classifier: exact occurrence counts, decision matches score") {
+    val c = TextQueries.qualityClassifier(spark, dir).cache()
+    try {
+      val expected = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("e"))
+      assert(c.join(expected, "doc_id")
+        .filter(col("n_tokens") =!= col("e")).count() == 0)
+      assert(c.filter(isnan(col("log_odds")) ||
+        col("log_odds").isNull).count() == 0)
+      assert(c.filter(col("pred_target") =!=
+        (col("log_odds") > 0.0)).count() == 0)
+    } finally c.unpersist()
+  }
+
+  test("keep-best retention: argmax-quality member per surviving cluster") {
+    val kept = DedupQueries.pipelineKeepBest(spark, dir).cache()
+    try {
+      val members = DedupQueries.simhashClusters(spark, dir)
+        .join(TextQueries.qualityScore(spark, dir).filter(col("keep"))
+          .select(col("doc_id"), col("ttr")), "doc_id")
+        .cache()
+      try {
+        // one row per cluster that has >= 1 quality-passing member
+        val nClusters = members.select(col("cluster_rep")).distinct().count()
+        assert(kept.count() == nClusters)
+        // the kept doc's ttr is the cluster max
+        val best = members.groupBy(col("cluster_rep"))
+          .agg(max(col("ttr")).as("best_ttr"),
+            count(lit(1)).as("n"))
+        val bad = kept.join(best, "cluster_rep")
+          .filter(col("ttr") =!= col("best_ttr") ||
+            col("n_kept_members") =!= col("n")).count()
+        assert(bad == 0)
+      } finally members.unpersist()
+    } finally kept.unpersist()
+  }
 }
