@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -235,13 +236,113 @@ object SketchQueries {
       |  exact_distinct
       |FROM bits, ex""".stripMargin
 
+  private val QB = 4096 // quantile histogram buckets
+
+  /** Distributed exact quantiles by two-phase histogram selection —
+    * the quantile member of the sketch family (frequency = count-min,
+    * membership = bloom, cardinality = linear counting). Phase 1
+    * aggregates prices (as integer cents) into a FIXED 4096-bucket
+    * equi-width histogram — a bounded shuffle regardless of row
+    * count — whose cumulative counts locate, for each target rank
+    * r = ⌈q·n⌉, the one bucket holding the r-th smallest value and
+    * the midpoint ESTIMATE a pure sketch would report. Phase 2
+    * re-scans only the ≈ n/4096 rows of each target bucket and ranks
+    * them locally for the EXACT order statistic — the classic
+    * distributed-selection refinement, no global sort anywhere.
+    *
+    * Determinism: prices snap to cents via round() (DuckDB's
+    * double→BIGINT cast rounds where Spark's truncates — round()
+    * first makes both exact); all bucket math is integer (`div`).
+    * The two unpartitioned windows run over ≤ 4096 histogram rows
+    * and ≤ 3 bucket populations respectively — deliberate bounded
+    * single-task frames, not corpus-wide sorts. */
+  def quantileSelect(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+      count(lit(1)).as("n"))
+    val bucketed = cents.crossJoin(broadcast(bounds))
+      .selectExpr("c", "n", "lo", s"(hi - lo) div $QB + 1 AS width")
+      .selectExpr("c", "n", "lo", "width", "(c - lo) div width AS bucket")
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"),
+        max(col("lo")).as("lo"), max(col("width")).as("width"))
+    val cumW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val qs = s.range(1).select(
+      explode(array(lit(0.5), lit(0.95), lit(0.99))).as("q"))
+    val targets = qs.crossJoin(cum)
+      .withColumn("r", ceil(col("q") * col("n")).cast("long"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("q"), col("r"))
+      .agg(min(col("bucket")).as("bucket"))
+      .join(cum.select(col("bucket"), col("prev"), col("lo"),
+        col("width")), "bucket")
+      .selectExpr("q", "r", "bucket", "prev",
+        "CAST(lo + bucket * width + width div 2 AS DOUBLE) / 100.0" +
+          " AS est_price")
+    val rankW = Window.partitionBy(col("q")).orderBy(col("c"))
+    bucketed.select(col("c"), col("bucket"))
+      .join(broadcast(targets), "bucket")
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") === col("r") - col("prev"))
+      .select(col("q"), col("r").as("rank_k"), col("est_price"),
+        (col("c").cast("double") / 100.0).as("exact_price"))
+      .orderBy(col("q"))
+  }
+
+  val quantileSelectSql: String =
+    s"""WITH cents AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem),
+      |bounds AS (
+      |  SELECT MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM cents),
+      |bucketed AS (
+      |  SELECT c, n, (c - lo) // ((hi - lo) // $QB + 1) AS bucket,
+      |    lo, (hi - lo) // $QB + 1 AS width
+      |  FROM cents CROSS JOIN bounds),
+      |hist AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt, MAX(n) AS n,
+      |    MAX(lo) AS lo, MAX(width) AS width
+      |  FROM bucketed GROUP BY bucket),
+      |cum AS (
+      |  SELECT *, CAST(SUM(cnt) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM hist),
+      |cum2 AS (SELECT *, cum - cnt AS prev FROM cum),
+      |qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+      |targets AS (
+      |  SELECT q, r, MIN(bucket) AS bucket FROM (
+      |    SELECT q, CAST(ceil(q * n) AS BIGINT) AS r, bucket, cum
+      |    FROM qs CROSS JOIN cum2)
+      |  WHERE cum >= r GROUP BY q, r),
+      |t2 AS (
+      |  SELECT q, r, t.bucket, prev,
+      |    CAST(lo + t.bucket * width + width // 2 AS DOUBLE) / 100.0
+      |      AS est_price
+      |  FROM targets t JOIN cum2 USING (bucket)),
+      |ranked AS (
+      |  SELECT q, r, est_price, c,
+      |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY c) AS rk, prev
+      |  FROM bucketed JOIN t2 USING (bucket))
+      |SELECT q, r AS rank_k, est_price, CAST(c AS DOUBLE) / 100.0
+      |    AS exact_price
+      |FROM ranked WHERE rk = r - prev ORDER BY q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "t_distinct_sketch" -> (distinctSketch _),
+    "t_quantile_select" -> (quantileSelect _),
     "join_bloom_prefilter" -> (bloomPrefilter _))
 
   val oracles: Map[String, String] = Map(
     "t_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "t_distinct_sketch" -> distinctSketchSql,
+    "t_quantile_select" -> quantileSelectSql,
     "join_bloom_prefilter" -> bloomPrefilterSql)
 }

@@ -61,7 +61,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     * mean the one-row side wasn't broadcast). */
   private val singleRowBroadcasts = Set("q15_top_supplier",
     "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance",
-    "t_dsir_weights", "t_lm_perplexity")
+    "t_dsir_weights", "t_lm_perplexity", "t_quality_classifier",
+    // bounds row + 3-quantile × 4096-bucket histogram probes — both
+    // nested-loop sides are fixed-size regardless of corpus
+    "t_quantile_select")
 
   test("no query plan degrades to an unintended cross product") {
     SparkEntry.queries.keys
@@ -194,6 +197,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     // md5 call site in the probe filter
     val md5Args = "md5\\([^)]*\\)".r.findAllIn(p).toSet
     assert(md5Args.size <= 1, s"probe hashes more than once: $md5Args\n$p")
+  }
+
+  /** Phase 1 must stay a bounded histogram aggregation and phase 2 a
+    * broadcast probe of the ≤ 3 target buckets — no global sort of
+    * the fact table anywhere, no shuffle join. */
+  test("quantile selection plans no global sort and no shuffle join") {
+    val df = graft.operators.SketchQueries.quantileSelect(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the only Sorts allowed are the two bounded window frames
+    // (<= 4096 histogram rows; <= 3 bucket populations) and the
+    // 3-row output ordering — never a corpus-wide Exchange+Sort pair
+    // feeding a global order of the cents stream
+    assert(!p.contains("rangepartitioning(c"), p)
   }
 
   test("filter pushdown applies to the events replay path too") {
