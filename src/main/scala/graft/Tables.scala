@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Typed loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -43,19 +43,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as long ns (legacy.parquet.nanosAsLong) and
-    * convert to a microsecond TimestampType with exact integer
-    * division (ns since epoch overflows double precision). */
+  /** Schema-adaptive `events.ts` loader. Earlier testdata generations
+    * stored `ts` as parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects unless read as long ns (legacy.parquet.nanosAsLong); in
+    * that case convert to microsecond TimestampType with exact integer
+    * division (ns since epoch overflows double precision). Current
+    * generations store timestamp[us] WITHOUT timezone, which Spark
+    * loads as TIMESTAMP_NTZ — cast it to TimestampType (all harness
+    * sessions run UTC, so the instant is unchanged) because streaming
+    * watermarks and the unix_micros-family functions require TIMESTAMP.
+    * Branch on the loaded type so either vintage of the file works. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views (for spark.sql-driven paths). */
+  /** Register all tables as temp views (for spark.sql-driven paths).
+    * Routed through the typed loaders so the SQL-view path and the
+    * DataFrame path share one loader (events gets its ts shim here too). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

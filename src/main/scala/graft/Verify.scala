@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +30,7 @@ object Verify {
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.toString)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release query-scoped caches before the next query (clearCache
@@ -52,6 +54,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Completeness manifest: erroring queries leave no parquet behind,
+    // which a per-query compare silently skips — record them explicitly
+    // so a loader regression is visible in the round artifacts.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.linesIterator.take(3).mkString(" "))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

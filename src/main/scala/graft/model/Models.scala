@@ -57,6 +57,14 @@ object Order {
 case class Trade(secCode: String, buyNo: String, sellNo: String,
     priceCents: Int, volume: Int, tsHHMMSS: Int)
 
+/** One security's persisted book snapshot — the state-file row of the
+  * order-book bootstrap (reference stock/StateLoader.java:100-128
+  * warm-loads the matcher's MapState before consuming the stream).
+  * `buys`/`sells` hold the resting orders with their partial-fill
+  * progress, best-price-first, FIFO within a price level. */
+case class SecurityBook(secCode: String, buys: List[Order],
+    sells: List[Order])
+
 /** Oracle-embedding keyed tuple (key, expected running count) used by
   * the invariance-under-reconfiguration tests (reference
   * flinkapp/test/TestingWorkload.java:228-290). */

@@ -382,6 +382,24 @@ object DedupQueries {
     * connected components are algorithm-independent, so the outputs
     * agree exactly. */
   def simhashClusters(s: SparkSession, dir: String): DataFrame = {
+    // The cluster-label table is shared by three queries
+    // (dedup_clusters, pipeline_keep, pipeline_keep_best): materialize
+    // it ONCE per (session, testdata version) to a temp parquet and
+    // serve later callers from that file — the signature + band-join +
+    // CC work is the family's dominant cost and is identical across
+    // them. Distributed write/read (never a driver collect), keyed by
+    // the documents.parquet mtime so regenerated data recomputes.
+    val path = Tables.memoizedAtConstruction(s, dir, "documents", "simhash-cc") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-cc-" +
+        s"${System.identityHashCode(s)}-${Integer.toHexString(dir.hashCode)}"
+      computeSimhashClusters(s, dir)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path).orderBy(col("doc_id"))
+  }
+
+  private def computeSimhashClusters(s: SparkSession, dir: String): DataFrame = {
     // Clustering runs ONLY over edge-touched nodes: every other doc is
     // trivially its own representative and joins back in at the end.
     // At corpus scale the near-dup subgraph is a small fraction of the
@@ -394,7 +412,6 @@ object DedupQueries {
       .select(col("doc_id"), col("doc_id").as("rep"))
     labeled.union(singletons)
       .select(col("doc_id"), col("rep").as("cluster_rep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Connected components of an (id1, id2) edge set → (doc_id, rep)

@@ -437,9 +437,14 @@ object TextQueries {
     * first (map-side partial aggs); the score pass joins corpus
     * bigram occurrences to the bigram-count table co-partitioned on
     * the bigram key — one sort-merge join that scales linearly. At
-    * 100 TB the count table would be top-K-pruned with a unigram
-    * backoff broadcast; here the full table is the exact form. */
+    * 100 TB set `spark.graft.lm.topK` (e.g. 262144): the model state
+    * caps at K bigrams + K unigrams, both BROADCAST, tail bigrams
+    * back off to the smoothed zero-count estimate from the unigram
+    * table — scoring becomes map-only up to the final per-doc sum
+    * (the standard KenLM/CCNet pruned-model shape). Default 0 keeps
+    * the exact full-table join (the oracle form). */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val topK = s.conf.getOption("spark.graft.lm.topK").map(_.toInt).getOrElse(0)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     // bigram occurrences keyed by the space-joined gram "w1 w2"
@@ -450,14 +455,44 @@ object TextQueries {
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
-    val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
-      .crossJoin(broadcast(vocab))
-      .select(col("g"),
-        floor(lit(1000000.0) *
-          log((col("c2").cast("double") + 0.5) /
-            (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
-          .as("lp_scaled"))
-    bg.join(lp, Seq("g"))
+    val perDoc =
+      if (topK <= 0) {
+        val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
+          .crossJoin(broadcast(vocab))
+          .select(col("g"),
+            floor(lit(1000000.0) *
+              log((col("c2").cast("double") + 0.5) /
+                (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
+              .as("lp_scaled"))
+        bg.join(lp, Seq("g"))
+          .select(col("doc_id"), col("lp_scaled"))
+      } else {
+        // Pruned model: K highest-count bigrams with their exact lp
+        // (TakeOrdered — no full sort), K highest-count unigrams for
+        // the backoff's c1 (tail words → c1 = 0). Both fixed-size →
+        // broadcastable regardless of corpus size.
+        val bigTop = big.orderBy(col("c2").desc, col("g")).limit(topK)
+        val uniTop = uni.orderBy(col("c1").desc, col("w")).limit(topK)
+        val lpTop = broadcast(bigTop).join(uni.withColumnRenamed("w", "w1"), "w1")
+          .crossJoin(broadcast(vocab))
+          .select(col("g"),
+            floor(lit(1000000.0) *
+              log((col("c2").cast("double") + 0.5) /
+                (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
+              .as("lp_scaled"))
+        bg.join(broadcast(lpTop), Seq("g"), "left")
+          .withColumn("w1", substring_index(col("g"), " ", 1))
+          .join(broadcast(uniTop.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            coalesce(col("lp_scaled"),
+              floor(lit(1000000.0) *
+                log(lit(0.5) /
+                  (coalesce(col("c1"), lit(0L)).cast("double") +
+                    lit(0.5) * col("v").cast("double")))))
+              .as("lp_scaled"))
+      }
+    perDoc
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_scaled")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -513,11 +548,13 @@ object TextQueries {
     * Scale: the corpus collapses to the word-count table first
     * (map-side partial aggs); scoring joins the token stream to that
     * table on the word key — linear, one co-partitioned join, same
-    * shape as [[lmPerplexity]]. At 100 TB the weight table would be
-    * top-K-pruned (rare words carry ≈0 evidence under add-1
-    * smoothing) and broadcast; here the full table is the exact
-    * form. */
+    * shape as [[lmPerplexity]]. At 100 TB set `spark.graft.nb.topK`:
+    * the weight table is top-K-pruned (rare words carry ≈0 evidence
+    * under add-1 smoothing) and broadcast, tail words take the
+    * zero-count backoff weight. Default 0 = exact full-vocab join
+    * (the oracle form). */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val topK = s.conf.getOption("spark.graft.nb.topK").map(_.toInt).getOrElse(0)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         (substring(col("source"), 4, 10).cast("int") % 5 === 0).as("tgt"),
@@ -533,14 +570,33 @@ object TextQueries {
       floor(lit(1000000.0) *
         log(count(when(col("tgt"), 1)).cast("double") /
           count(when(!col("tgt"), 1)).cast("double"))).as("prior_scaled"))
-    val w = counts.crossJoin(broadcast(totals))
-      .select(col("w"),
-        floor(lit(1000000.0) *
-          (log((col("c_t").cast("double") + 1.0) /
-              (col("nt") + col("v")).cast("double")) -
-           log((col("c_o").cast("double") + 1.0) /
-              (col("no") + col("v")).cast("double")))).as("w_scaled"))
-    toks.join(w, Seq("w"))
+    def weight(ct: Column, co: Column): Column =
+      floor(lit(1000000.0) *
+        (log((ct.cast("double") + 1.0) /
+            (col("nt") + col("v")).cast("double")) -
+         log((co.cast("double") + 1.0) /
+            (col("no") + col("v")).cast("double"))))
+    val scoredToks =
+      if (topK <= 0) {
+        val w = counts.crossJoin(broadcast(totals))
+          .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
+        toks.join(w, Seq("w")).select(col("doc_id"), col("w_scaled"))
+      } else {
+        // Scale path (`spark.graft.nb.topK` > 0): keep the K
+        // highest-evidence words (by total count — under add-1
+        // smoothing, tail words carry ≈0 log-odds), BROADCAST the
+        // fixed-size weight table, and score tail words with the
+        // zero-count backoff weight. Map-only up to the per-doc sum.
+        val wTop = counts
+          .orderBy((col("c_t") + col("c_o")).desc, col("w")).limit(topK)
+          .crossJoin(broadcast(totals))
+          .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
+        toks.join(broadcast(wTop), Seq("w"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"),
+            coalesce(col("w_scaled"), weight(lit(0L), lit(0L))).as("w_scaled"))
+      }
+    scoredToks
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w_scaled")).as("sw"))
       .crossJoin(broadcast(prior))

@@ -12,26 +12,30 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw schema of events.parquet with ns-timestamps read as long
-    * (nanosAsLong), converted to a µs TimestampType column. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming read of the events table (file-replay source — the
     * analog of the reference's SSERealRateSourceFunction file replay,
-    * stock/sources/SSERealRateSourceFunctionKV.java:14-100). */
+    * stock/sources/SSERealRateSourceFunctionKV.java:14-100).
+    *
+    * Schema-adaptive like Tables.events: a batch peek at the file
+    * supplies the streaming schema, and the ns→µs shim is applied only
+    * when the file's `ts` loads as long (old TIMESTAMP(NANOS)
+    * testdata); current timestamp[us] files stream through untouched. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(ReplayStaging.stage(s"$dir/events.parquet"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fileSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // timestamp[us] without tz loads as NTZ; watermarks need
+        // TIMESTAMP — cast preserves the instant (sessions run UTC)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming hourly tumbling counts (Q5 analog) with a watermark;

@@ -2,9 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
-import graft.model.{KeyedTuple, Order, Trade}
+import graft.model.{KeyedTuple, Order, SecurityBook, Trade}
 
 /** Operators on Spark 4's `transformWithState` API — the direct
   * analog of the reference's RichFunction/ProcessFunction surface (typed
@@ -64,19 +65,22 @@ object TransformWithStateOps {
     * delete with price-0 side scan, pre-open book build, best-crossing
     * FIFO fills priced at the resting order).
     */
-  final class OrderBookProcessor
-    extends StatefulProcessor[String, Order, Trade] {
-    @transient private var buyPool: MapState[Int, PriceLevel] = _
-    @transient private var sellPool: MapState[Int, PriceLevel] = _
+  /** The matcher logic shared by [[OrderBookProcessor]] (cold start)
+    * and [[BootstrappedOrderBookProcessor]] (file-bootstrapped state —
+    * the reference's StateLoader restore path): one implementation of
+    * insert/delete/match over the two per-price MapState pools. */
+  sealed trait TwsBookLogic { this: StatefulProcessor[String, Order, Trade] =>
+    @transient protected var buyPool: MapState[Int, PriceLevel] = _
+    @transient protected var sellPool: MapState[Int, PriceLevel] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    protected def initPools(): Unit = {
       buyPool = getHandle.getMapState[Int, PriceLevel]("buyPool",
         Encoders.scalaInt, Encoders.product[PriceLevel], TTLConfig.NONE)
       sellPool = getHandle.getMapState[Int, PriceLevel]("sellPool",
         Encoders.scalaInt, Encoders.product[PriceLevel], TTLConfig.NONE)
     }
 
-    private def side(dir: String): MapState[Int, PriceLevel] =
+    protected def side(dir: String): MapState[Int, PriceLevel] =
       if (dir == "B") buyPool else sellPool
 
     private def queueAt(s: MapState[Int, PriceLevel], p: Int): List[Order] =
@@ -86,7 +90,7 @@ object TransformWithStateOps {
         q: List[Order]): Unit =
       if (q.isEmpty) s.removeKey(p) else s.updateValue(p, PriceLevel(q))
 
-    private def insert(o: Order): Unit = {
+    protected def insert(o: Order): Unit = {
       val s = side(o.tradeDir)
       putQueue(s, o.orderPriceCents, queueAt(s, o.orderPriceCents) :+ o)
     }
@@ -174,6 +178,32 @@ object TransformWithStateOps {
     }
   }
 
+  /** Cold-start matcher: the book begins empty. */
+  final class OrderBookProcessor
+    extends StatefulProcessor[String, Order, Trade] with TwsBookLogic {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      initPools()
+  }
+
+  /** Warm-start matcher: before the first batch, each security's book
+    * is rebuilt from a [[graft.model.SecurityBook]] snapshot row — the
+    * reference's StateLoader restore semantics (stock/StateLoader.java:
+    * 100-128 reloads the MapState before consuming the live stream).
+    * Snapshot lists preserve price-level FIFO order, so re-inserting
+    * them in sequence reconstructs the exact queues. */
+  final class BootstrappedOrderBookProcessor
+    extends StatefulProcessorWithInitialState[String, Order, Trade,
+      SecurityBook] with TwsBookLogic {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      initPools()
+
+    override def handleInitialState(key: String, snap: SecurityBook,
+        timerValues: TimerValues): Unit = {
+      snap.buys.foreach(insert)
+      snap.sells.foreach(insert)
+    }
+  }
+
   /** Streaming order-book matching on the TWS MapState form. */
   def orderBook(orders: Dataset[Order]): Dataset[Trade] = {
     val spark = orders.sparkSession
@@ -183,6 +213,21 @@ object TransformWithStateOps {
       .groupByKey(_.secCode)
       .transformWithState(new OrderBookProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming order-book matching warm-started from a state snapshot
+    * (the StateLoader path): `initial` carries one row per security
+    * with that security's resting orders. */
+  def orderBookWarm(orders: Dataset[Order],
+      initial: Dataset[SecurityBook]): Dataset[Trade] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .filter(o => o.tranMaintCode != "X" && o.tranMaintCode.nonEmpty)
+      .groupByKey(_.secCode)
+      .transformWithState(new BootstrappedOrderBookProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        initial.groupByKey(_.secCode))
   }
 
   /** Spark conf required by transformWithState. */

@@ -24,6 +24,25 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracles without query: $dangling")
   }
 
+  /** Full-inventory schema gate: ANALYZE every registered query against
+    * the live testdata (no execution — cheap). A loader/schema drift
+    * like the r7 TIMESTAMP(NANOS)→timestamp[us] regression turns this
+    * red immediately instead of silently darkening oracle entries. */
+  test("all registered queries analyze against live testdata") {
+    val errs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, dir).queryExecution.analyzed
+          None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(2).mkString(" ")}")
+        }
+    }
+    assert(errs.isEmpty,
+      s"${errs.size} queries fail analysis:\n${errs.mkString("\n")}")
+  }
+
   test("one query per family runs and yields rows at sf0.001") {
     val picks = Seq("q1_pricing_summary", "e5_tumbling_hourly",
       "t_token_stats", "dedup_simhash", "sim_cosine_topk")
