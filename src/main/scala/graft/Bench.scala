@@ -46,8 +46,34 @@ object Bench {
     // corpora so a silent divergence can't pass the gate) are benched
     // through their auto-scaling production forms instead
     val benchForms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("sim_near_dup_lsh" ->
-        ((s, d) => graft.operators.AnnLsh.nearDupLsh(s, d)))
+      Map(
+        "sim_near_dup_lsh" ->
+          ((s, d) => graft.operators.AnnLsh.nearDupLsh(s, d)),
+        // production corpus-model forms: fixed-size top-K model tables
+        // with smoothed backoff (the 100 TB shape; the oracle gate
+        // still runs the exact default-conf forms)
+        "t_lm_perplexity" -> ((s, d) => {
+          s.conf.set("spark.graft.lm.topK", "262144")
+          graft.operators.TextQueries.lmPerplexity(s, d)
+        }),
+        "t_quality_classifier" -> ((s, d) => {
+          s.conf.set("spark.graft.nb.topK", "262144")
+          graft.operators.TextQueries.qualityClassifier(s, d)
+        }))
+
+    // Queries whose CONSTRUCTION performs real model/materialization
+    // work: the CC family materializes the shared cluster-label table
+    // (DedupQueries.simhashClusters memo), and the pruned corpus-model
+    // scorers build + collect their K-bounded model tables. Two bench
+    // rules keep that honest: (1) they are never warmed at the bench
+    // SF — the work stays inside the timed sweep (for the CC memo,
+    // charged to the family's first query; the other two reuse it, the
+    // sweep semantics the sharing is FOR); (2) with repeats > 1 they
+    // report the FIRST repeat, not the min — a later CC repeat hits
+    // the memo and would report only the parquet-read tail.
+    val heavyConstruction =
+      Set("dedup_clusters", "pipeline_keep", "pipeline_keep_best",
+        "t_lm_perplexity", "t_quality_classifier")
 
     // Warm-up sweep (untimed): construct every query once against the
     // bench dir — this performs the construction-time memo scans (LSH
@@ -62,12 +88,6 @@ object Bench {
       val warmDirs =
         (if (tiny.isDirectory && tiny.getPath != sfDir) Seq(tiny.getPath)
          else Seq.empty) :+ sfDir
-      // NOT warmed at the bench SF: queries whose construction
-      // materializes the shared CC label table — that real work must
-      // stay inside the timed sweep (charged to the family's first
-      // query; the other two reuse the materialization).
-      val heavyConstruction =
-        Set("dedup_clusters", "pipeline_keep", "pipeline_keep_best")
       warmDirs.foreach { d =>
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter(q => matches(q._1))
@@ -92,13 +112,17 @@ object Bench {
       val fn = benchForms.getOrElse(name, entryFn)
       var sec = Double.MaxValue
       var ok = true
-      for (_ <- 1 to repeats) {
+      for (rep <- 1 to repeats) {
         val t0 = System.nanoTime()
         ok = try { fn(spark, sfDir).count(); ok }
           catch { case _: Throwable => false }
         // min over repeats: the steady-state cost, robust to one-off
-        // JIT/page-cache/GC interference in either direction
-        sec = math.min(sec, (System.nanoTime() - t0) / 1e9)
+        // JIT/page-cache/GC interference in either direction — except
+        // construction-memoized queries, which report the first (cold)
+        // repeat so the memoized work can't vanish from the number
+        val t = (System.nanoTime() - t0) / 1e9
+        if (heavyConstruction(name)) { if (rep == 1) sec = t }
+        else sec = math.min(sec, t)
         if (repeats > 1) {
           System.err.println(
             f"[bench] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")

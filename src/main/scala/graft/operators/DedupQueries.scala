@@ -488,7 +488,10 @@ object DedupQueries {
     val edges0 = pairDf.rdd.flatMap(r =>
       Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
     val edgeCount = 2 * pairDf.count()
-    val nParts = math.max(1, math.min(200, (edgeCount / 500000L).toInt))
+    // same sizing rule as the star path: edge-volume scaled, floored
+    // at the cluster's parallelism
+    val nParts = math.max(1, math.min(400,
+      math.max(s.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt)))
     val part = new HashPartitioner(nParts)
     val edges = edges0.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     // node labels, co-partitioned with edges by construction: after
@@ -567,7 +570,13 @@ object DedupQueries {
     import org.apache.spark.storage.StorageLevel
     import s.implicits._
     val edgeCount = pairDf.count()
-    val nParts = math.max(1, math.min(200, (edgeCount / 500000L).toInt))
+    // size by edge volume for the 100 TB end, but FLOOR at the
+    // cluster's parallelism: a few-million-edge graph divided into
+    // edges/500k partitions ran 5 tasks on a 32-core box (measured
+    // 210 s at sf10); with the floor the same loop saturates the
+    // executors it has
+    val nParts = math.max(1, math.min(400,
+      math.max(s.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt)))
     val part = new HashPartitioner(nParts)
     def largeStar(es: RDD[(Long, Long)]): RDD[(Long, Long)] =
       es.flatMap { case (u, v) => Iterator((u, v), (v, u)) }

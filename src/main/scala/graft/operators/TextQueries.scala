@@ -455,50 +455,75 @@ object TextQueries {
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
-    val perDoc =
-      if (topK <= 0) {
-        val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
-          .crossJoin(broadcast(vocab))
-          .select(col("g"),
-            floor(lit(1000000.0) *
-              log((col("c2").cast("double") + 0.5) /
-                (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
-              .as("lp_scaled"))
-        bg.join(lp, Seq("g"))
-          .select(col("doc_id"), col("lp_scaled"))
-      } else {
-        // Pruned model: K highest-count bigrams with their exact lp
-        // (TakeOrdered — no full sort), K highest-count unigrams for
-        // the backoff's c1 (tail words → c1 = 0). Both fixed-size →
-        // broadcastable regardless of corpus size.
-        val bigTop = big.orderBy(col("c2").desc, col("g")).limit(topK)
-        val uniTop = uni.orderBy(col("c1").desc, col("w")).limit(topK)
-        val lpTop = broadcast(bigTop).join(uni.withColumnRenamed("w", "w1"), "w1")
-          .crossJoin(broadcast(vocab))
-          .select(col("g"),
-            floor(lit(1000000.0) *
-              log((col("c2").cast("double") + 0.5) /
-                (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
-              .as("lp_scaled"))
-        bg.join(broadcast(lpTop), Seq("g"), "left")
-          .withColumn("w1", substring_index(col("g"), " ", 1))
-          .join(broadcast(uniTop.withColumnRenamed("w", "w1")), Seq("w1"), "left")
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            coalesce(col("lp_scaled"),
-              floor(lit(1000000.0) *
-                log(lit(0.5) /
-                  (coalesce(col("c1"), lit(0L)).cast("double") +
-                    lit(0.5) * col("v").cast("double")))))
-              .as("lp_scaled"))
-      }
-    perDoc
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_scaled")).as("s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("s").cast("double") /
-          (col("n_bigrams").cast("double") * 1000000.0)).as("avg_logp"))
-      .orderBy(col("doc_id"))
+    if (topK > 0) {
+      // Pruned model: K highest-count bigrams with their exact lp
+      // (TakeOrdered — no full sort), K highest-count unigrams for
+      // the backoff's c1 (tail words → c1 = 0). Both K-bounded →
+      // collected as MODEL STATE and broadcast (the MLlib pattern,
+      // same as the centroid operators), then scoring is ONE narrow
+      // mapPartitions pass per document — no re-explosion of the
+      // bigram stream, no scoring-side shuffle at all. The per-doc
+      // sum is the same order-free integer sum as the exact form, so
+      // pruned == exact whenever K covers the corpus (spec-pinned).
+      val bigTop = big.orderBy(col("c2").desc, col("g")).limit(topK)
+      val lpTop = broadcast(bigTop).join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("g"),
+          floor(lit(1000000.0) *
+            log((col("c2").cast("double") + 0.5) /
+              (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
+            .as("lp_scaled"))
+      val lpModel = lpTop.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val uniModel = uni.orderBy(col("c1").desc, col("w")).limit(topK)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vTotal = vocab.head().getLong(0)
+      val lpB = s.sparkContext.broadcast(lpModel)
+      val uniB = s.sparkContext.broadcast(uniModel)
+      import s.implicits._
+      docs.select(col("doc_id"), col("toks"))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val lp = lpB.value
+          val un = uniB.value
+          it.flatMap { case (id, toks) =>
+            var i = 0
+            var n = 0L
+            var sum = 0L
+            while (i < toks.length - 1) {
+              val g = toks(i) + " " + toks(i + 1)
+              sum += (lp.get(g) match {
+                case Some(x) => x
+                case None =>
+                  val c1 = un.getOrElse(toks(i), 0L)
+                  math.floor(1000000.0 * math.log(
+                    0.5 / (c1.toDouble + 0.5 * vTotal.toDouble))).toLong
+              })
+              n += 1
+              i += 1
+            }
+            if (n == 0) None
+            else Some((id, n, sum.toDouble / (n.toDouble * 1000000.0)))
+          }
+        }
+        .toDF("doc_id", "n_bigrams", "avg_logp")
+        .orderBy(col("doc_id"))
+    } else {
+      val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("g"),
+          floor(lit(1000000.0) *
+            log((col("c2").cast("double") + 0.5) /
+              (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
+            .as("lp_scaled"))
+      bg.join(lp, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_scaled")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("s").cast("double") /
+            (col("n_bigrams").cast("double") * 1000000.0)).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   val lmPerplexitySql: String =
@@ -576,35 +601,59 @@ object TextQueries {
             (col("nt") + col("v")).cast("double")) -
          log((co.cast("double") + 1.0) /
             (col("no") + col("v")).cast("double"))))
-    val scoredToks =
-      if (topK <= 0) {
-        val w = counts.crossJoin(broadcast(totals))
-          .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
-        toks.join(w, Seq("w")).select(col("doc_id"), col("w_scaled"))
-      } else {
-        // Scale path (`spark.graft.nb.topK` > 0): keep the K
-        // highest-evidence words (by total count — under add-1
-        // smoothing, tail words carry ≈0 log-odds), BROADCAST the
-        // fixed-size weight table, and score tail words with the
-        // zero-count backoff weight. Map-only up to the per-doc sum.
-        val wTop = counts
-          .orderBy((col("c_t") + col("c_o")).desc, col("w")).limit(topK)
-          .crossJoin(broadcast(totals))
-          .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
-        toks.join(broadcast(wTop), Seq("w"), "left")
-          .crossJoin(broadcast(totals))
-          .select(col("doc_id"),
-            coalesce(col("w_scaled"), weight(lit(0L), lit(0L))).as("w_scaled"))
-      }
-    scoredToks
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w_scaled")).as("sw"))
-      .crossJoin(broadcast(prior))
-      .select(col("doc_id"), col("n_tokens"),
-        ((col("sw") + col("prior_scaled")).cast("double") / 1000000.0)
-          .as("log_odds"))
-      .withColumn("pred_target", col("log_odds") > 0.0)
-      .orderBy(col("doc_id"))
+    if (topK > 0) {
+      // Scale path (`spark.graft.nb.topK` > 0): keep the K
+      // highest-evidence words (by total count — under add-1
+      // smoothing, tail words carry ≈0 log-odds), collect the
+      // K-bounded weight table as model state, broadcast it, and
+      // score each document in ONE narrow mapPartitions pass (tail
+      // words take the zero-count backoff weight) — no token
+      // re-explosion, no scoring-side shuffle. Integer sums, so
+      // pruned == exact whenever K covers the vocab (spec-pinned).
+      val wTop = counts
+        .orderBy((col("c_t") + col("c_o")).desc, col("w")).limit(topK)
+        .crossJoin(broadcast(totals))
+        .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
+      val wModel = wTop.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val t = totals.head()
+      val (nt, no, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      val backoff = math.floor(1000000.0 *
+        (math.log(1.0 / (nt + v).toDouble) -
+          math.log(1.0 / (no + v).toDouble))).toLong
+      val priorScaled = prior.head().getLong(0)
+      val wB = s.sparkContext.broadcast(wModel)
+      import s.implicits._
+      docs.select(col("doc_id"), col("toks"))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val wm = wB.value
+          it.flatMap { case (id, toks) =>
+            if (toks.isEmpty) None
+            else {
+              var sum = 0L
+              val n = toks.length.toLong
+              toks.foreach(w => sum += wm.getOrElse(w, backoff))
+              val odds = (sum + priorScaled).toDouble / 1000000.0
+              Some((id, n, odds, odds > 0.0))
+            }
+          }
+        }
+        .toDF("doc_id", "n_tokens", "log_odds", "pred_target")
+        .orderBy(col("doc_id"))
+    } else {
+      val w = counts.crossJoin(broadcast(totals))
+        .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
+      toks.join(w, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w_scaled")).as("sw"))
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("sw") + col("prior_scaled")).cast("double") / 1000000.0)
+            .as("log_odds"))
+        .withColumn("pred_target", col("log_odds") > 0.0)
+        .orderBy(col("doc_id"))
+    }
   }
 
   val qualityClassifierSql: String =
