@@ -72,8 +72,8 @@ object Bench {
     // report the FIRST repeat, not the min — a later CC repeat hits
     // the memo and would report only the parquet-read tail.
     val heavyConstruction =
-      Set("dedup_clusters", "pipeline_keep", "pipeline_keep_best",
-        "t_lm_perplexity", "t_quality_classifier")
+      Set("dedup_clusters", "dedup_simhash_pairs", "pipeline_keep",
+        "pipeline_keep_best", "t_lm_perplexity", "t_quality_classifier")
 
     // Warm-up sweep (untimed): construct every query once against the
     // bench dir — this performs the construction-time memo scans (LSH

@@ -319,7 +319,24 @@ object DedupQueries {
       dir: String): DataFrame =
     hammingPairs(s, dir).select(col("id1"), col("id2"))
 
+  /** Materialized hamming≤3 pair set, shared by dedup_simhash_pairs
+    * and the CC family (dedup_clusters / pipeline_keep /
+    * pipeline_keep_best): like the CC label table, the band join is
+    * identical across its four consumers, so it is computed once per
+    * (session, testdata version) into scratch parquet and re-read
+    * (distributed write/read, keyed on documents.parquet mtime). */
   private def hammingPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = Tables.memoizedAtConstruction(s, dir, "documents",
+      "simhash-pairs") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-pairs-" +
+        s"${System.identityHashCode(s)}-${Integer.toHexString(dir.hashCode)}"
+      computeHammingPairs(s, dir).write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
+  }
+
+  private def computeHammingPairs(s: SparkSession, dir: String): DataFrame = {
     // tiny (one row per doc) but expensive to recompute; reused by both
     // sides of the band self-join. Harness-scoped: Bench/Verify clear
     // the cache after each query materializes.
@@ -404,8 +421,15 @@ object DedupQueries {
     // trivially its own representative and joins back in at the end.
     // At corpus scale the near-dup subgraph is a small fraction of the
     // table, so neither path below ever rescans the corpus.
+    def phase[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[graft] cc phase $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val pairDf = hammingPairs(s, dir).select(col("id1"), col("id2")).cache()
-    val labeled = connectedComponents(s, pairDf)
+    val labeled = phase("connected-components")(connectedComponents(s, pairDf))
     pairDf.unpersist(blocking = false)
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -429,12 +453,18 @@ object DedupQueries {
     val threshold = math.min(
       s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong,
       Int.MaxValue - 1L).toInt
-    // ONE materialization decides the path AND feeds union-find: pull
-    // at most threshold+1 edges; overflow ⇒ the graph is big, recompute
-    // distributed from the caller-cached pairDf (no separate count job,
-    // and the driver never holds more than threshold+1 primitive pairs)
-    val probe = pairDf.as[(Long, Long)].limit(threshold + 1).collect()
-    if (probe.length <= threshold) ccUnionFindLocal(s, probe)
+    // The pair set reaching here is always materialized (scratch
+    // parquet via the hammingPairs/nearDupLsh memo, or caller-cached),
+    // so a count() is cheap — decide the path on it and collect ONLY
+    // when the graph actually fits the driver bound. (The earlier
+    // probe collected threshold+1 boxed rows just to decide: ~3.5 s of
+    // pure driver transfer at the 27.5M-edge sf10 graph.)
+    val t0 = System.nanoTime()
+    val edgeCount = pairDf.count()
+    System.err.println(
+      f"[graft] cc probe ($edgeCount edges): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (edgeCount <= threshold)
+      ccUnionFindLocal(s, pairDf.as[(Long, Long)].collect())
     else s.conf.get("spark.graft.cc.algorithm", "star") match {
       case "propagate" => ccPropagateDistributed(s, pairDf)
       case _ => ccStarDistributed(s, pairDf)
@@ -578,50 +608,103 @@ object DedupQueries {
     val nParts = math.max(1, math.min(400,
       math.max(s.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt)))
     val part = new HashPartitioner(nParts)
-    def largeStar(es: RDD[(Long, Long)]): RDD[(Long, Long)] =
-      es.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
-        .groupByKey(part)
-        .flatMap { case (u, nbrs) =>
-          var m = u
-          nbrs.foreach(v => if (v < m) m = v)
-          val mm = m
-          nbrs.iterator.filter(_ > u).map(v => (v, mm)).toSet.iterator
-        }
-    def smallStar(es: RDD[(Long, Long)]): RDD[(Long, Long)] =
-      es.map { case (u, v) => if (u > v) (u, v) else (v, u) }
-        .groupByKey(part)
-        .flatMap { case (u, nbrs) =>
-          // all nbrs < u by construction, so min(nbrs) is the center
-          var m = u
-          nbrs.foreach(v => if (v < m) m = v)
-          val mm = m
-          (nbrs.iterator.filter(_ != mm) ++ Iterator(u))
-            .map(v => (v, mm)).toSet.iterator
-        }
+    // Both half-rounds are expressed as ONE key-shuffle (partitionBy)
+    // followed by a NARROW reduceByKey (per-neighborhood min) and a
+    // NARROW join back — no groupByKey: materializing each node's
+    // neighbor Iterable (and per-group Set dedup) dominated the round
+    // cost on dense near-dup graphs (measured at the 27.5M-edge sf10
+    // graph); duplicate emissions are collapsed by the round's global
+    // distinct, which needs to run anyway for the convergence test.
+    def largeStar(es: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val bidir = es.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .partitionBy(part)
+      val m = bidir.reduceByKey(part, math.min(_, _))
+        .map { case (u, mn) => (u, math.min(u, mn)) }
+      bidir.join(m, part).flatMap { case (u, (v, mm)) =>
+        if (v > u) Iterator((v, mm)) else Iterator.empty
+      }
+    }
+    def smallStar(es: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val dirEs = es.map { case (u, v) => if (u > v) (u, v) else (v, u) }
+        .partitionBy(part)
+      // all neighbors on the value side are < u, so the per-key min is
+      // the star center; u itself links there too
+      val m = dirEs.reduceByKey(part, math.min(_, _))
+      dirEs.join(m, part).flatMap { case (_, (v, mm)) =>
+        if (v != mm) Iterator((v, mm)) else Iterator.empty
+      }.union(m)
+    }
+    // No initial distinct: both half-round outputs are distinct-ed
+    // below, the union-find finish dedups on the driver, and the
+    // convergence test only ever compares two distinct-ed sets — so a
+    // caller-supplied duplicate edge costs one emission, never
+    // correctness, and the full-width shuffle a global dedup of the
+    // input multiset would take is saved.
     var edges: RDD[(Long, Long)] = pairDf.as[(Long, Long)].rdd
       .map { case (a, b) => if (a > b) (a, b) else (b, a) }
-      .distinct(nParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val maxRounds = s.conf.get("spark.graft.cc.maxRounds", "1000").toInt
+    // The bounded-driver hybrid applies RECURSIVELY: each half-round
+    // preserves connectivity over the same node set (Kiveris et al.'s
+    // large-star/small-star lemmas — every surviving node keeps or
+    // receives a link into its component), so once a contracted edge
+    // set fits the driver bound, union-find finishes the job. Dense
+    // graphs contract geometrically (27.5M → 389k edges in ONE
+    // large-star at the sf10 graph), so the check runs after EACH
+    // half-round and usually fires before a single small-star pass.
+    // Set spark.graft.cc.localEdgeThreshold=0 to force the pure
+    // distributed loop (the specs do, to exercise convergence).
+    val finishThreshold = math.min(
+      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong,
+      Int.MaxValue - 1L).toInt
     var rounds = 0
     var converged = false
+    var prevCount = -1L // previous round's (distinct) edge count
+    def finishLocally(residual: RDD[(Long, Long)],
+        toRelease: Seq[RDD[_]]): DataFrame = {
+      val arr = residual.collect()
+      toRelease.foreach(_.unpersist(blocking = false))
+      lastStarRounds = rounds
+      ccUnionFindLocal(s, arr)
+    }
     while (!converged && rounds < maxRounds) {
-      // per-group dedup inside the stars is not global: the same
-      // (node, min) edge can be emitted from several groups, and the
-      // set-equality convergence test needs true set semantics
-      val next = smallStar(largeStar(edges)).distinct(nParts)
+      val tr = System.nanoTime()
+      val half =
+        if (finishThreshold > 0) {
+          val ls = largeStar(edges).distinct(nParts)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          ls.localCheckpoint()
+          val lsCount = ls.count()
+          if (lsCount <= finishThreshold) {
+            rounds += 1
+            System.err.println(
+              f"[graft] cc large-star ${rounds}: edges=$lsCount " +
+                f"in ${(System.nanoTime() - tr) / 1e9}%.2f s (local finish)")
+            return finishLocally(ls, Seq(edges, ls))
+          }
+          ls
+        } else largeStar(edges)
+      val next = smallStar(half).distinct(nParts)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.localCheckpoint()
+      val nextCount = next.count()
+      rounds += 1
+      System.err.println(f"[graft] cc star round $rounds: edges=$nextCount " +
+        f"in ${(System.nanoTime() - tr) / 1e9}%.2f s")
+      if (finishThreshold > 0 && nextCount <= finishThreshold)
+        return finishLocally(next, Seq(edges, half, next))
       // fixpoint: the (already deduplicated) star edge set reproduces
       // itself — compare as sets via one subtract on the co-partitioned
-      // layout plus a count
-      converged = next.count() == edges.count() &&
+      // layout plus a count (the subtract only runs once counts agree;
+      // the first round has no distinct-ed predecessor and never
+      // converges)
+      converged = prevCount >= 0 && nextCount == prevCount &&
         next.subtract(edges, part).isEmpty()
       val prev = edges
       edges = next
+      prevCount = nextCount
       prev.unpersist(blocking = false)
-      rounds += 1
-      System.err.println(s"[graft] cc star round $rounds")
+      half.unpersist(blocking = false) // no-op when the half wasn't persisted
     }
     if (!converged)
       throw new IllegalStateException(

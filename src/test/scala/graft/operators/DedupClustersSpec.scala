@@ -40,6 +40,15 @@ class DedupClustersSpec extends AnyFunSuite {
     * O(diameter) rounds, which on a 100k-node path is 100k shuffles.
     * Prove the claim: one path graph, convergence in ≲ 20 rounds, and
     * the same labeling union-find produces. */
+  /** Forcing threshold 0 disables the recursive bounded-collect
+    * finish, so these two tests exercise the PURE distributed loop —
+    * the form that runs when even the contracted residual exceeds the
+    * driver bound. */
+  private def withPureStar[T](body: => T): T = {
+    spark.conf.set(thresholdKey, "0")
+    try body finally spark.conf.unset(thresholdKey)
+  }
+
   test("100k-node path graph: star contraction converges in O(log n) rounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -47,8 +56,10 @@ class DedupClustersSpec extends AnyFunSuite {
     // path 0-1-2-...-(n-1): a single component rooted at 0, diameter n
     val pairDf = spark.range(n - 1)
       .select(col("id").as("id1"), (col("id") + 1).as("id2"))
-    val got = DedupQueries.ccForTest(spark, pairDf, local = false)
-      .as[(Long, Long)].collect()
+    val got = withPureStar {
+      DedupQueries.ccForTest(spark, pairDf, local = false)
+        .as[(Long, Long)].collect()
+    }
     assert(DedupQueries.lastStarRounds > 0)
     assert(DedupQueries.lastStarRounds <= 20,
       s"took ${DedupQueries.lastStarRounds} rounds on a 100k path " +
@@ -73,9 +84,16 @@ class DedupClustersSpec extends AnyFunSuite {
       val pairDf = edges.toDF("id1", "id2")
       val expected = DedupQueries.ccForTest(spark, pairDf, local = true)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-      val got = DedupQueries.ccForTest(spark, pairDf, local = false)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val got = withPureStar {
+        DedupQueries.ccForTest(spark, pairDf, local = false)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      }
       assert(got === expected, s"trial $trial (n=$n) diverged")
+      // the recursive hybrid (star rounds + bounded union-find finish,
+      // the default-threshold path) must reach the same fixpoint
+      val hybrid = DedupQueries.ccForTest(spark, pairDf, local = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(hybrid === expected, s"trial $trial (n=$n) hybrid diverged")
     }
   }
 }
