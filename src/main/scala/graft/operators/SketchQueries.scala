@@ -22,11 +22,16 @@ object SketchQueries {
   private val D = 4 // hash rows
   private val W = 64 // buckets per row
 
-  /** CMS bucket of `word` under salt `j`: first 8 md5 hex digits of
-    * "j:word" mod W — the [[CurationQueries]] md5-sampling pattern. */
-  private def bucket(j: Int, word: Column): Column =
-    conv(substring(md5(concat(lit(s"$j:"), word).cast("binary")), 1, 8),
-      16, 10).cast("long") % W
+  /** CMS bucket of `word` in hash row `j`: the j-th disjoint
+    * 8-hex-digit window of ONE md5(word), mod W — the same
+    * slice-one-digest family the bloom operator uses. One md5 per
+    * occurrence feeds all d rows (the digest has 32 hex digits = 4
+    * independent-enough 8-digit windows), which is 4× less hashing on
+    * the corpus-sized occurrence stream than the earlier per-salt
+    * md5("j:word") family; the sketch stays fully deterministic and
+    * oracle-identical. */
+  private def bucket(j: Int, md5hex: Column): Column =
+    conv(substring(md5hex, 1 + 8 * j, 8), 16, 10).cast("long") % W
 
   /** Heavy hitters via count-min: estimate = min over the d cells a
     * word hashes to; report every word whose estimate clears the
@@ -57,8 +62,9 @@ object SketchQueries {
     val w = Tables.documents(s, dir)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
+      .withColumn("h", md5(col("word").cast("binary")))
       .select(col("word") +:
-        (0 until D).map(j => bucket(j, col("word")).as(s"b$j")): _*)
+        (0 until D).map(j => bucket(j, col("h")).as(s"b$j")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the sketch itself: d*w = 256 cells, indexed j*W + b
     val cellArr = new Array[Long](D * W)
@@ -89,13 +95,13 @@ object SketchQueries {
       |w AS (SELECT word FROM occ WHERE length(word) > 0),
       |cells AS (
       |  SELECT j,
-      |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || word), 1, 8)) AS BIGINT) % 64 AS b,
+      |    CAST(('0x' || substr(md5(word), 1 + 8 * CAST(j AS INTEGER), 8)) AS BIGINT) % 64 AS b,
       |    CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM w, range(4) r(j) GROUP BY 1, 2),
       |vocab AS (SELECT DISTINCT word FROM w),
       |vb AS (
       |  SELECT word, j,
-      |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || word), 1, 8)) AS BIGINT) % 64 AS b
+      |    CAST(('0x' || substr(md5(word), 1 + 8 * CAST(j AS INTEGER), 8)) AS BIGINT) % 64 AS b
       |  FROM vocab, range(4) r(j)),
       |est AS (
       |  SELECT word, MIN(cnt) AS est FROM vb JOIN cells USING (j, b) GROUP BY word),
