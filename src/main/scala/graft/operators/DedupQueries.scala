@@ -319,6 +319,10 @@ object DedupQueries {
       dir: String): DataFrame =
     hammingPairs(s, dir).select(col("id1"), col("id2"))
 
+  /** Dev hook for tools.ProfileClusters — the signature stage alone. */
+  private[graft] def sigForProfile(s: SparkSession, dir: String): DataFrame =
+    sig64(s, dir)
+
   /** Materialized hamming≤3 pair set, shared by dedup_simhash_pairs
     * and the CC family (dedup_clusters / pipeline_keep /
     * pipeline_keep_best): like the CC label table, the band join is
@@ -330,7 +334,10 @@ object DedupQueries {
       "simhash-pairs") {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-pairs-" +
         s"${System.identityHashCode(s)}-${Integer.toHexString(dir.hashCode)}"
+      val t0 = System.nanoTime()
       computeHammingPairs(s, dir).write.mode("overwrite").parquet(out)
+      System.err.println(
+        f"[graft] simhash pairs build+write: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       out
     }
     s.read.parquet(path)
@@ -357,21 +364,34 @@ object DedupQueries {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
         col("bb.band").as("band"), col("bb.block").as("block"))
-    // hamming filter BEFORE the distinct: the filter is deterministic
-    // per pair, so dropping >3-hamming candidates first is equivalent
-    // — and the dedup shuffle then carries only surviving pairs
-    // instead of the full multi-band candidate multiset
+    // Emit-once: a pair colliding in several bands is taken ONLY in
+    // its first colliding band — for band b the candidate must DIFFER
+    // in every earlier band's block, a pure column predicate on the
+    // two sigs already in the row. Every qualifying pair then appears
+    // exactly once, so no distinct (a full shuffle of the surviving
+    // pair set) is needed, and duplicate candidates are discarded by a
+    // cheap block compare instead of a shuffle. The hamming filter
+    // runs in the same codegen stage.
+    def blockOf(j: Int, hi: Column, lo: Column): Column = {
+      val half = if (j < 2) hi else lo
+      shiftright(half, 16 * (j % 2)).bitwiseAND(65535)
+    }
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter((0 until 4).map { j =>
+        // for the colliding band b: all earlier bands j < b differ
+        (col("a.band") <= lit(j)) ||
+          (blockOf(j, col("a.simhash_hi"), col("a.simhash_lo")) =!=
+            blockOf(j, col("b.simhash_hi"), col("b.simhash_lo")))
+      }.reduce(_ && _))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         (bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))) +
           bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .distinct()
   }
 
   val simhashPairsSql: String =
@@ -428,9 +448,13 @@ object DedupQueries {
         f"[graft] cc phase $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val pairDf = hammingPairs(s, dir).select(col("id1"), col("id2")).cache()
+    // parquet-backed (the hammingPairs memo): no cache — the probe
+    // count and the first contraction round each re-scan two long
+    // columns vectorized, which is far cheaper than building a
+    // deserialized row cache of the full pair set (measured 26 s of
+    // pure cache-build at the 27.5M-edge sf10 graph)
+    val pairDf = hammingPairs(s, dir).select(col("id1"), col("id2"))
     val labeled = phase("connected-components")(connectedComponents(s, pairDf))
-    pairDf.unpersist(blocking = false)
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("rep"))
@@ -595,6 +619,80 @@ object DedupQueries {
     * labeling as the union-find path and the oracle's recursive CTE. */
   private def ccStarDistributed(s: SparkSession,
       pairDf: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import s.implicits._
+    val finishThreshold = math.min(
+      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong,
+      Int.MaxValue - 1L).toInt
+    // Phase 1 — DataFrame large-star rounds. Each large-star preserves
+    // connectivity over the node set (Kiveris et al.'s lemma: every
+    // node is linked toward its closed-neighborhood minimum), and on
+    // dense near-dup graphs contracts geometrically (27.5M → 1.6M
+    // edges in one round at the sf10 graph). Running these first
+    // rounds through Catalyst instead of the RDD loop keeps the heavy
+    // shuffles in Tungsten binary format with whole-stage codegen —
+    // the RDD loop moves java-serialized boxed tuples, measured 78 s
+    // for the same single round the DataFrame form does in a few
+    // seconds. The RDD loop remains the convergence tail for graphs
+    // whose contracted residual still exceeds the driver bound
+    // (alternating large/small-star there guarantees O(log n)
+    // termination, which large-star alone does not).
+    if (finishThreshold > 0) {
+      val dfRounds = s.conf.get("spark.graft.cc.dfRounds", "4").toInt
+      var cur = pairDf.select(col("id1"), col("id2"))
+      var persisted: Option[DataFrame] = None
+      var rounds = 0
+      while (rounds < dfRounds) {
+        val tr = System.nanoTime()
+        // Large-star needs exactly ONE emission per edge: orienting
+        // (lo, hi) = (min, max), the only center that links anything
+        // through this edge is lo — it links hi to mm(lo), the minimum
+        // of lo's closed neighborhood. So the heavy join runs over the
+        // oriented edge set once (not the 2|E| bidirectional form);
+        // only the per-node min aggregation, which map-side-combines
+        // down to one row per node before its shuffle, reads both
+        // directions.
+        val e = cur.select(least(col("id1"), col("id2")).as("lo"),
+          greatest(col("id1"), col("id2")).as("hi"))
+        val m = e.select(col("lo").as("n"), col("hi").as("nbr"))
+          .union(e.select(col("hi").as("n"), col("lo").as("nbr")))
+          .groupBy(col("n"))
+          .agg(min(col("nbr")).as("mn"))
+          .select(col("n"), least(col("n"), col("mn")).as("mm"))
+        val nxt = e.join(m, col("lo") === col("n"))
+          .select(col("hi").as("id1"), col("mm").as("id2"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cnt = nxt.count()
+        rounds += 1
+        System.err.println(
+          f"[graft] cc df large-star $rounds: edges=$cnt " +
+            f"in ${(System.nanoTime() - tr) / 1e9}%.2f s")
+        if (cnt <= finishThreshold) {
+          val arr = nxt.as[(Long, Long)].collect()
+          nxt.unpersist(blocking = false)
+          persisted.foreach(_.unpersist(blocking = false))
+          lastStarRounds = rounds
+          return ccUnionFindLocal(s, arr)
+        }
+        persisted.foreach(_.unpersist(blocking = false))
+        persisted = Some(nxt)
+        cur = nxt
+      }
+      val out = ccStarRddLoop(s, cur, finishThreshold, rounds)
+      persisted.foreach(_.unpersist(blocking = false))
+      out
+    } else ccStarRddLoop(s, pairDf, finishThreshold, 0)
+  }
+
+  /** The RDD star-contraction loop — alternating large-star /
+    * small-star rounds on a fixed HashPartitioner until the edge set
+    * reproduces itself (or, mid-loop, fits the bounded driver finish).
+    * Reached only when the DataFrame contraction phase above leaves a
+    * residual larger than the driver bound (or is disabled for the
+    * convergence specs). */
+  private def ccStarRddLoop(s: SparkSession, pairDf: DataFrame,
+      finishThreshold: Int, priorRounds: Int): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -654,10 +752,7 @@ object DedupQueries {
     // half-round and usually fires before a single small-star pass.
     // Set spark.graft.cc.localEdgeThreshold=0 to force the pure
     // distributed loop (the specs do, to exercise convergence).
-    val finishThreshold = math.min(
-      s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong,
-      Int.MaxValue - 1L).toInt
-    var rounds = 0
+    var rounds = priorRounds
     var converged = false
     var prevCount = -1L // previous round's (distinct) edge count
     def finishLocally(residual: RDD[(Long, Long)],

@@ -26,6 +26,9 @@ object ProfileClusters {
     }
     for (rep <- 1 to reps) {
       System.err.println(s"[prof] --- rep $rep ---")
+      val nSig = time("sig64 count")(
+        graft.operators.DedupQueries.sigForProfile(s, dir).count())
+      System.err.println(s"[prof] nSig=$nSig")
       val pairs = time("pairs plan+cache")(
         graft.operators.DedupQueries.simhashPairsForProfile(s, dir))
       val n = time("pairs count")(pairs.count())
