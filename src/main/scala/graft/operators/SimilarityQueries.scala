@@ -237,9 +237,11 @@ object SimilarityQueries {
     * partial aggregation, |labels|·dims shuffle rows per task); the
     * k·dims centroid table is MODEL STATE — collected to the driver
     * and re-broadcast as literals exactly like MLlib's KMeans, never
-    * joined. The assignment pass is map-only whole-stage codegen
-    * (zip_with/aggregate over literal arrays), and the confusion
-    * aggregation shuffles at most k² rows per task. */
+    * joined. The assignment pass is map-only whole-stage codegen — the
+    * per-centroid distance is the native QuantSquaredL2 kernel (a
+    * codegen'd tight loop; the interpreted zip_with/aggregate fold it
+    * replaced allocated an ArrayData per row per centroid) — and the
+    * confusion aggregation shuffles at most k² rows per task. */
   def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val centRows = emb
@@ -262,9 +264,8 @@ object SimilarityQueries {
     val qcol = transform(col("embedding"),
       e => floor(e.cast("double") * 1e4))
     val dists = array(cent.map { case (_, arr) =>
-      aggregate(
-        zip_with(col("q"), typedLit(arr.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.VectorExpressions.quantL2Sq(
+        col("q"), typedLit(arr.toSeq))
     }.toSeq: _*)
     emb.select(col("label").cast("long").as("old_label"), qcol.as("q"))
       .withColumn("dists", dists)
