@@ -49,6 +49,10 @@ object Bench {
       Map(
         "sim_near_dup_lsh" ->
           ((s, d) => graft.operators.AnnLsh.nearDupLsh(s, d)),
+        "sim_ann_lsh" ->
+          ((s, d) => graft.operators.AnnLsh.annTopKScaled(s, d)),
+        "sim_ann_multiprobe" ->
+          ((s, d) => graft.operators.AnnLsh.annMultiProbeScaled(s, d)),
         // production corpus-model forms: fixed-size top-K model tables
         // with smoothed backoff (the 100 TB shape; the oracle gate
         // still runs the exact default-conf forms)

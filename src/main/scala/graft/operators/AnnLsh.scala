@@ -46,22 +46,30 @@ object AnnLsh {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** (vec_id, v, norm, table, bucket) — one row per (vector, table).
-    * All `tables` bucket signatures (bit b of bucket t is
-    * sign(v · h_{t,b})) come from ONE native kernel call per row
-    * ([[graft.functions.HashImpl.lshBuckets]]) instead of
-    * tables×bits separate dot-product expressions — same
-    * left-to-right fold, so oracle parity is untouched. */
-  def bucketed(s: SparkSession, dir: String, tables: Int, bits: Int)
-      : DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  /** Signature table (vec_id, table, bucket) — one SLIM row per
+    * (vector, table): the index the bucket join runs on carries no
+    * vector payload, so the join + candidate-dedup shuffles move three
+    * integer columns, never the 64-double embeddings (which an earlier
+    * form duplicated `tables`× through cache and shuffle). All
+    * `tables` bucket signatures (bit b of bucket t is sign(v · h_{t,b}))
+    * come from ONE native kernel call per row
+    * ([[graft.functions.HashImpl.lshBuckets]]) — same left-to-right
+    * fold, so oracle parity is untouched. */
+  def sigTable(s: SparkSession, dir: String, tables: Int, bits: Int)
+      : DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        posexplode(lshBuckets(col("v"), tables, bits)).as(Seq("table", "bucket")))
+      .select(col("vec_id"),
+        col("table").cast("int").as("table"), col("bucket"))
+
+  /** Vector table (vec_id, v, norm) — joined back to surviving
+    * candidate ids for the exact re-rank only. */
+  def vecTable(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
-    emb.select(col("vec_id"), col("v"), col("norm"),
-      posexplode(lshBuckets(col("v"), tables, bits)).as(Seq("table", "bucket")))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("table").cast("int").as("table"), col("bucket"))
-  }
 
   /** Approximate top-k: candidates sharing ≥1 LSH bucket with the
     * query, exactly re-ranked by cosine.
@@ -74,20 +82,22 @@ object AnnLsh {
   def annTopK(s: SparkSession, dir: String, k: Int = 5,
       tables: Int = 16, bits: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = bucketed(s, dir, tables, bits).cache()
-    val queries = b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("norm").as("qn"), col("table"), col("bucket"))
-    val cands = b.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("norm").as("cn"), col("table"), col("bucket"))
-    val pairs = cands.join(queries, Seq("table", "bucket"))
-      .select(col("qid"), col("qv"), col("qn"),
-        col("cid"), col("cv"), col("cn"))
+    val sig = sigTable(s, dir, tables, bits)
+    val ids = sig.filter(col("vec_id") >= 10)
+      .withColumnRenamed("vec_id", "cid")
+      .join(sig.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid"),
+        Seq("table", "bucket"))
+      .select(col("qid"), col("cid"))
       .distinct()
+    val vec = vecTable(s, dir)
+    val qv = vec.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val cv = vec.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
-    pairs
+    ids.join(broadcast(qv), "qid")
+      .join(cv, "cid")
       .withColumn("cos",
         dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -110,6 +120,26 @@ object AnnLsh {
       math.max(6, math.ceil(
         math.log(math.max(1L, n) / 32.0) / math.log(2)).toInt))
 
+  /** Width rule for the ALL-PAIRS shape ([[nearDupLsh]]): candidate
+    * volume there is occupancy·n·tables/2 — linear in n but with
+    * occupancy as the constant — and every candidate is verified with
+    * both embeddings co-located, so the occupancy≈32 that suits the
+    * top-k shape (whose candidate volume is occupancy·queries·tables)
+    * costs a 63M-candidate, tens-of-GB verify shuffle at the 200k-
+    * vector scale set. Target occupancy ≈ 4 instead: 16 tables still
+    * put a cos≈0.95 near-duplicate in a shared bucket with probability
+    * >99.9% at any width the rule yields, and the verify join stays
+    * proportional to the true near-dup density. Corpora ≤ 2048
+    * vectors (every oracle-gated SF) stay on the static 6-bit width
+    * the DuckDB oracle is pinned to — at those sizes the whole pair
+    * set is benchmark-small anyway. Same `spark.graft.lsh.bits`
+    * override. */
+  private[graft] def pairsBitsFor(s: SparkSession, n: Long): Int =
+    s.conf.getOption("spark.graft.lsh.bits").map(_.toInt).getOrElse(
+      if (n <= 2048) 6
+      else math.ceil(
+        math.log(math.max(1L, n) / 4.0) / math.log(2)).toInt)
+
   /** Corpus count memo ([[Tables.memoizedAtConstruction]], keyed with
     * the table's mtime so an in-session regeneration re-counts): the
     * width gate needs the count at PLAN-CONSTRUCTION time, but query
@@ -131,19 +161,21 @@ object AnnLsh {
       tables: Int = 16, bits: Int = -1): DataFrame = {
     val width =
       if (bits > 0) bits
-      else bitsFor(s, embeddingCount(s, dir))
-    val b = bucketed(s, dir, tables, width).cache()
-    val cand = b.as("a")
-      .join(b.as("b"),
+      else pairsBitsFor(s, embeddingCount(s, dir))
+    val sig = sigTable(s, dir, tables, width)
+    val ids = sig.as("a")
+      .join(sig.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("a.v").as("v1"),
-        col("a.norm").as("n1"),
-        col("b.vec_id").as("id2"), col("b.v").as("v2"),
-        col("b.norm").as("n2"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .distinct()
-    cand
+    val vec = vecTable(s, dir)
+    ids
+      .join(vec.select(col("vec_id").as("id1"), col("v").as("v1"),
+        col("norm").as("n1")), "id1")
+      .join(vec.select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("norm").as("n2")), "id2")
       .withColumn("cos",
         dotProduct(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
@@ -164,22 +196,25 @@ object AnnLsh {
   def annMultiProbe(s: SparkSession, dir: String, k: Int = 5,
       tables: Int = 4, bits: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = bucketed(s, dir, tables, bits).cache()
-    val probes = b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("norm").as("qn"), col("table"),
+    val sig = sigTable(s, dir, tables, bits)
+    val probes = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("table"),
         explode(array(col("bucket") +: (0 until bits).map(i =>
           col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
-    val cands = b.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("norm").as("cn"), col("table"), col("bucket"))
-    val pairs = cands.join(probes, Seq("table", "bucket"))
-      .select(col("qid"), col("qv"), col("qn"),
-        col("cid"), col("cv"), col("cn"))
+    val ids = sig.filter(col("vec_id") >= 10)
+      .withColumnRenamed("vec_id", "cid")
+      .join(probes, Seq("table", "bucket"))
+      .select(col("qid"), col("cid"))
       .distinct()
+    val vec = vecTable(s, dir)
+    val qv = vec.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val cv = vec.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
-    pairs
+    ids.join(broadcast(qv), "qid")
+      .join(cv, "cid")
       .withColumn("cos",
         dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -193,6 +228,16 @@ object AnnLsh {
   def annLshQuery(s: SparkSession, dir: String): DataFrame =
     annTopK(s, dir)
 
+  /** Production auto-width forms (scale benchmarks): signature width
+    * grows with log₂(corpus) via [[bitsFor]] so bucket occupancy — and
+    * the candidate join — stays linear; the oracle-gated entries above
+    * keep the static 6-bit width their DuckDB SQL is pinned to. */
+  def annTopKScaled(s: SparkSession, dir: String): DataFrame =
+    annTopK(s, dir, bits = bitsFor(s, embeddingCount(s, dir)))
+
+  def annMultiProbeScaled(s: SparkSession, dir: String): DataFrame =
+    annMultiProbe(s, dir, bits = bitsFor(s, embeddingCount(s, dir)))
+
   /** Oracle-gated entry: the DuckDB oracle ([[nearDupLshSql]]) is
     * pinned at the 6-bit floor width, which [[bitsFor]] only yields up
     * to 2048 vectors. Auto-scaling past that would silently diverge
@@ -201,11 +246,11 @@ object AnnLsh {
     * callers use [[nearDupLsh]] directly and scale freely. */
   def nearDupLshQuery(s: SparkSession, dir: String): DataFrame = {
     val n = embeddingCount(s, dir)
-    val width = bitsFor(s, n)
+    val width = pairsBitsFor(s, n)
     require(width == 6,
-      s"nearDupLsh oracle SQL is pinned at 6-bit buckets but bitsFor(n=$n) " +
-        s"= $width; regenerate the oracle for this width or gate a corpus " +
-        "<= 2048 vectors")
+      s"nearDupLsh oracle SQL is pinned at 6-bit buckets but " +
+        s"pairsBitsFor(n=$n) = $width; regenerate the oracle for this " +
+        "width or gate a corpus <= 2048 vectors")
     nearDupLsh(s, dir, bits = width)
   }
 

@@ -22,7 +22,7 @@ class AnnLshSpec extends AnyFunSuite {
     // candidate reduction: bucketing must prune most of the corpus
     val total = graft.Tables.embeddings(spark, dir).count() - 10
     val scoredPerQuery = AnnLsh
-      .bucketed(spark, dir, tables = 16, bits = 6)
+      .sigTable(spark, dir, tables = 16, bits = 6)
       .filter(org.apache.spark.sql.functions.col("vec_id") >= 10)
       .count().toDouble / 16 // rows per table ≈ corpus size
     assert(scoredPerQuery <= total.toDouble)
