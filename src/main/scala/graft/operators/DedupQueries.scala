@@ -429,8 +429,11 @@ object DedupQueries {
     val path = Tables.memoizedAtConstruction(s, dir, "documents", "simhash-cc") {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-cc-" +
         s"${System.identityHashCode(s)}-${Integer.toHexString(dir.hashCode)}"
-      computeSimhashClusters(s, dir)
-        .write.mode("overwrite").parquet(out)
+      val df = computeSimhashClusters(s, dir)
+      val tw = System.nanoTime()
+      df.write.mode("overwrite").parquet(out)
+      System.err.println(
+        f"[graft] cc label write: ${(System.nanoTime() - tw) / 1e9}%.2f s")
       out
     }
     s.read.parquet(path).orderBy(col("doc_id"))
@@ -455,11 +458,13 @@ object DedupQueries {
     // pure cache-build at the 27.5M-edge sf10 graph)
     val pairDf = hammingPairs(s, dir).select(col("id1"), col("id2"))
     val labeled = phase("connected-components")(connectedComponents(s, pairDf))
-    val singletons = Tables.documents(s, dir).select(col("doc_id"))
-      .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("rep"))
-    labeled.union(singletons)
-      .select(col("doc_id"), col("rep").as("cluster_rep"))
+    phase("backfill-plan") {
+      val singletons = Tables.documents(s, dir).select(col("doc_id"))
+        .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("rep"))
+      labeled.union(singletons)
+        .select(col("doc_id"), col("rep").as("cluster_rep"))
+    }
   }
 
   /** Connected components of an (id1, id2) edge set → (doc_id, rep)
@@ -519,7 +524,15 @@ object DedupQueries {
       }
     }
     val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-    nodes.iterator.map(n => (n, find(n))).toSeq.toDF("doc_id", "rep")
+    val rows = nodes.iterator.map(n => (n, find(n))).toArray
+    // parallelize, never toDF: a LocalRelation of a few hundred
+    // thousand rows embedded in the logical plan makes every
+    // downstream Catalyst pass copy it (measured ~30 s of pure
+    // planning in the sf10 cluster write); an RDD-backed scan keeps
+    // the plan O(1)
+    s.sparkContext.parallelize(rows.toIndexedSeq,
+      math.max(1, math.min(s.sparkContext.defaultParallelism,
+        rows.length / 50000 + 1))).toDF("doc_id", "rep")
   }
 
   /** Distributed connected components: Pregel-style co-partitioned RDD
@@ -669,11 +682,18 @@ object DedupQueries {
           f"[graft] cc df large-star $rounds: edges=$cnt " +
             f"in ${(System.nanoTime() - tr) / 1e9}%.2f s")
         if (cnt <= finishThreshold) {
+          val tc = System.nanoTime()
           val arr = nxt.as[(Long, Long)].collect()
+          val tuf = System.nanoTime()
           nxt.unpersist(blocking = false)
           persisted.foreach(_.unpersist(blocking = false))
           lastStarRounds = rounds
-          return ccUnionFindLocal(s, arr)
+          val out = ccUnionFindLocal(s, arr)
+          System.err.println(
+            f"[graft] cc finish (${arr.length} edges): collect " +
+              f"${(tuf - tc) / 1e9}%.2f s, uf+plan " +
+              f"${(System.nanoTime() - tuf) / 1e9}%.2f s")
+          return out
         }
         persisted.foreach(_.unpersist(blocking = false))
         persisted = Some(nxt)

@@ -26,9 +26,11 @@ object ProfileClusters {
     }
     for (rep <- 1 to reps) {
       System.err.println(s"[prof] --- rep $rep ---")
-      val nSig = time("sig64 count")(
-        graft.operators.DedupQueries.sigForProfile(s, dir).count())
-      System.err.println(s"[prof] nSig=$nSig")
+      val sig = graft.operators.DedupQueries.sigForProfile(s, dir)
+      val nSig = time("sig64 count")(sig.count())
+      val nDistinct = time("distinct sig count")(
+        sig.select(col("simhash_hi"), col("simhash_lo")).distinct().count())
+      System.err.println(s"[prof] nSig=$nSig nDistinctSig=$nDistinct")
       val pairs = time("pairs plan+cache")(
         graft.operators.DedupQueries.simhashPairsForProfile(s, dir))
       val n = time("pairs count")(pairs.count())
