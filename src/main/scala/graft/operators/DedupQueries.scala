@@ -68,10 +68,22 @@ object DedupQueries {
     * family at scale). */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame,
       t: Double): DataFrame = {
-    val a = docs.select(col("doc_id").as("id1"), col("n_sh").as("n1"),
-      col("khs").as("k1"))
-    val b = docs.select(col("doc_id").as("id2"), col("n_sh").as("n2"),
-      col("khs").as("k2"))
+    // SHUFFLE_HASH on the one-row-per-doc build side: with the
+    // cpp-bounded candidate set (hundreds of thousands, not
+    // millions), hashing the docs side and streaming the thin pair
+    // stream through it beats sort-merge — A/B in the same warm JVM
+    // at the sf10 corpus: 5.8 s vs 42 s for the verification stage.
+    // Conf escape hatch kept for profiling.
+    def strat(df: DataFrame): DataFrame =
+      docs.sparkSession.conf
+        .get("spark.graft.ngram.verifyJoin", "shuffle_hash") match {
+        case "smj" => df
+        case h => df.hint(h)
+      }
+    val a = strat(docs.select(col("doc_id").as("id1"), col("n_sh").as("n1"),
+      col("khs").as("k1")))
+    val b = strat(docs.select(col("doc_id").as("id2"), col("n_sh").as("n2"),
+      col("khs").as("k2")))
     cand.join(a, "id1").join(b, "id2")
       .withColumn("inter",
         graft.functions.HashExpressions.sortedIntersectCount(
@@ -105,23 +117,31 @@ object DedupQueries {
       : DataFrame = {
     val docs = docShingleArrays(s, dir)
     // prefix = first n − ⌈t·n⌉ + 1 hashes of the doc's canonically
-    // (numerically) sorted array — a slice, no window sort needed —
-    // WITH each hash's position for the PPJoin bound below
+    // (numerically) sorted array — a slice, no window sort needed
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * lit(0.7)) + 1)
+      .cast("int")
     val prefix = docs.select(col("doc_id"), col("n_sh"),
-      posexplode(slice(col("khs"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * lit(0.7)) + 1).cast("int")))
-        .as(Seq("pos", "kh")))
-    // PPJoin positional upper bound: matching at 0-based positions
-    // (pa, pb) of the sorted arrays, the overlap can be at most
-    // 1 + min(n1−pa−1, n2−pb−1) (the match itself + everything after
-    // it); J ≥ t needs overlap ≥ ⌈t/(1+t)·(n1+n2)⌉. At the FIRST
-    // common element every common element is ≥ it, so the bound is
-    // valid there — a true pair always survives on that row.
-    val overlapNeeded =
-      (lit(0.7) / lit(1.7)) * (col("a.n_sh") + col("b.n_sh"))
-    val positionalBound =
-      lit(1) + least(col("a.n_sh") - col("a.pos") - 1,
-        col("b.n_sh") - col("b.pos") - 1)
+      prefixLen.as("p"),
+      element_at(col("khs"), prefixLen).as("maxpref"),
+      explode(slice(col("khs"), lit(1), prefixLen)).as("kh"))
+    // Common-prefix-count upper bound (the PPJoin family's strongest
+    // exact filter, and the one that matters on templated corpora):
+    // with m = min(maxpref_a, maxpref_b), every common element ≤ m
+    // lies in BOTH prefixes (the prefix is the set of the doc's
+    // smallest p keys), so cpp = |prefix_a ∩ prefix_b| counts the
+    // overlap below m EXACTLY; common elements above m live in the
+    // SUFFIX of the side whose maxpref is m (on the other side they
+    // may still be prefix members, so its remainder is no bound), so
+    // the total overlap is at most cpp + (nᵢ − pᵢ) for that side.
+    // J ≥ t needs overlap ≥ t/(1+t)·(n1+n2). Counting cpp per pair
+    // (one map-side-combined aggregation — the same shuffle the old
+    // emit-level distinct paid) prunes every pair whose prefixes meet
+    // only in 1–2 hot template shingles, which the measured candidate
+    // set was 99.6% made of (6.82M of 6.84M candidates at J < 0.1,
+    // each sharing a single prefix key; the per-match positional
+    // bound this replaces passed them all). The 1e-6 slack makes
+    // double rounding of t/(1+t) strictly conservative: this filter
+    // only ever DISCARDS pairs the exact verification would discard.
     prefix.as("a")
       .join(prefix.as("b"), col("a.kh") === col("b.kh") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -129,10 +149,17 @@ object DedupQueries {
         // prunes candidates only, so float rounding can't lose a true
         // pair that the exact verification would keep
         least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-          greatest(col("a.n_sh"), col("b.n_sh")).cast("double") * lit(0.7) &&
-        positionalBound.cast("double") >= overlapNeeded)
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+          greatest(col("a.n_sh"), col("b.n_sh")).cast("double") * lit(0.7))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"),
+        col("a.p").as("p1"), col("b.p").as("p2"),
+        col("a.maxpref").as("m1"), col("b.maxpref").as("m2"))
+      .agg(count(lit(1)).as("cpp"))
+      .filter((col("cpp") +
+          when(col("m1") <= col("m2"), col("n1") - col("p1"))
+            .otherwise(col("n2") - col("p2"))).cast("double") >=
+        (lit(0.7) / lit(1.7)) * (col("n1") + col("n2")) - lit(1e-6))
+      .select(col("id1"), col("id2"))
   }
 
   /** Oracle counts intersections on the same 60-bit md5 key as the

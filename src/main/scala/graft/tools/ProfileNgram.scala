@@ -31,10 +31,15 @@ object ProfileNgram {
         cand.count())
       System.err.println(s"[prof] nCandidates=$nCand")
       // inventory is cached by the candidate pass; the delta between
-      // full and candidates is the verification join + intersection
-      val nPairs = time("full query (verification on cached inventory)")(
-        graft.operators.DedupQueries.ngramJaccard(s, dir).count())
-      System.err.println(s"[prof] nPairs=$nPairs")
+      // full and candidates is the verification join + intersection.
+      // A/B the verification join strategy within the same warm JVM.
+      Seq("shuffle_hash", "smj").foreach { strat =>
+        s.conf.set("spark.graft.ngram.verifyJoin", strat)
+        val nPairs = time(s"full query (verify join = $strat)")(
+          graft.operators.DedupQueries.ngramJaccard(s, dir).count())
+        System.err.println(s"[prof] nPairs=$nPairs")
+      }
+      s.conf.unset("spark.graft.ngram.verifyJoin")
       s.catalog.clearCache()
       s.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
