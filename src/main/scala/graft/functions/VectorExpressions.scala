@@ -106,6 +106,90 @@ case class QuantSquaredL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-dimension integer sum of fixed-point-quantized vectors — the
+  * centroid-accumulation aggregate of the k-means/centroid family:
+  * buffer[d] += floor(v[d] · scale) over an ARRAY<DOUBLE> column.
+  *
+  * Replaces the posexplode → groupBy(label, dim) shape, which pushes
+  * |rows|·dims exploded rows through a hash aggregate (32M updates at
+  * the sf10 embeddings table) to produce k·dims cells. As a typed
+  * buffer the update is one tight per-ROW loop, the partial
+  * aggregation keeps one Array[Long] per group per partition, and the
+  * shuffle moves k rows. Identical arithmetic: each element
+  * contributes floor(v·scale) exactly once to an order-free integer
+  * sum, so the result is bit-equal to the exploded form and the
+  * DuckDB oracle. */
+case class QuantVecSum(
+    child: Expression,
+    scale: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "quant_vec_sum"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  // FLOAT arrays are read via getFloat then widened exactly as a
+  // Cast(float→double) would — callers can pass the raw embedding
+  // column without a per-row transform() HOF in the update path.
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val b = if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+    var i = 0
+    while (i < n) {
+      val e = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      b(i) += math.floor(e * scale).toLong
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantVecSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantVecSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantVecSum =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column form: dot product of two ARRAY<DOUBLE> columns. */
   def arrayDot(a: Column, b: Column): Column =
@@ -116,4 +200,11 @@ object VectorExpressions {
   def quantL2Sq(a: Column, b: Column): Column =
     GraftSqlBridge.column(QuantSquaredL2(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Aggregate column form: per-dimension Σ floor(v[d]·scale) of an
+    * ARRAY<DOUBLE> column as ARRAY<BIGINT>. */
+  def quantVecSum(v: Column, scale: Double): Column =
+    GraftSqlBridge.column(
+      QuantVecSum(GraftSqlBridge.expression(v), scale)
+        .toAggregateExpression())
 }

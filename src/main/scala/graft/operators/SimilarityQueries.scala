@@ -188,17 +188,18 @@ object SimilarityQueries {
     * by two IEEE-754 divisions in a fixed order. No floating-point
     * accumulation anywhere.
     *
-    * Scale: one 64× posexplode fan-out (map-side), one shuffle on
-    * (label, dim) with partial aggregation — each map partition
-    * contributes at most |labels|·dims rows to the shuffle regardless
-    * of corpus size; output is |labels|·dims rows. */
+    * Scale: the [[graft.functions.QuantVecSum]] vector-sum aggregate —
+    * one per-ROW buffer update (no 64× posexplode through the hash
+    * aggregate), partial aggregation holding one Array[Long] per label
+    * per partition, a |labels|-row shuffle; the (label, dim) long form
+    * is a posexplode of the k result rows only. */
   def embCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("label").cast("long").as("label"),
-        posexplode(col("embedding")).as(Seq("dim", "e")))
-      .groupBy(col("label"), col("dim"))
-      .agg(sum(floor(col("e").cast("double") * 1e6)).as("sum_e6"),
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(graft.functions.VectorExpressions
+          .quantVecSum(col("embedding"), 1e6).as("sums"),
         count(lit(1)).as("n"))
+      .select(col("label"), col("n"), posexplode(col("sums")).as(Seq("dim", "sum_e6")))
       .select(col("label"), col("dim").cast("long").as("dim"),
         col("sum_e6"), col("n"),
         (col("sum_e6").cast("double") / 1e6 / col("n")).as("centroid"))
@@ -244,22 +245,21 @@ object SimilarityQueries {
     * confusion aggregation shuffles at most k² rows per task. */
   def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // centroid pass: the QuantVecSum vector aggregate (one per-row
+    // buffer update, |labels|-row shuffle) instead of a 64× posexplode
+    // through the hash aggregate — same exact integer sums
     val centRows = emb
-      .select(col("label").cast("long").as("label"),
-        posexplode(col("embedding")).as(Seq("dim", "e")))
-      .groupBy(col("label"), col("dim"))
-      .agg(sum(floor(col("e").cast("double") * 1e4)).as("sq"),
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(graft.functions.VectorExpressions
+          .quantVecSum(col("embedding"), 1e4).as("sums"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("dim"),
-        floor(col("sq").cast("double") / col("n")).cast("long").as("c"))
       .collect()
-    val labels = centRows.map(_.getLong(0)).distinct.sorted
-    val dims = centRows.map(_.getInt(1)).max + 1
+    val labels = centRows.map(_.getLong(0)).sorted
     val cent = labels.map { l =>
-      val arr = new Array[Long](dims)
-      centRows.filter(_.getLong(0) == l)
-        .foreach(r => arr(r.getInt(1)) = r.getLong(2))
-      l -> arr
+      val r = centRows.find(_.getLong(0) == l).get
+      val n = r.getLong(2)
+      l -> r.getSeq[Long](1)
+        .map(sq => math.floor(sq.toDouble / n).toLong).toArray
     }
     val qcol = transform(col("embedding"),
       e => floor(e.cast("double") * 1e4))
