@@ -465,9 +465,23 @@ object TextQueries {
       // bigram stream, no scoring-side shuffle at all. The per-doc
       // sum is the same order-free integer sum as the exact form, so
       // pruned == exact whenever K covers the corpus (spec-pinned).
-      val bigTop = big.orderBy(col("c2").desc, col("g")).limit(topK)
-      val lpTop = broadcast(bigTop).join(uni.withColumnRenamed("w", "w1"), "w1")
-        .crossJoin(broadcast(vocab))
+      // The unigram table feeds THREE consumers (the lp join, the
+      // backoff model's TakeOrdered, the vocab count): cache it, or
+      // each one re-runs the corpus explode + count. The tokenized
+      // corpus likewise feeds three scans (bigram counts, unigram
+      // counts, the scoring pass) — cache it so the regex tokenize
+      // runs once.
+      val docsC = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni2 = docsC.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val big2 = docsC.select(explode(shinglesOfTokens(col("toks"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+      val uniC = uni2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocabC = uniC.agg(count(lit(1)).as("v"))
+      val bigTop = big2.orderBy(col("c2").desc, col("g")).limit(topK)
+      val lpTop = broadcast(bigTop).join(uniC.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(broadcast(vocabC))
         .select(col("g"),
           floor(lit(1000000.0) *
             log((col("c2").cast("double") + 0.5) /
@@ -475,13 +489,15 @@ object TextQueries {
             .as("lp_scaled"))
       val lpModel = lpTop.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val uniModel = uni.orderBy(col("c1").desc, col("w")).limit(topK)
+      val uniModel = uniC.orderBy(col("c1").desc, col("w")).limit(topK)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val vTotal = vocab.head().getLong(0)
+      val vTotal = vocabC.head().getLong(0)
+      uniC.unpersist(blocking = false)
+      docsC.unpersist(blocking = false)
       val lpB = s.sparkContext.broadcast(lpModel)
       val uniB = s.sparkContext.broadcast(uniModel)
       import s.implicits._
-      docs.select(col("doc_id"), col("toks"))
+      docsC.select(col("doc_id"), col("toks"))
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val lp = lpB.value
