@@ -106,6 +106,60 @@ case class QuantSquaredL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σᵢ weights[idx[i]] over an ARRAY<BIGINT> index column and an
+  * ARRAY<BIGINT> weight table (a broadcast-able literal): the
+  * model-scoring primitive of the fixed-feature-table operators
+  * (DSIR's 1024-bucket importance weights). Replaces the
+  * explode → broadcast-join → per-doc re-aggregation shape with one
+  * codegen'd per-row loop — the corpus-sized feature stream never
+  * leaves its row. Out-of-range indices contribute 0 (the join form
+  * dropped them; fixed feature tables cover their whole index space,
+  * so the two forms agree). Integer sum: exact, order-free. */
+case class SumLookup(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_lookup"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val idx = a.asInstanceOf[ArrayData]
+    val w = b.asInstanceOf[ArrayData]
+    val n = idx.numElements()
+    val m = w.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val j = idx.getLong(i)
+      if (j >= 0 && j < m) acc += w.getLong(j.toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $j = $a.getLong($i);
+         |  if ($j >= 0 && $j < $m) $acc += $b.getLong((int) $j);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SumLookup =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-dimension integer sum of fixed-point-quantized vectors — the
   * centroid-accumulation aggregate of the k-means/centroid family:
   * buffer[d] += floor(v[d] · scale) over an ARRAY<DOUBLE> column.
@@ -207,4 +261,9 @@ object VectorExpressions {
     GraftSqlBridge.column(
       QuantVecSum(GraftSqlBridge.expression(v), scale)
         .toAggregateExpression())
+
+  /** Column form: Σᵢ weights[idx[i]] of two ARRAY<BIGINT> columns. */
+  def sumLookup(idx: Column, weights: Column): Column =
+    GraftSqlBridge.column(SumLookup(
+      GraftSqlBridge.expression(idx), GraftSqlBridge.expression(weights)))
 }

@@ -747,9 +747,23 @@ object CurationQueries {
               (col("nt").cast("double") + 1024.0)) -
            log((col("n_r").cast("double") + 1.0) /
               (col("nr").cast("double") + 1024.0)))).as("w_scaled"))
-    grams(docs).join(broadcast(w), Seq("bucket"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("w_scaled")).as("sw"))
+    // Scoring: the 1024-row weight table is MODEL STATE — collect it
+    // (bounded at the feature-table size by construction) and fold it
+    // into the plan as a literal; each document's weight is then ONE
+    // codegen'd sum-lookup over its own bucket array ([[SumLookup]]).
+    // The corpus gram stream is never re-exploded and the only
+    // scoring-side shuffle is the output sort — the second
+    // explode → broadcast-join → per-doc aggregation this replaces
+    // re-pushed every gram occurrence through a shuffle pair. Every
+    // gram occurrence's bucket exists in `counts` (it came from the
+    // corpus), so lookup-hit semantics match the join exactly.
+    val wArr = new Array[Long](1024)
+    w.collect().foreach(r => wArr(r.getLong(0).toInt) = r.getLong(1))
+    val wLit = typedLit(wArr.toSeq)
+    docs.select(col("doc_id"), gramBuckets(col("toks")).as("bks"))
+      .select(col("doc_id"),
+        size(col("bks")).cast("long").as("n_feats"),
+        graft.functions.VectorExpressions.sumLookup(col("bks"), wLit).as("sw"))
       .select(col("doc_id"), col("n_feats"),
         (col("sw").cast("double") / 1000000.0).as("weight"))
       .withColumn("toward_target", col("weight") > 0.0)
