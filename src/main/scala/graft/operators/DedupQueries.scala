@@ -534,24 +534,46 @@ object DedupQueries {
   private def ccUnionFindLocal(s: SparkSession,
       edges: Array[(Long, Long)]): DataFrame = {
     import s.implicits._
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
+    // Primitive-array union-find over dense int indices: the boxed
+    // HashMap[Long, Long] form generated ~2 allocations per find on
+    // multi-million-edge graphs — on the bench driver's large heap
+    // that garbage turned into multi-second GC pauses with huge
+    // run-to-run variance (measured 4 s vs 47 s on the SAME 1.6M-edge
+    // residual). Node ids are sorted + dedup'd once; index order then
+    // equals id order, so union-by-smaller-INDEX root is exactly
+    // union-by-min-ID — each component's final root stays its minimum
+    // doc_id (the fixpoint the distributed path and the oracle's
+    // recursive CTE reach), with zero allocation in the hot loop.
+    val ids = new Array[Long](edges.length * 2)
+    var w = 0
+    edges.foreach { e => ids(w) = e._1; ids(w + 1) = e._2; w += 2 }
+    java.util.Arrays.sort(ids)
+    var n = 0
+    var r = 0
+    while (r < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(r)) { ids(n) = ids(r); n += 1 }
+      r += 1
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
+    val parent = new Array[Int](n)
+    var k = 0
+    while (k < n) { parent(k) = k; k += 1 }
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = root; c = nx }
+      root
+    }
+    edges.foreach { e =>
+      val ra = find(java.util.Arrays.binarySearch(ids, 0, n, e._1))
+      val rb = find(java.util.Arrays.binarySearch(ids, 0, n, e._2))
       if (ra != rb) {
-        // attach the larger root under the smaller: roots only ever
-        // decrease, so the surviving root is the component minimum
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-    val rows = nodes.iterator.map(n => (n, find(n))).toArray
+    val rows = new Array[(Long, Long)](n)
+    k = 0
+    while (k < n) { rows(k) = (ids(k), ids(find(k))); k += 1 }
     // parallelize, never toDF: a LocalRelation of a few hundred
     // thousand rows embedded in the logical plan makes every
     // downstream Catalyst pass copy it (measured ~30 s of pure
@@ -699,11 +721,54 @@ object DedupQueries {
           .groupBy(col("n"))
           .agg(min(col("nbr")).as("mn"))
           .select(col("n"), least(col("n"), col("mn")).as("mm"))
-        val nxt = e.join(m, col("lo") === col("n"))
-          .select(col("hi").as("id1"), col("mm").as("id2"))
-          .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // The min-table has one row per TOUCHED NODE — corpus-bounded
+        // and tiny relative to the edge set on dense near-dup graphs
+        // (500k nodes vs 27.5M edges at the sf10 graph). When it fits
+        // the broadcast gate, ship it as a sorted primitive-array map
+        // and turn the round's heavy step — the edges ⋈ min-table
+        // shuffle join over the full edge set — into a NARROW
+        // map-partition lookup: the round then shuffles only the
+        // per-node minima (map-side combined) and the contracted
+        // distinct output, never the raw edges. Same output as the
+        // join by construction (mm ≤ lo < hi, lookup is total on lo).
+        // Past the gate (billions of touched nodes at 100 TB) the
+        // shuffle join below remains the honest path — the same
+        // size-gated pattern as broadcast-vs-shuffle join selection.
+        val nNodes = m.count()
+        System.err.println(
+          f"[graft] cc df min-table: $nNodes nodes in ${(System.nanoTime() - tr) / 1e9}%.2f s")
+        val bcastGate =
+          s.conf.get("spark.graft.cc.broadcastNodeThreshold", "8000000").toLong
+        var bcOpt: Option[org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]] = None
+        val nxt = (if (nNodes <= bcastGate) {
+          val mm = m.as[(Long, Long)].collect().sortBy(_._1)
+          System.err.println(
+            f"[graft] cc df min-collect: ${(System.nanoTime() - tr) / 1e9}%.2f s cum")
+          m.unpersist(blocking = false)
+          val keys = new Array[Long](mm.length)
+          val vals = new Array[Long](mm.length)
+          var i = 0
+          while (i < mm.length) { keys(i) = mm(i)._1; vals(i) = mm(i)._2; i += 1 }
+          val bc = s.sparkContext.broadcast((keys, vals))
+          bcOpt = Some(bc)
+          e.as[(Long, Long)].mapPartitions { it =>
+            val (ks, vs) = bc.value
+            it.map { case (lo, hi) =>
+              val j = java.util.Arrays.binarySearch(ks, lo)
+              (hi, if (j >= 0) vs(j) else lo)
+            }
+          }.toDF("id1", "id2").distinct()
+        } else {
+          e.join(m, col("lo") === col("n"))
+            .select(col("hi").as("id1"), col("mm").as("id2"))
+            .distinct()
+        }).persist(StorageLevel.MEMORY_AND_DISK)
         val cnt = nxt.count()
+        if (bcOpt.isEmpty) m.unpersist(blocking = false)
+        // unpersist (not destroy): a lost cached partition of nxt can
+        // still recompute — the driver re-ships the broadcast value
+        bcOpt.foreach(_.unpersist(blocking = false))
         rounds += 1
         System.err.println(
           f"[graft] cc df large-star $rounds: edges=$cnt " +

@@ -94,6 +94,16 @@ class DedupClustersSpec extends AnyFunSuite {
       val hybrid = DedupQueries.ccForTest(spark, pairDf, local = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       assert(hybrid === expected, s"trial $trial (n=$n) hybrid diverged")
+      // the DF large-star round picks broadcast-map vs shuffle-join by
+      // the min-table's node count; force the join fallback (the
+      // >gate form that runs when the touched-node set outgrows the
+      // broadcast bound at 100 TB) and require the same fixpoint
+      spark.conf.set("spark.graft.cc.broadcastNodeThreshold", "0")
+      try {
+        val joined = DedupQueries.ccForTest(spark, pairDf, local = false)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(joined === expected, s"trial $trial (n=$n) join-path diverged")
+      } finally spark.conf.unset("spark.graft.cc.broadcastNodeThreshold")
     }
   }
 }
