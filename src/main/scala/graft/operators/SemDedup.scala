@@ -27,10 +27,12 @@ object SemDedup {
     * cosine ≥ [[Threshold]] LSH-verified pair graph; untouched
     * vectors are their own representative. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
+    // nearDupLsh serves from its scratch-parquet memo — the CC
+    // probe's count and the labeling passes are cheap columnar
+    // re-reads, no row cache needed (same reasoning as hammingPairs)
     val pairs = AnnLsh.nearDupLsh(s, dir, Threshold)
-      .select(col("id1"), col("id2")).cache()
+      .select(col("id1"), col("id2"))
     val labeled = DedupQueries.connectedComponents(s, pairs)
-    pairs.unpersist(blocking = false)
     val singletons = Tables.embeddings(s, dir).select(col("vec_id"))
       .join(labeled.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_anti")
