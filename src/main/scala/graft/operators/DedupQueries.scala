@@ -506,9 +506,10 @@ object DedupQueries {
   private[graft] def connectedComponents(s: SparkSession,
       pairDf: DataFrame): DataFrame = {
     import s.implicits._
+    // MaxValue/2 cap: the driver finish allocates a 2×edges long array
     val threshold = math.min(
       s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong,
-      Int.MaxValue - 1L).toInt
+      Int.MaxValue / 2 - 1L).toInt
     // The pair set reaching here is always materialized (scratch
     // parquet via the hammingPairs/nearDupLsh memo, or caller-cached),
     // so a count() is cheap — decide the path on it and collect ONLY
@@ -539,41 +540,15 @@ object DedupQueries {
     // multi-million-edge graphs — on the bench driver's large heap
     // that garbage turned into multi-second GC pauses with huge
     // run-to-run variance (measured 4 s vs 47 s on the SAME 1.6M-edge
-    // residual). Node ids are sorted + dedup'd once; index order then
-    // equals id order, so union-by-smaller-INDEX root is exactly
-    // union-by-min-ID — each component's final root stays its minimum
-    // doc_id (the fixpoint the distributed path and the oracle's
-    // recursive CTE reach), with zero allocation in the hot loop.
-    val ids = new Array[Long](edges.length * 2)
+    // residual). Core shared with the per-partition pre-contraction
+    // pass (CcKernels).
+    val flat = new Array[Long](edges.length * 2)
     var w = 0
-    edges.foreach { e => ids(w) = e._1; ids(w + 1) = e._2; w += 2 }
-    java.util.Arrays.sort(ids)
-    var n = 0
-    var r = 0
-    while (r < ids.length) {
-      if (n == 0 || ids(n - 1) != ids(r)) { ids(n) = ids(r); n += 1 }
-      r += 1
-    }
-    val parent = new Array[Int](n)
-    var k = 0
-    while (k < n) { parent(k) = k; k += 1 }
-    def find(x: Int): Int = {
-      var root = x
-      while (parent(root) != root) root = parent(root)
-      var c = x
-      while (parent(c) != c) { val nx = parent(c); parent(c) = root; c = nx }
-      root
-    }
-    edges.foreach { e =>
-      val ra = find(java.util.Arrays.binarySearch(ids, 0, n, e._1))
-      val rb = find(java.util.Arrays.binarySearch(ids, 0, n, e._2))
-      if (ra != rb) {
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
-      }
-    }
+    edges.foreach { e => flat(w) = e._1; flat(w + 1) = e._2; w += 2 }
+    val (ids, n, parent) = CcKernels.unionFind(flat, w)
     val rows = new Array[(Long, Long)](n)
-    k = 0
-    while (k < n) { rows(k) = (ids(k), ids(find(k))); k += 1 }
+    var k = 0
+    while (k < n) { rows(k) = (ids(k), ids(parent(k))); k += 1 }
     // parallelize, never toDF: a LocalRelation of a few hundred
     // thousand rows embedded in the logical plan makes every
     // downstream Catalyst pass copy it (measured ~30 s of pure
@@ -683,9 +658,58 @@ object DedupQueries {
       pairDf: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import s.implicits._
+    // cap at MaxValue/2: the driver finish allocates a 2×edges long
+    // array, so a threshold past ~1.07B edges would overflow the
+    // allocation size before the collect OOMs
     val finishThreshold = math.min(
       s.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong,
-      Int.MaxValue - 1L).toInt
+      Int.MaxValue / 2 - 1L).toInt
+    // Phase 0 — partition-local pre-contraction (CcKernels
+    // .spanningForest): one NARROW mapPartitions pass replaces the
+    // dense edge multiset with each partition's spanning forest before
+    // anything shuffles. At the sf10 graph (27.5M hamming≤3 edges over
+    // ~500k touched docs, ~55 edges/doc) this is a ~17× reduction in
+    // one pass over the parquet-backed pair set — the first large-star
+    // round then shuffles the forest, not the raw edges. Conf escape
+    // hatch for the convergence specs and A/B profiling.
+    val preContract =
+      s.conf.get("spark.graft.cc.preContract", "true").toBoolean
+    val (inputEdges, prePersisted) = if (preContract) {
+      val tp = System.nanoTime()
+      val forest = pairDf.select(col("id1"), col("id2")).as[(Long, Long)]
+        .mapPartitions(it => CcKernels.spanningForest(it))
+        .toDF("id1", "id2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // The pair memo compresses brutally (sorted longs delta-encode:
+      // 27.5M edges ≈ 43 MB across 32 files), so the default 128 MB
+      // split packs the whole scan into 1-2 tasks and serializes the
+      // pass (measured 48 s vs ~4 s at one-task-per-file). Narrow the
+      // split conf for THIS job only — per-file tasks keep the memo's
+      // id-clustered locality (which is what makes the local forests
+      // contract well), where a repartition would both shuffle the full
+      // edge multiset and destroy that locality. Confs are read at
+      // plan time: the persist is materialized inside the window.
+      val oldMax = s.conf.get("spark.sql.files.maxPartitionBytes")
+      val oldCost = s.conf.get("spark.sql.files.openCostInBytes", "4194304")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+      s.conf.set("spark.sql.files.openCostInBytes", "0")
+      val fc =
+        try forest.count()
+        finally {
+          s.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+          s.conf.set("spark.sql.files.openCostInBytes", oldCost)
+        }
+      System.err.println(
+        f"[graft] cc pre-contract: $fc forest edges in " +
+          f"${(System.nanoTime() - tp) / 1e9}%.2f s")
+      if (finishThreshold > 0 && fc <= finishThreshold) {
+        val arr = forest.as[(Long, Long)].collect()
+        forest.unpersist(blocking = false)
+        lastStarRounds = 0
+        return ccUnionFindLocal(s, arr)
+      }
+      (forest, Option(forest))
+    } else (pairDf, Option.empty[DataFrame])
     // Phase 1 — DataFrame large-star rounds. Each large-star preserves
     // connectivity over the node set (Kiveris et al.'s lemma: every
     // node is linked toward its closed-neighborhood minimum), and on
@@ -701,8 +725,13 @@ object DedupQueries {
     // termination, which large-star alone does not).
     if (finishThreshold > 0) {
       val dfRounds = s.conf.get("spark.graft.cc.dfRounds", "4").toInt
-      var cur = pairDf.select(col("id1"), col("id2"))
-      var persisted: Option[DataFrame] = None
+      var cur = inputEdges.select(col("id1"), col("id2"))
+      var persisted: Option[DataFrame] = prePersisted
+      // previous round's broadcast min-table: destroyable (driver copy
+      // included) once the round that read it has been superseded —
+      // the live round's broadcast stays recoverable for cache-loss
+      // recompute of its nxt
+      var prevBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
       var rounds = 0
       while (rounds < dfRounds) {
         val tr = System.nanoTime()
@@ -779,6 +808,10 @@ object DedupQueries {
           val tuf = System.nanoTime()
           nxt.unpersist(blocking = false)
           persisted.foreach(_.unpersist(blocking = false))
+          // out below is parallelize-backed — nothing depends on the
+          // broadcasts any more; destroy reclaims the driver copies too
+          prevBc.foreach(_.destroy())
+          bcOpt.foreach(_.destroy())
           lastStarRounds = rounds
           val out = ccUnionFindLocal(s, arr)
           System.err.println(
@@ -789,12 +822,21 @@ object DedupQueries {
         }
         persisted.foreach(_.unpersist(blocking = false))
         persisted = Some(nxt)
+        // the superseded round's broadcast (its nxt just unpersisted)
+        // can never be needed again — release the driver copy as well
+        prevBc.foreach(_.destroy())
+        prevBc = bcOpt
         cur = nxt
       }
       val out = ccStarRddLoop(s, cur, finishThreshold, rounds)
       persisted.foreach(_.unpersist(blocking = false))
+      prevBc.foreach(_.destroy())
       out
-    } else ccStarRddLoop(s, pairDf, finishThreshold, 0)
+    } else {
+      val out = ccStarRddLoop(s, inputEdges, finishThreshold, 0)
+      prePersisted.foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 
   /** The RDD star-contraction loop — alternating large-star /
@@ -1063,4 +1105,84 @@ object DedupQueries {
     "dedup_clusters" -> simhashClustersSql,
     "pipeline_keep" -> pipelineKeepSql,
     "dedup_simhash" -> simhashSql)
+}
+
+/** Allocation-free union-find primitives shared by the driver-side CC
+  * finish and the executor-side partition-local pre-contraction. A
+  * top-level module so executor closures reference the static module
+  * (no outer-object capture). */
+private[graft] object CcKernels {
+
+  /** Union-find over an interleaved (u,v) edge array (`flat(0..len)`,
+    * len even). Returns (sorted unique node ids, node count n, parent)
+    * with parent FULLY path-compressed: `parent(k)` is k's root index.
+    * Node ids are sorted + dedup'd once; index order then equals id
+    * order, so union-by-smaller-INDEX root is exactly union-by-min-ID —
+    * each component's root is its minimum id (the fixpoint the
+    * distributed path and the oracle's recursive CTE reach), with zero
+    * allocation in the hot loop. */
+  def unionFind(flat: Array[Long], len: Int): (Array[Long], Int, Array[Int]) = {
+    val ids = java.util.Arrays.copyOf(flat, len)
+    java.util.Arrays.sort(ids)
+    var n = 0
+    var r = 0
+    while (r < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(r)) { ids(n) = ids(r); n += 1 }
+      r += 1
+    }
+    val parent = new Array[Int](n)
+    var k = 0
+    while (k < n) { parent(k) = k; k += 1 }
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = root; c = nx }
+      root
+    }
+    var i = 0
+    while (i < len) {
+      val ra = find(java.util.Arrays.binarySearch(ids, 0, n, flat(i)))
+      val rb = find(java.util.Arrays.binarySearch(ids, 0, n, flat(i + 1)))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      i += 2
+    }
+    k = 0
+    while (k < n) { parent(k) = find(k); k += 1 }
+    (ids, n, parent)
+  }
+
+  /** Partition-local pre-contraction: run union-find over one edge
+    * partition and emit its spanning FOREST — (node → partition-local
+    * component minimum) for every non-root node, ≤ nodes−1 edges
+    * regardless of the partition's edge count. Connectivity over the
+    * node set is exactly preserved (each partition's components map to
+    * stars), so any downstream CC pass reaches the same global
+    * fixpoint. On dense near-dup graphs (tens of edges per doc) this
+    * one NARROW pass shrinks the edge multiset by the graph's average
+    * degree before the first shuffle — the contraction the global
+    * large-star rounds would otherwise pay full edge-set shuffles for. */
+  def spanningForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    var cap = 1 << 12
+    var flat = new Array[Long](cap)
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (w + 2 > cap) {
+        cap <<= 1
+        flat = java.util.Arrays.copyOf(flat, cap)
+      }
+      flat(w) = e._1; flat(w + 1) = e._2; w += 2
+    }
+    if (w == 0) Iterator.empty
+    else {
+      val (ids, n, parent) = unionFind(flat, w)
+      Iterator.range(0, n).flatMap { k =>
+        val r = parent(k)
+        if (r != k) Iterator.single((ids(k), ids(r))) else Iterator.empty
+      }
+    }
+  }
 }

@@ -97,13 +97,30 @@ class DedupClustersSpec extends AnyFunSuite {
       // the DF large-star round picks broadcast-map vs shuffle-join by
       // the min-table's node count; force the join fallback (the
       // >gate form that runs when the touched-node set outgrows the
-      // broadcast bound at 100 TB) and require the same fixpoint
+      // broadcast bound at 100 TB) and require the same fixpoint.
+      // Pre-contraction is disabled here: with it on, small graphs
+      // finish in the phase-0 union-find before any DF round runs.
       spark.conf.set("spark.graft.cc.broadcastNodeThreshold", "0")
+      spark.conf.set("spark.graft.cc.preContract", "false")
       try {
         val joined = DedupQueries.ccForTest(spark, pairDf, local = false)
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         assert(joined === expected, s"trial $trial (n=$n) join-path diverged")
-      } finally spark.conf.unset("spark.graft.cc.broadcastNodeThreshold")
+      } finally {
+        spark.conf.unset("spark.graft.cc.broadcastNodeThreshold")
+        spark.conf.unset("spark.graft.cc.preContract")
+      }
+      // the pure distributed loop with pre-contraction DISABLED (the
+      // conf escape hatch) must also reach the fixpoint — pins that
+      // correctness never depends on phase 0 running
+      spark.conf.set("spark.graft.cc.preContract", "false")
+      try {
+        val noPre = withPureStar {
+          DedupQueries.ccForTest(spark, pairDf, local = false)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        }
+        assert(noPre === expected, s"trial $trial (n=$n) no-pre diverged")
+      } finally spark.conf.unset("spark.graft.cc.preContract")
     }
   }
 }
