@@ -78,3 +78,9 @@ case class Rule(ruleId: Int, ruleState: String,
     limit: BigDecimal, windowMinutes: Int)
 
 case class Alert(ruleId: Int, key: String, triggeringValue: BigDecimal)
+
+/** Thrown by operators that REFUSE an input by design (e.g. the exact
+  * all-pairs form past its row cap, where the LSH-bucketed sibling is
+  * the scale path). Distinct from genuine failures so the bench can
+  * report "skipped by design" instead of an error sentinel. */
+class DesignedSkip(msg: String) extends RuntimeException(msg)

@@ -128,7 +128,7 @@ object SimilarityQueries {
     val emb = withNorm(s, dir)
     val cap = s.conf.get("spark.graft.bruteforce.maxRows", "20000").toLong
     val n = emb.count()
-    require(n <= cap,
+    if (n > cap) throw new graft.model.DesignedSkip(
       s"embeddingNearDup is the exact all-pairs form ($n rows > cap $cap " +
         s"=> ~${n * n / 2} candidate pairs); use the LSH-bucketed scale " +
         "path (sim_near_dup_lsh / AnnLsh.nearDupLsh) for corpus-scale " +

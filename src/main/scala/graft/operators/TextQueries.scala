@@ -493,11 +493,10 @@ object TextQueries {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val vTotal = vocabC.head().getLong(0)
       uniC.unpersist(blocking = false)
-      docsC.unpersist(blocking = false)
       val lpB = s.sparkContext.broadcast(lpModel)
       val uniB = s.sparkContext.broadcast(uniModel)
       import s.implicits._
-      docsC.select(col("doc_id"), col("toks"))
+      val scored = docsC.select(col("doc_id"), col("toks"))
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val lp = lpB.value
@@ -523,7 +522,14 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "n_bigrams", "avg_logp")
-        .orderBy(col("doc_id"))
+        // materialize the per-doc scores (tiny — 3 columns, one row per
+        // doc) EAGERLY while the tokenized-corpus cache is still live,
+        // then release it: the operator is already eager (the model
+        // collect above), and a lazy return would re-tokenize the
+        // corpus on the caller's action after the unpersist below
+        .localCheckpoint()
+      docsC.unpersist(blocking = false)
+      scored.orderBy(col("doc_id"))
     } else {
       val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(broadcast(vocab))
@@ -626,21 +632,36 @@ object TextQueries {
       // words take the zero-count backoff weight) — no token
       // re-explosion, no scoring-side shuffle. Integer sums, so
       // pruned == exact whenever K covers the vocab (spec-pinned).
-      val wTop = counts
+      // the tokenized corpus feeds FOUR actions (weight-table collect,
+      // totals, prior, the scoring pass) — cache it so the regex
+      // tokenize runs once, not once per action
+      val docsC = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toksC = docsC.select(col("doc_id"), col("tgt"),
+        explode(col("toks")).as("w"))
+      val countsC = toksC.groupBy(col("w"))
+        .agg(count(when(col("tgt"), 1)).as("c_t"),
+          count(when(!col("tgt"), 1)).as("c_o"))
+      val totalsC = countsC.agg(sum(col("c_t")).as("nt"),
+        sum(col("c_o")).as("no"), count(lit(1)).as("v"))
+      val priorC = docsC.agg(
+        floor(lit(1000000.0) *
+          log(count(when(col("tgt"), 1)).cast("double") /
+            count(when(!col("tgt"), 1)).cast("double"))).as("prior_scaled"))
+      val wTop = countsC
         .orderBy((col("c_t") + col("c_o")).desc, col("w")).limit(topK)
-        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(totalsC))
         .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
       val wModel = wTop.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val t = totals.head()
+      val t = totalsC.head()
       val (nt, no, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
       val backoff = math.floor(1000000.0 *
         (math.log(1.0 / (nt + v).toDouble) -
           math.log(1.0 / (no + v).toDouble))).toLong
-      val priorScaled = prior.head().getLong(0)
+      val priorScaled = priorC.head().getLong(0)
       val wB = s.sparkContext.broadcast(wModel)
       import s.implicits._
-      docs.select(col("doc_id"), col("toks"))
+      val scored = docsC.select(col("doc_id"), col("toks"))
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val wm = wB.value
@@ -656,7 +677,11 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "n_tokens", "log_odds", "pred_target")
-        .orderBy(col("doc_id"))
+        // eager materialization while the corpus cache is live — same
+        // contract as the pruned-LM path above
+        .localCheckpoint()
+      docsC.unpersist(blocking = false)
+      scored.orderBy(col("doc_id"))
     } else {
       val w = counts.crossJoin(broadcast(totals))
         .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))

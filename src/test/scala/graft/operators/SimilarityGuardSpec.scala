@@ -23,7 +23,7 @@ class SimilarityGuardSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     spark.conf.set("spark.graft.bruteforce.maxRows", "100")
     try {
-      val e = intercept[IllegalArgumentException] {
+      val e = intercept[graft.model.DesignedSkip] {
         SimilarityQueries.embeddingNearDup(spark, dir)
       }
       assert(e.getMessage.contains("sim_near_dup_lsh"), e.getMessage)
