@@ -36,6 +36,24 @@ object Tables {
       .asInstanceOf[T]
   }
 
+  /** Scratch-parquet directory for a construction-memoized
+    * materialization: distinct per (session, FULL sanitized dir, source
+    * table mtime, tag). The mtime stamp matches the memo key above, so
+    * a table regenerated in place mid-session gets a FRESH directory —
+    * plans built from the old memo entry keep reading their old files
+    * instead of racing a same-path overwrite — and two corpora can
+    * never share one materialization via a dir.hashCode collision. */
+  def scratchDir(s: SparkSession, dir: String, table: String,
+      tag: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val stamp = scala.util.Try(
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(path).getModificationTime).getOrElse(0L)
+    val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
+      s"${System.identityHashCode(s)}$sane-$stamp"
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

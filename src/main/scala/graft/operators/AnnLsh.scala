@@ -173,9 +173,8 @@ object AnnLsh {
     // widths/thresholds on their own materializations.
     val path = Tables.memoizedAtConstruction(s, dir, "embeddings",
       s"neardup-$threshold-$tables-$width") {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-neardup-" +
-        s"${System.identityHashCode(s)}-${Integer.toHexString(dir.hashCode)}-" +
-        s"$threshold-$tables-$width"
+      val out = Tables.scratchDir(s, dir, "embeddings",
+        s"neardup-$threshold-$tables-$width")
       val t0 = System.nanoTime()
       computeNearDupLsh(s, dir, threshold, tables, width)
         .write.mode("overwrite").parquet(out)

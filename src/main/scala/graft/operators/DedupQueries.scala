@@ -359,8 +359,7 @@ object DedupQueries {
   private def hammingPairs(s: SparkSession, dir: String): DataFrame = {
     val path = Tables.memoizedAtConstruction(s, dir, "documents",
       "simhash-pairs") {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-pairs-" +
-        s"${System.identityHashCode(s)}-${Integer.toHexString(dir.hashCode)}"
+      val out = Tables.scratchDir(s, dir, "documents", "pairs")
       val t0 = System.nanoTime()
       computeHammingPairs(s, dir).write.mode("overwrite").parquet(out)
       System.err.println(
@@ -454,8 +453,7 @@ object DedupQueries {
     // them. Distributed write/read (never a driver collect), keyed by
     // the documents.parquet mtime so regenerated data recomputes.
     val path = Tables.memoizedAtConstruction(s, dir, "documents", "simhash-cc") {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-cc-" +
-        s"${System.identityHashCode(s)}-${Integer.toHexString(dir.hashCode)}"
+      val out = Tables.scratchDir(s, dir, "documents", "cc")
       val df = computeSimhashClusters(s, dir)
       val tw = System.nanoTime()
       df.write.mode("overwrite").parquet(out)

@@ -11,12 +11,15 @@ import graft.Tables
   * opaque BINARY columns with typed metadata; decode / feature-extract
   * runs as a per-partition batch operator.
   *
-  * The media codec libraries are not available in this environment, so
-  * the decode step is STUBBED with a deterministic surrogate (see
-  * [[decodeStub]]); everything Spark-side — schema, partition sizing,
-  * batch shape, the mapPartitions feature extractor, and the
-  * metadata/feature contract — is real and tested. Swapping the stub
-  * for a JNI/FFI decoder keeps the whole pipeline unchanged.
+  * Image payloads are REAL PNGs, decoded with the JDK's
+  * `javax.imageio` (no external codec needed): [[mediaFeatures]]
+  * synthesizes a deterministic solid-color PNG per image row
+  * executor-side, decodes it back, and emits the DECODED dimensions,
+  * channel count, and per-channel means — the oracle checks the full
+  * encode→decode round-trip because the expected values follow from
+  * the same doc_id formulas. Codecs the JDK lacks (audio/video) keep
+  * the deterministic md5 surrogate ([[decodeStub]]); swapping it for a
+  * JNI/FFI decoder keeps the whole pipeline unchanged.
   *
   * Scale notes: payloads dominate row size, so the pipeline
   * repartitions by payload-size-aware salting before extraction
@@ -77,19 +80,130 @@ object MediaPipeline {
     }
   }
 
-  /** Oracle-checked query: features from the synthesized media table
-    * (digest + byte length reproduce in DuckDB; the stub feature vector
-    * is engine-internal and excluded). */
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
-    extractFeatures(mediaTable(s, dir))
-      .select(col("media_id"), col("kind"), col("byte_len"), col("digest"))
-      .orderBy(col("media_id"))
+  /** Decoded-image feature row: dimensions, channel count, and
+    * per-channel means come from the REAL decode; audio rows (no JDK
+    * codec) carry the −1 sentinel and the surrogate digest. */
+  case class MediaDecoded(media_id: Long, kind: String, width: Int,
+      height: Int, channels: Int, mean_r: Int, mean_g: Int, mean_b: Int,
+      digest: String)
+
+  /** Deterministic solid-color PNG: dimensions and fill color are pure
+    * functions of the id, so an oracle can predict what a CORRECT
+    * decode must recover without being able to parse PNG itself. */
+  private[operators] def encodePng(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val r = ((id * 31) % 256).toInt
+    val g = ((id * 17) % 256).toInt
+    val b = ((id * 7) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode via the JDK's ImageIO: dimensions, band count,
+    * and exact per-channel means (integer sums — solid-color images
+    * make them exact, but the code path is the general one). Returns
+    * None when no installed reader claims the payload. */
+  private[operators] def decodeImage(
+      payload: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val ch = img.getRaster.getNumBands
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some((w, h, ch, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
+    }
+  }
+
+  /** Media table with REAL image payloads: image rows carry a PNG
+    * encoded executor-side (the metadata width/height record the true
+    * dimensions); audio rows keep the opaque text-byte surrogate. */
+  def imageTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        if (lang == "en")
+          MediaRecord(id, "image", encodePng(id),
+            (8 + id % 9).toInt, (8 + id % 7).toInt, 0)
+        else MediaRecord(id, "audio", text.getBytes("UTF-8"), 0, 0, 16000)
+      }
+  }
+
+  /** Oracle-checked query: REAL PNG decode for image rows — the
+    * emitted width/height/channels/means and the digest of their
+    * canonical string come from [[decodeImage]] parsing actual PNG
+    * bytes, and the oracle recomputes the expected values from the
+    * encoding formulas (an encode→decode round-trip check). Audio rows
+    * take the md5 surrogate path. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    imageTable(s, dir).mapPartitions { it =>
+      it.map { m =>
+        if (m.kind == "image") {
+          decodeImage(m.payload) match {
+            case Some((w, h, ch, mr, mg, mb)) =>
+              val canon = s"${w}x${h}x$mr,$mg,$mb"
+              val md = MessageDigest.getInstance("MD5")
+              val hex = md.digest(canon.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              MediaDecoded(m.media_id, m.kind, w, h, ch, mr, mg, mb, hex)
+            case None =>
+              MediaDecoded(m.media_id, "undecodable", -1, -1, -1, -1, -1,
+                -1, decodeStub(m.payload)._1)
+          }
+        } else {
+          MediaDecoded(m.media_id, m.kind, -1, -1, -1, -1, -1, -1,
+            decodeStub(m.payload)._1)
+        }
+      }
+    }.toDF().orderBy(col("media_id"))
+  }
 
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE WHEN lang = 'en' THEN 'image' ELSE 'audio' END AS kind,
-      |  CAST(strlen(text) AS BIGINT) AS byte_len,
-      |  md5(text) AS digest
+      |  CASE WHEN lang = 'en' THEN CAST(8 + doc_id % 9 AS INT) ELSE -1 END AS width,
+      |  CASE WHEN lang = 'en' THEN CAST(8 + doc_id % 7 AS INT) ELSE -1 END AS height,
+      |  CASE WHEN lang = 'en' THEN 3 ELSE -1 END AS channels,
+      |  CASE WHEN lang = 'en' THEN CAST((doc_id * 31) % 256 AS INT) ELSE -1 END AS mean_r,
+      |  CASE WHEN lang = 'en' THEN CAST((doc_id * 17) % 256 AS INT) ELSE -1 END AS mean_g,
+      |  CASE WHEN lang = 'en' THEN CAST((doc_id * 7) % 256 AS INT) ELSE -1 END AS mean_b,
+      |  CASE WHEN lang = 'en' THEN md5(
+      |      CAST(8 + doc_id % 9 AS VARCHAR) || 'x' ||
+      |      CAST(8 + doc_id % 7 AS VARCHAR) || 'x' ||
+      |      CAST((doc_id * 31) % 256 AS VARCHAR) || ',' ||
+      |      CAST((doc_id * 17) % 256 AS VARCHAR) || ',' ||
+      |      CAST((doc_id * 7) % 256 AS VARCHAR))
+      |    ELSE md5(text) END AS digest
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** One sampled frame of a payload: the video/audio batch shape is

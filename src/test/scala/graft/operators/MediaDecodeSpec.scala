@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The image path of the media pipeline does REAL PNG decode via the
+  * JDK's ImageIO: encode → decode must recover exactly the dimensions
+  * and per-channel means the encoding formulas prescribe, and
+  * non-image bytes must be rejected (None), falling back to the
+  * surrogate digest path. */
+class MediaDecodeSpec extends AnyFunSuite {
+
+  test("encodePng -> decodeImage round-trips dimensions and means") {
+    for (id <- Seq(0L, 1L, 17L, 123456789L, 100000000042L)) {
+      val png = MediaPipeline.encodePng(id)
+      // a real PNG, not a surrogate: starts with the PNG magic bytes
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+        png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+      val Some((w, h, ch, mr, mg, mb)) = MediaPipeline.decodeImage(png)
+      assert(w === (8 + id % 9).toInt, s"width for id=$id")
+      assert(h === (8 + id % 7).toInt, s"height for id=$id")
+      assert(ch === 3)
+      assert(mr === ((id * 31) % 256).toInt, s"mean_r for id=$id")
+      assert(mg === ((id * 17) % 256).toInt, s"mean_g for id=$id")
+      assert(mb === ((id * 7) % 256).toInt, s"mean_b for id=$id")
+    }
+  }
+
+  test("decodeImage refuses non-image payloads") {
+    assert(MediaPipeline.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
+    assert(MediaPipeline.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+}
