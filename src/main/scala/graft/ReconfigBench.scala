@@ -142,8 +142,15 @@ object ReconfigBench {
     * policy must scale out step by step until utilization clears the
     * target: 60k ev/s at μ=5k/task and target 0.8 stabilizes at
     * p ≥ 15. */
-  private def runStreamSwitch(spark: SparkSession, rate: Int, nKeys: Int,
-      seconds: Int, tickSec: Int): String = {
+  /** One live StreamSwitch phase: run the reconfigurable count query
+    * at `phaseRate` from `initialP` tasks under the closed control
+    * loop, ticking until the clean-window bottleneck utilization holds
+    * at-or-under target for `stableTicks` consecutive ticks (or the
+    * deadline). Returns (finalParallelism, decision reasons,
+    * per-tick maxUtil samples, converged). */
+  private def streamSwitchPhase(spark: SparkSession, phaseRate: Int,
+      nKeys: Int, initialP: Int, seconds: Int, tickSec: Int,
+      stableTicks: Int): (Int, List[String], List[Double], Boolean) = {
     import spark.implicits._
     val checkpointRoot =
       java.nio.file.Files.createTempDirectory("reconfig-ss").toString
@@ -152,12 +159,12 @@ object ReconfigBench {
         "/counts"
     val mp = 128
     val sourceFactory = () => spark.readStream
-      .format("rate").option("rowsPerSecond", rate).load()
+      .format("rate").option("rowsPerSecond", phaseRate).load()
       .select(col("value")).as[Long]
       .map(v => KeyedTuple(s"A${v % nKeys}", 1L))
     val rq = new ReconfigurableCountQuery(spark, sourceFactory,
       checkpointRoot, "ss_sink", maxParallelism = mp,
-      initialParallelism = 8, reuseCheckpointOnRemap = true,
+      initialParallelism = initialP, reuseCheckpointOnRemap = true,
       statePartitions = Some(32), fileSinkDir = Some(sinkDir),
       drainOnSync = false)
     val collector = new Metrics.ProgressCollector
@@ -168,16 +175,60 @@ object ReconfigBench {
     val t0 = System.nanoTime()
     rq.start()
     val deadline = t0 + seconds * 1_000_000_000L
-    while (System.nanoTime() < deadline) {
+    val utils = List.newBuilder[Double]
+    var stable = 0
+    var converged = false
+    var seen = 0
+    while (!converged && System.nanoTime() < deadline) {
       Thread.sleep(tickSec * 1000L)
-      loop.tick()
+      val acted = loop.tick().isDefined
+      val u = controller.lastMaxUtil
+      val ps = collector.progresses
+      val freshN = ps.size - seen
+      seen = ps.size
+      if (sys.env.contains("GRAFT_SS_DEBUG"))
+        System.err.println(s"[ss] tick fresh=$freshN " +
+          ps.takeRight(freshN).map(p => s"b${p.batchId}:" +
+            s"rows=${p.numInputRows}:inRps=${p.inputRowsPerSecond.toInt}:" +
+            s"dur=${p.durationMs}").mkString(" "))
+      if (u >= 0) utils += u
+      // convergence = the policy is quiet AND the measured bottleneck
+      // sits inside the utilization band on consecutive clean windows.
+      // Ticks with NO fresh progress (a restart recovering, a long
+      // catch-up batch in flight) carry no evidence either way: they
+      // neither advance nor reset the stability count.
+      if (freshN > 0)
+        stable = if (!acted && u >= 0 && u <= 0.8) stable + 1 else 0
+      converged = stable >= stableTicks
     }
     rq.stop()
     spark.streams.removeListener(collector)
     val finalP = rq.getPlan.operators(rq.OperatorName).parallelism
-    val decisions = loop.reports.map(r => "\"" +
-      r.reason.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    f"""{"mode":"streamswitch","offered_rows_per_sec":$rate,"service_rate_per_task":5000,"initial_parallelism":8,"final_parallelism":$finalP,"decisions":$decisions,"run_sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""
+    (finalP, loop.reports.map(_.reason), utils.result(), converged)
+  }
+
+  /** The CLOSED StreamSwitch loop, demonstrated to CONVERGENCE in both
+    * directions: a load phase from an undersized start (p=8 at μ=5k
+    * against the offered rate — the policy must scale out and then go
+    * quiet inside the utilization band), then a drain phase — the same
+    * workload dropping to rate/4 with the query CONTINUING at the load
+    * phase's converged parallelism, where the gated scale-in must fire
+    * and the loop must settle again. */
+  private def runStreamSwitch(spark: SparkSession, rate: Int, nKeys: Int,
+      seconds: Int, tickSec: Int): String = {
+    val t0 = System.nanoTime()
+    val (loadP, loadDecisions, loadUtils, loadConverged) =
+      streamSwitchPhase(spark, rate, nKeys, initialP = 8,
+        seconds = seconds, tickSec = tickSec, stableTicks = 3)
+    val (drainP, drainDecisions, drainUtils, drainConverged) =
+      streamSwitchPhase(spark, rate / 4, nKeys, initialP = loadP,
+        seconds = seconds, tickSec = tickSec, stableTicks = 3)
+    def arr(xs: List[String]) =
+      xs.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    def nums(xs: List[Double]) =
+      xs.map(u => f"$u%.2f").mkString("[", ",", "]")
+    val scaleIns = drainDecisions.count(_.contains("scale-in"))
+    f"""{"mode":"streamswitch","offered_rows_per_sec":$rate,"service_rate_per_task":5000,"load":{"initial_parallelism":8,"final_parallelism":$loadP,"converged":$loadConverged,"max_util_ticks":${nums(loadUtils)},"decisions":${arr(loadDecisions)}},"drain":{"offered_rows_per_sec":${rate / 4},"initial_parallelism":$loadP,"final_parallelism":$drainP,"converged":$drainConverged,"scale_ins":$scaleIns,"max_util_ticks":${nums(drainUtils)},"decisions":${arr(drainDecisions)}},"run_sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""
   }
 
   def main(args: Array[String]): Unit = {

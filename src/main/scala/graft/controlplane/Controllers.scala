@@ -192,6 +192,11 @@ final class StreamSwitchController(operator: String,
   private val rates = new Array[Double](maxParallelism)
   private var settling = 0
 
+  /** Most recent CLEAN-window bottleneck utilization (−1 before the
+    * first): observability for the live bench's convergence check —
+    * settle windows don't update it. */
+  @volatile var lastMaxUtil: Double = -1.0
+
   /** Mark an action applied: the windows that follow it measure the
     * restart's replay burst, not arrival — skip them. */
   private def applied(r: ReconfigReport): Option[ReconfigReport] = {
@@ -221,11 +226,21 @@ final class StreamSwitchController(operator: String,
   override def onProgress(ex: ReconfigurationExecutor,
       p: graft.streaming.Metrics.BatchProgress): Option[ReconfigReport] = {
     if (settling > 0) { settling -= 1; return None } // catch-up burst
-    if (p.durationMs <= 0 || p.rowsPerKeygroup.values.sum == 0) return None
-    val sec = p.durationMs / 1000.0
+    val batchRows = p.rowsPerKeygroup.values.sum
+    if (p.durationMs <= 0 || batchRows == 0) return None
+    // λ estimator: the keygroup distribution comes from the observed
+    // per-keygroup counts; its SCALE comes from the source arrival
+    // rate (rows / wall time since the previous batch) when Spark
+    // reports one. rows/duration is the processing throughput — on a
+    // catch-up batch it measures how fast the backlog drains, not
+    // demand, and an EMA of it walks the policy far past the fixpoint
+    // (a live 60k ev/s run sized to p=30 where 15 was optimal).
+    val perRow =
+      if (p.inputRowsPerSecond > 0) p.inputRowsPerSecond / batchRows
+      else 1000.0 / p.durationMs
     var kg = 0
     while (kg < maxParallelism) {
-      val observed = p.rowsPerKeygroup.getOrElse(kg, 0L) / sec
+      val observed = p.rowsPerKeygroup.getOrElse(kg, 0L) * perRow
       rates(kg) = emaAlpha * observed + (1 - emaAlpha) * rates(kg)
       kg += 1
     }
@@ -237,6 +252,7 @@ final class StreamSwitchController(operator: String,
       lambda(math.min(t, par - 1)) += rates(g)
     }
     val maxUtil = lambda.max / mu
+    lastMaxUtil = maxUtil
     val totalRate = rates.sum
 
     if (maxUtil > targetUtilization) {
@@ -246,25 +262,47 @@ final class StreamSwitchController(operator: String,
         applied(ex.execute(
           f"$name@batch${p.batchId} migrate maxUtil=$maxUtil%.2f"))
       } else if (par < maxTasks) {
-        val (scaled, _) = packByRate(par + 1)
-        ex.assignResources(operator, par + 1)
-        ex.assignWorkload(operator, scaled)
+        // Scale out to the SMALLEST feasible parallelism, not par+1:
+        // the utilization model is global, so the fixpoint a one-step
+        // loop walks to over several restart cycles is computable in
+        // closed form — and every intermediate step costs a live
+        // stop/restart plus a discarded settle window (the r8 live run
+        // spent its whole window walking 8→21 one task at a time).
+        var p2 = par + 1
+        var packed = packByRate(p2)
+        while (packed._2 / mu > targetUtilization && p2 < maxTasks) {
+          p2 += 1
+          packed = packByRate(p2)
+        }
+        ex.assignResources(operator, p2)
+        ex.assignWorkload(operator, packed._1)
         applied(ex.execute(
-          f"$name@batch${p.batchId} scale-out $par->${par + 1} maxUtil=$maxUtil%.2f"))
+          f"$name@batch${p.batchId} scale-out $par->$p2 maxUtil=$maxUtil%.2f"))
       } else None
     } else if (par > 1 && totalRate / (mu * (par - 1)) < scaleInUtilization) {
       // A low MEAN is necessary but not sufficient: one keygroup whose
       // rate alone exceeds targetUtilization·μ makes the packed
-      // bottleneck at p−1 unfixable by migration, and shrinking would
-      // immediately re-trigger scale-out (oscillating stop/restart
-      // every interval). Gate on the same repacked-bottleneck check
-      // the migrate branch uses.
-      val (packed, packedMax) = packByRate(par - 1)
-      if (packedMax / mu <= targetUtilization) {
-        ex.assignResources(operator, par - 1)
-        ex.assignWorkload(operator, packed)
+      // bottleneck at fewer tasks unfixable by migration, and shrinking
+      // would immediately re-trigger scale-out (oscillating
+      // stop/restart every interval). Gate on the same
+      // repacked-bottleneck check the migrate branch uses — and, like
+      // scale-out, jump DIRECTLY to the smallest feasible parallelism
+      // (start the search at the load's utilization-target quotient,
+      // walk up until the pack fits): draining one task per interval
+      // costs a restart each and left a drained 26-task run still at
+      // 22 when the window closed.
+      var p2 = math.max(1,
+        math.ceil(totalRate / (mu * targetUtilization)).toInt)
+      var packed = packByRate(p2)
+      while (packed._2 / mu > targetUtilization && p2 < par - 1) {
+        p2 += 1
+        packed = packByRate(p2)
+      }
+      if (p2 < par && packed._2 / mu <= targetUtilization) {
+        ex.assignResources(operator, p2)
+        ex.assignWorkload(operator, packed._1)
         applied(ex.execute(
-          f"$name@batch${p.batchId} scale-in $par->${par - 1}"))
+          f"$name@batch${p.batchId} scale-in $par->$p2"))
       } else None
     } else None
   }

@@ -39,7 +39,13 @@ object Metrics {
         * which is the explicit marker for "this run's first batch paid
         * checkpoint reload/replay" (batch-id continuity alone misses
         * the committed-boundary case). */
-      runId: String = "")
+      runId: String = "",
+      /** source ARRIVAL rate (rows / wall time since the previous
+        * batch): the λ estimator for scaling policies — rows/duration
+        * is the processing throughput, which overstates demand on
+        * every catch-up batch. −1 when Spark reports none (first batch
+        * of a run). */
+      inputRowsPerSecond: Double = -1.0)
 
   /** Per-keygroup load instrumentation, the analog of the reference's
     * per-key-group rate metrics (KafkaMetricsManager.java:242-250):
@@ -100,7 +106,8 @@ object Metrics {
         p.processedRowsPerSecond, p.batchDuration, kg, latency,
         p.stateOperators.map(_.numRowsTotal).sum,
         p.stateOperators.map(_.memoryUsedBytes).sum,
-        p.runId.toString))
+        p.runId.toString,
+        if (p.inputRowsPerSecond.isNaN) -1.0 else p.inputRowsPerSecond))
     }
   }
 

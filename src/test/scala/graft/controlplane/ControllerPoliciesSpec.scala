@@ -60,12 +60,15 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     val ex = new FakeExecutor(2)
     val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
       emaAlpha = 1.0)
-    // four 60 rows/s groups: any 2-task pack has a ≥120 bottleneck
-    // (util 1.2 > 0.8), so the model must add a task
+    // four 60 rows/s groups: any pack with fewer than 4 tasks doubles
+    // a task up to ≥120 (util 1.2 > 0.8) — the smallest FEASIBLE
+    // parallelism is 4 (one group per task, util 0.6), and the policy
+    // must jump there in ONE decision, not walk 2→3→4 through two
+    // stop/restart cycles
     val r = ctl.onProgress(ex,
       progress(1, Map(0 -> 60L, 1 -> 60L, 2 -> 60L, 64 -> 60L)))
-    assert(r.isDefined && r.get.reason.contains("scale-out"))
-    assert(ex.plan.operators("op").parallelism === 3)
+    assert(r.isDefined && r.get.reason.contains("scale-out 2->4"))
+    assert(ex.plan.operators("op").parallelism === 4)
   }
 
   test("stream-switch scales in when the load fits fewer tasks") {
@@ -74,13 +77,16 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     // decisions on clean steady-state windows (no restart between them)
     val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
       emaAlpha = 1.0, settleBatches = 0)
-    // 20 rows/s total over 3 remaining tasks → util 0.07 < 0.5
+    // 20 rows/s total over 3 remaining tasks → util 0.07 < 0.5; the
+    // smallest feasible parallelism (20 rows/s packs onto one task at
+    // util 0.2 ≤ 0.8) is 1 — the policy jumps straight there instead
+    // of draining one restart per interval
     val r = ctl.onProgress(ex, progress(1, Map(0 -> 10L, 64 -> 10L)))
-    assert(r.isDefined && r.get.reason.contains("scale-in"))
-    assert(ex.plan.operators("op").parallelism === 3)
-    // repeated low load keeps shrinking toward 1
+    assert(r.isDefined && r.get.reason.contains("scale-in 4->1"))
+    assert(ex.plan.operators("op").parallelism === 1)
+    // and holds there: p=1 cannot shrink further
     val r2 = ctl.onProgress(ex, progress(2, Map(0 -> 10L, 64 -> 10L)))
-    assert(r2.isDefined && ex.plan.operators("op").parallelism === 2)
+    assert(r2.isEmpty && ex.plan.operators("op").parallelism === 1)
   }
 
   test("stream-switch never scales in when the shrunk pack would breach target") {
@@ -118,9 +124,9 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
       emaAlpha = 1.0)
     val steady = Map(0 -> 60L, 1 -> 60L, 2 -> 60L, 64 -> 60L)
-    // overload at p=2 (any pack bottlenecks ≥ 120): scale out to 3
+    // overload at p=2: jump to the smallest feasible parallelism (4)
     assert(ctl.onProgress(ex, progress(1, steady)).isDefined)
-    assert(ex.plan.operators("op").parallelism === 3)
+    assert(ex.plan.operators("op").parallelism === 4)
     // the restart replays the downtime backlog: a 10× burst window.
     // The naive estimator read this as demand — walking the live loop
     // to 24 tasks where 15 was optimal — so a post-action window must
@@ -128,17 +134,14 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     // burst never enters the EMA.
     val burst = steady.view.mapValues(_ * 10).toMap
     assert(ctl.onProgress(ex, progress(2, burst)).isEmpty)
-    assert(ex.plan.operators("op").parallelism === 3)
-    // clean window at p=3: 4×60 still packs to a 120 bottleneck → out
-    // to 4 (one step per clean window — steady-state convergence)
-    assert(ctl.onProgress(ex, progress(3, steady)).isDefined)
     assert(ex.plan.operators("op").parallelism === 4)
-    // burst again, discarded again
-    assert(ctl.onProgress(ex, progress(4, burst)).isEmpty)
     // converged: 60 per task at p=4 is util 0.6 ≤ 0.8 and the load
     // does not fit 3 tasks under the scale-in bar — the plan holds,
-    // with no residue of the two bursts
-    assert(ctl.onProgress(ex, progress(5, steady)).isEmpty)
+    // with no residue of the burst
+    assert(ctl.onProgress(ex, progress(3, steady)).isEmpty)
+    assert(ex.plan.operators("op").parallelism === 4)
+    // and the steady load keeps holding the plan still
+    assert(ctl.onProgress(ex, progress(4, steady)).isEmpty)
     assert(ex.plan.operators("op").parallelism === 4)
   }
 
@@ -155,7 +158,7 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     val r = loop.offer(List(
       progress(1, overload), progress(2, overload), progress(3, overload)))
     assert(r.isDefined)
-    assert(ex.plan.operators("op").parallelism === 3)
+    assert(ex.plan.operators("op").parallelism === 4)
     assert(loop.reports.size === 1)
   }
 
