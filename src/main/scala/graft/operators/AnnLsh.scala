@@ -96,8 +96,15 @@ object AnnLsh {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
-    ids.join(broadcast(qv), "qid")
-      .join(cv, "cid")
+    // Verify join orientation: the candidate set is occupancy-bounded
+    // (queries × tables × occupancy — INDEPENDENT of corpus size), so
+    // broadcast it and stream the corpus-side vector table through the
+    // hash join — the corpus never shuffles; the only exchange left is
+    // the window's partition-by-qid over matched candidates. Relying
+    // on AQE to discover this at runtime works at bench scale but is
+    // not guaranteed once the candidate stats pass the adaptive
+    // threshold at 100 TB.
+    cv.join(broadcast(ids.join(broadcast(qv), "qid")), "cid")
       .withColumn("cos",
         dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -253,8 +260,9 @@ object AnnLsh {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
-    ids.join(broadcast(qv), "qid")
-      .join(cv, "cid")
+    // same verify-join orientation as [[annTopK]]: broadcast the
+    // occupancy-bounded candidates, never shuffle the corpus vectors
+    cv.join(broadcast(ids.join(broadcast(qv), "qid")), "cid")
       .withColumn("cos",
         dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
