@@ -46,6 +46,21 @@ object AnnLsh {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Embedding scan spread for the signature kernel: the hyperplane
+    * kernel is ~16 K flops/row (tables × bits × Dim), so the scan
+    * stage it runs in must not be starved of tasks — and a
+    * single-file parquet corpus splits only at row-group boundaries
+    * (the 52 MB sf10 file is 2 row groups → 2 tasks for a 3.3 GFLOP
+    * pass). When the scan's natural parallelism is below the
+    * cluster's, repartition the RAW float rows first (a 52 MB shuffle
+    * buys a 16× wider kernel stage); at real corpus scale the file
+    * count exceeds the parallelism and the gate turns the extra
+    * exchange off. */
+  private def spreadForKernel(s: SparkSession, df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Signature table (vec_id, table, bucket) — one SLIM row per
     * (vector, table): the index the bucket join runs on carries no
     * vector payload, so the join + candidate-dedup shuffles move three
@@ -57,7 +72,8 @@ object AnnLsh {
     * fold, so oracle parity is untouched. */
   def sigTable(s: SparkSession, dir: String, tables: Int, bits: Int)
       : DataFrame =
-    Tables.embeddings(s, dir)
+    spreadForKernel(s, Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"),
         posexplode(lshBuckets(col("v"), tables, bits)).as(Seq("table", "bucket")))
@@ -194,19 +210,28 @@ object AnnLsh {
 
   private def computeNearDupLsh(s: SparkSession, dir: String,
       threshold: Double, tables: Int, width: Int): DataFrame = {
-    // Emit-once bucket join (the simhash band trick): each side's row
-    // carries the FULL bucket signature array, and a colliding pair is
-    // taken only in its FIRST colliding table — every earlier table's
-    // buckets must differ, a pure column predicate on data already in
-    // the row. Same candidate SET as the distinct() this replaces
-    // (measured 62.9M of 63.2M emissions unique at the sf10 corpus —
-    // the distinct deduped 0.4% of rows at the cost of a full
-    // 63M-row shuffle, 12 s of the query's 16).
-    val sigb = Tables.embeddings(s, dir)
+    // Emit-once bucket join (the simhash band trick): a colliding pair
+    // is taken only in its FIRST colliding table — every earlier
+    // table's buckets must differ, a pure column predicate on data
+    // already in the row. Same candidate SET as the distinct() this
+    // replaces (measured 62.9M of 63.2M emissions unique at the sf10
+    // corpus — the distinct deduped 0.4% of rows at the cost of a
+    // full 63M-row shuffle, 12 s of the query's 16). The row for
+    // table t carries only the PREFIX buckets [0, t) the predicate
+    // can ever inspect (slice, mean tables/2 longs instead of all
+    // `tables`) — halves the self-join's shuffle payload. `get` (not
+    // element_at) reads the prefix: 0-based and null past the end,
+    // so the short prefix never trips ANSI bounds checking — the
+    // (a.table <= j) disjunct is already true wherever the null can
+    // appear.
+    val sigb = spreadForKernel(s, Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
       .select(col("vec_id"),
         lshBuckets(asDouble(col("embedding")), tables, width).as("bks"))
-      .select(col("vec_id"), col("bks"),
-        posexplode(col("bks")).as(Seq("table", "bucket")))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("table", "bucket")),
+        col("bks"))
+      .select(col("vec_id"), col("table").cast("int").as("table"),
+        col("bucket"), slice(col("bks"), lit(1), col("table").cast("int")).as("pfx"))
     val ids = sigb.as("a")
       .join(sigb.as("b"),
         col("a.table") === col("b.table") &&
@@ -214,18 +239,38 @@ object AnnLsh {
           col("a.vec_id") < col("b.vec_id") &&
           (0 until tables - 1).map { j =>
             (col("a.table") <= lit(j)) ||
-              (element_at(col("a.bks"), j + 1) =!=
-                element_at(col("b.bks"), j + 1))
+              (get(col("a.pfx"), lit(j)) =!= get(col("b.pfx"), lit(j)))
           }.reduce(_ && _))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-    val vec = vecTable(s, dir)
-    ids
-      .join(vec.select(col("vec_id").as("id1"), col("v").as("v1"),
-        col("norm").as("n1")), "id1")
-      .join(vec.select(col("vec_id").as("id2"), col("v").as("v2"),
-        col("norm").as("n2")), "id2")
+    // Exact verify. The vector side carries the RAW float embedding
+    // (256 B/row) plus its precomputed double norm; the double cast
+    // happens after the join, so payload is half of shipping double[]
+    // while cosines stay bit-identical (float→double is exact, the
+    // dot fold is unchanged). When the whole vector table fits the
+    // gate (default 512 MB of estimated row payload), broadcast both
+    // sides — the 10M-candidate stream then flows through two
+    // broadcast hash joins with ZERO shuffle; past the gate (real
+    // corpus scale) it falls back to the shuffle join, still at float
+    // payload.
+    val vecF = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotProduct(asDouble(col("embedding")),
+          asDouble(col("embedding")))).as("norm"))
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.getOption("spark.graft.neardup.broadcastMaxBytes")
+        .getOrElse("512m"))
+    val estBytes = embeddingCount(s, dir) * (8L + 4L * Dim + 8L + 32L)
+    val e1 = vecF.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("norm").as("n1"))
+    val e2 = vecF.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("norm").as("n2"))
+    val joined =
+      if (estBytes <= maxBytes) ids.join(broadcast(e1), "id1").join(broadcast(e2), "id2")
+      else ids.join(e1, "id1").join(e2, "id2")
+    joined
       .withColumn("cos",
-        dotProduct(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        dotProduct(asDouble(col("e1")), asDouble(col("e2"))) /
+          (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
