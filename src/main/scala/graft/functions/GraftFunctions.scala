@@ -41,22 +41,24 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Whitespace tokenizer shared by the text-analysis operators. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenizer shared by the text-analysis operators — the
+    * native byte-scan kernel ([[HashExpressions.whitespaceTokens]]),
+    * byte-exact to the `split(trim(text), "\\s+")` regex form it
+    * replaced (Java `\s` is six ASCII bytes; spec-pinned equivalence
+    * incl. leading/trailing-empty-field regex semantics). The regex
+    * split was the single hottest scalar in the text family: every
+    * operator tokenizes, and Pattern.split costs ~4 s per corpus pass
+    * at the 500k-doc scale set vs <1 s for the byte scan. */
+  def tokens(text: Column): Column = HashExpressions.whitespaceTokens(text)
 
-  /** Word n-gram shingles (space-joined) from an ALREADY-MATERIALIZED
-    * token array column. Take the tokens from their own projection —
-    * passing `tokens(text)` directly re-evaluates the split inside the
-    * transform lambda once per position (no common-subexpression
-    * elimination inside higher-order functions), turning shingling
-    * O(len²) per document. */
+  /** Word n-gram shingles (space-joined) from a token array column —
+    * the native one-pass kernel ([[HashExpressions.wordShingles]]);
+    * an earlier sequence→transform→slice→concat_ws→filter pipeline
+    * interpreted a lambda and allocated a slice per gram, and this
+    * call sat in the hottest loop of the whole text family (the
+    * bigram/shingle stream is corpus-sized). Byte-identical output. */
   def shinglesOfTokens(toks: Column, n: Int): Column =
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      s => s.isNotNull)
+    HashExpressions.wordShingles(toks, n)
 
   /** Word n-gram shingles of a text column — convenience form; hot
     * paths should project `tokens(text)` first and use

@@ -161,7 +161,7 @@ object EventQueries {
     * Reference: flinkapp/wordcount/StatefulWordCount.java:82-133. */
   def eWordCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("word"))

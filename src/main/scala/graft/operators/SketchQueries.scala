@@ -66,7 +66,7 @@ object SketchQueries {
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wc = Tables.documents(s, dir)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .as[String]
       .mapPartitions { it =>
@@ -226,7 +226,7 @@ object SketchQueries {
     * no second pass, no cross join. */
   def distinctSketch(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .select(explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
     words.select(col("word"),
         (conv(substring(md5(concat(lit("lc:"), col("word")).cast("binary")),

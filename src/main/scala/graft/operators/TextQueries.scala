@@ -129,7 +129,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.documents(s, dir)
       .select(col("source"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("source"))
@@ -199,7 +199,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

@@ -88,6 +88,66 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(viaSql.getLong(0) === 2L)
   }
 
+  /** The one-pass shingle kernel must emit byte-identical arrays to
+    * the built-in sequence→transform→slice→concat_ws→filter pipeline
+    * it replaced, across sizes below/at/above n, empty-string tokens,
+    * and the empty array. */
+  test("word_shingles equals the built-in shingle pipeline") {
+    HashExpressions.registerAll(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "", "déjà", "e f")
+    val rows = (0 until 300).map { _ =>
+      Array.fill(rnd.nextInt(9))(words(rnd.nextInt(words.length)))
+    } :+ Array.empty[String]
+    val df = rows.toDF("toks")
+    def legacy(toks: org.apache.spark.sql.Column, n: Int) =
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull)
+    for (n <- Seq(2, 3, 5)) {
+      val bad = df.select(
+          HashExpressions.wordShingles(col("toks"), n).as("kernel"),
+          legacy(col("toks"), n).as("builtin"))
+        .filter(not(col("kernel") <=> col("builtin")))
+        .count()
+      assert(bad === 0, s"n=$n")
+    }
+    val viaSql = spark.sql(
+      "SELECT word_shingles(array('x','y','z'), 2)").head
+    assert(viaSql.getSeq[String](0) === Seq("x y", "y z"))
+  }
+
+  /** The byte-scan tokenizer must reproduce Java regex
+    * split(trim(s), "\s+") exactly — including the regex's
+    * leading/trailing-empty-field semantics (trim strips only ASCII
+    * 32, so tab/newline at the ends still produce empty fields), the
+    * ""→[""] edge, and multibyte text. */
+  test("ws_tokens equals split(trim(text), regex)") {
+    HashExpressions.registerAll(spark)
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "  ", "a", " a ", "a b", "a  b", "\ta", "a\t", "\t",
+      "a\tb\ncd\fe\rf", " \t a \n b \t ", "déjà vu", "a b",
+      "一 二\t三", "a\r\n\r\nb", "x" * 50)
+    val rnd = new scala.util.Random(11)
+    val chars = "ab \t\n\r\fxé".toCharArray
+    val fuzz = (0 until 300).map(_ =>
+      String.valueOf(Array.fill(rnd.nextInt(24))(chars(rnd.nextInt(chars.length)))))
+    val df = (edges ++ fuzz).toDF("text")
+    val bad = df.select(
+        HashExpressions.whitespaceTokens(col("text")).as("kernel"),
+        split(trim(col("text")), "\\s+").as("regex"))
+      .filter(not(col("kernel") <=> col("regex")))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+    // NBSP ( ) is NOT Java \s — both forms must keep it inside a token
+    val nbsp = spark.sql("SELECT ws_tokens('a b')").head.getSeq[String](0)
+    assert(nbsp === Seq("a b"))
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     HashExpressions.registerAll(spark)
     val e = intercept[Exception] {
