@@ -244,6 +244,77 @@ case class QuantVecSum(
     copy(child = newChild)
 }
 
+/** Static kernel behind [[Sq8Dequant]]. */
+object VectorImpl {
+  /** Affine SQ8 quantize→dequantize of a vector against per-dimension
+    * [min, max] ranges: code = clamp₀²⁵⁵(⌊(x−mn)·256/(mx−mn)⌋) (0 on a
+    * degenerate range), reconstructed to the bucket midpoint
+    * mn + (code+0.5)·(mx−mn)/256 — the exact arithmetic of the
+    * zip_with/element_at Column pipeline it replaces (which
+    * interpreted a lambda and two array probes PER DIMENSION). Reads
+    * FLOAT or DOUBLE input; the float→double cast is exact, matching
+    * the asDouble projection the Column form required. */
+  def sq8Dequant(v: ArrayData, mn: Array[Double], mx: Array[Double],
+      isFloat: Boolean): ArrayData = {
+    val n = math.min(v.numElements(), mn.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val lo = mn(i)
+      val hi = mx(i)
+      val code: Long =
+        if (hi > lo) {
+          val fl = math.floor((x - lo) * 256.0 / (hi - lo)).toLong
+          math.min(255L, math.max(0L, fl))
+        } else 0L
+      out(i) = lo + (code.toDouble + 0.5) * ((hi - lo) / 256.0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** SQ8 quantize→dequantize against per-dimension [min, max] literals —
+  * [[VectorImpl.sq8Dequant]]. Ranges are Seqs (not Arrays) so case-class
+  * equality — and with it expression canonicalization — stays
+  * structural. */
+case class Sq8Dequant(child: Expression, mins: Seq[Double], maxs: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val mnA = mins.toArray
+  @transient private lazy val mxA = maxs.toArray
+  private def isFloat = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def prettyName: String = "sq8_dequant"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        DoubleType | org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got " +
+            other.simpleString)
+    }
+  override def nullSafeEval(v: Any): Any =
+    VectorImpl.sq8Dequant(v.asInstanceOf[ArrayData], mnA, mxA, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mins", mnA, "double[]")
+    val mxRef = ctx.addReferenceObj("maxs", mxA, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorImpl.sq8Dequant(" +
+        s"$c, $mnRef, $mxRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Sq8Dequant =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column form: dot product of two ARRAY<DOUBLE> columns. */
   def arrayDot(a: Column, b: Column): Column =
@@ -266,4 +337,10 @@ object VectorExpressions {
   def sumLookup(idx: Column, weights: Column): Column =
     GraftSqlBridge.column(SumLookup(
       GraftSqlBridge.expression(idx), GraftSqlBridge.expression(weights)))
+
+  /** Column form: SQ8 quantize→dequantize of an ARRAY<FLOAT|DOUBLE>
+    * column against per-dimension [min, max] model literals. */
+  def sq8Dequant(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    GraftSqlBridge.column(Sq8Dequant(
+      GraftSqlBridge.expression(v), mins, maxs))
 }

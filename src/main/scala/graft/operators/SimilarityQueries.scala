@@ -330,20 +330,16 @@ object SimilarityQueries {
         (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
       }
     val (mins, maxs) = stats
-    val mnA = typedlit(mins.toSeq)
-    val mxA = typedlit(maxs.toSeq)
-    // quantize → int8 code → dequantize to the bucket midpoint
-    def dequant(v: Column): Column =
-      zip_with(v, sequence(lit(1), lit(mins.length)), (x, i) => {
-        val mn = element_at(mnA, i)
-        val mx = element_at(mxA, i)
-        val code = when(mx > mn,
-          least(lit(255L), greatest(lit(0L),
-            floor((x - mn) * 256.0 / (mx - mn))))).otherwise(lit(0L))
-        mn + (code.cast("double") + 0.5) * ((mx - mn) / 256.0)
-      })
+    // quantize → int8 code → dequantize to the bucket midpoint — one
+    // native kernel pass per row (graft.functions.Sq8Dequant); an
+    // earlier zip_with/element_at Column pipeline interpreted a lambda
+    // and two array probes per DIMENSION (12.8M interpreted evals at
+    // the 200k-vector scale set) and needed a separate asDouble
+    // projection the kernel's exact float→double read subsumes
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), dequant(asDouble(col("embedding"))).as("v"))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions
+          .sq8Dequant(col("embedding"), mins.toSeq, maxs.toSeq).as("v"))
       .withColumn("norm", l2Norm(col("v")))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))

@@ -148,6 +148,38 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(nbsp === Seq("a b"))
   }
 
+  /** The SQ8 dequant kernel must match the zip_with/element_at Column
+    * pipeline it replaced bit-for-bit, on float input (the stored
+    * embedding type), including clamped out-of-range values and a
+    * degenerate (mx == mn) dimension. */
+  test("sq8_dequant equals the zip_with dequant pipeline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    val rows = (0 until 200).map(_ => Array.fill(dim)(rnd.nextFloat() * 4 - 2))
+    val mins = Array.tabulate(dim)(i => if (i == 3) 1.0 else -1.5)
+    val maxs = Array.tabulate(dim)(i => if (i == 3) 1.0 else 1.5)
+    val mnA = typedlit(mins.toSeq)
+    val mxA = typedlit(maxs.toSeq)
+    def legacy(v: org.apache.spark.sql.Column) =
+      zip_with(v, sequence(lit(1), lit(dim)), (x, i) => {
+        val mn = element_at(mnA, i)
+        val mx = element_at(mxA, i)
+        val code = when(mx > mn,
+          least(lit(255L), greatest(lit(0L),
+            floor((x - mn) * 256.0 / (mx - mn))))).otherwise(lit(0L))
+        mn + (code.cast("double") + 0.5) * ((mx - mn) / 256.0)
+      })
+    val df = rows.toDF("v")
+    val bad = df.select(
+        graft.functions.VectorExpressions
+          .sq8Dequant(col("v"), mins.toSeq, maxs.toSeq).as("kernel"),
+        legacy(transform(col("v"), x => x.cast("double"))).as("builtin"))
+      .filter(not(col("kernel") <=> col("builtin")))
+      .count()
+    assert(bad === 0)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     HashExpressions.registerAll(spark)
     val e = intercept[Exception] {
