@@ -60,9 +60,10 @@ object GraftFunctions {
   def shinglesOfTokens(toks: Column, n: Int): Column =
     HashExpressions.wordShingles(toks, n)
 
-  /** Word n-gram shingles of a text column — convenience form; hot
-    * paths should project `tokens(text)` first and use
-    * [[shinglesOfTokens]] (see its scaladoc). */
+  /** Word n-gram shingles of a text column — convenience form. (With
+    * the native kernels each expression evaluates its child once per
+    * row, so composing tokenize+shingle inline costs the same as
+    * projecting the token array first.) */
   def shingles(text: Column, n: Int): Column =
     shinglesOfTokens(tokens(text), n)
 
