@@ -71,4 +71,26 @@ class AnnLshSpec extends AnyFunSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  /** The near-dup verify join has two physical branches: vector tables
+    * under the size gate are BROADCAST (zero-shuffle verify — the
+    * bench-scale path) and past the gate it falls back to a shuffle
+    * join at the same float payload (the 100 TB path). Both must
+    * verify the same candidates to the same exact cosines — force the
+    * fallback by shrinking the gate to 1 byte. The fallback run uses a
+    * marginally higher threshold: same signature width → identical
+    * candidate set, but a distinct scratch-memo entry, so the shuffle
+    * plan really executes; its output must then equal the broadcast
+    * run's pairs filtered to that threshold. */
+  test("near-dup verify fallback (shuffle join) matches the broadcast path") {
+    val broadcastPairs = AnnLsh.nearDupLsh(spark, dir, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(broadcastPairs.nonEmpty)
+    spark.conf.set("spark.graft.neardup.broadcastMaxBytes", "1")
+    try {
+      val shufflePairs = AnnLsh.nearDupLsh(spark, dir, threshold = 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(shufflePairs === broadcastPairs.filter(_._3 >= 0.45))
+    } finally spark.conf.unset("spark.graft.neardup.broadcastMaxBytes")
+  }
 }
