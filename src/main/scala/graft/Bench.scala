@@ -179,7 +179,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      (name, if (ok && !skipped) sec else if (skipped) Double.NaN else -1.0)
+      // error OUTRANKS skip: if any repeat genuinely failed, the query
+      // reports -1 even when another repeat ended in a designed
+      // refusal — otherwise a transient failure could hide behind the
+      // skip sentinel
+      (name, if (!ok) -1.0 else if (skipped) Double.NaN else sec)
     }
     // Artifact contract: the driver keeps only a short stdout tail, so
     // the LAST line is a compact (<2 KB) self-describing summary —

@@ -181,6 +181,10 @@ object ReconfigBench {
     var seen = 0
     while (!converged && System.nanoTime() < deadline) {
       Thread.sleep(tickSec * 1000L)
+      // read BEFORE the tick: the tick itself decrements the settle
+      // counter, and the tick that takes it 1→0 still reports the
+      // stale pre-action lastMaxUtil
+      val wasSettling = controller.settlingNow
       val acted = loop.tick().isDefined
       val u = controller.lastMaxUtil
       val ps = collector.progresses
@@ -195,9 +199,14 @@ object ReconfigBench {
       // convergence = the policy is quiet AND the measured bottleneck
       // sits inside the utilization band on consecutive clean windows.
       // Ticks with NO fresh progress (a restart recovering, a long
-      // catch-up batch in flight) carry no evidence either way: they
-      // neither advance nor reset the stability count.
-      if (freshN > 0)
+      // catch-up batch in flight) carry no evidence either way, and
+      // neither do ticks inside the controller's post-action settle
+      // window (lastMaxUtil is the STALE pre-action value there — a
+      // scale-in's low pre-action utilization would otherwise count
+      // toward convergence before a single clean window at the new
+      // parallelism was measured): none of these advance or reset the
+      // stability count.
+      if (freshN > 0 && !wasSettling && !controller.settlingNow)
         stable = if (!acted && u >= 0 && u <= 0.8) stable + 1 else 0
       converged = stable >= stableTicks
     }

@@ -51,7 +51,7 @@ object Tables {
         .getFileStatus(path).getModificationTime).getOrElse(0L)
     val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
-      s"${System.identityHashCode(s)}$sane-$stamp"
+      s"${System.identityHashCode(s)}-$sane-$stamp"
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -191,6 +191,10 @@ final class StreamSwitchController(operator: String,
 
   private val rates = new Array[Double](maxParallelism)
   private var settling = 0
+  /** True while post-action catch-up batches are being discarded —
+    * `lastMaxUtil` is STALE (pre-action) during this window, so
+    * convergence detectors must not count it as evidence. */
+  def settlingNow: Boolean = settling > 0
 
   /** Most recent CLEAN-window bottleneck utilization (−1 before the
     * first): observability for the live bench's convergence check —
@@ -235,8 +239,14 @@ final class StreamSwitchController(operator: String,
     // catch-up batch it measures how fast the backlog drains, not
     // demand, and an EMA of it walks the policy far past the fixpoint
     // (a live 60k ev/s run sized to p=30 where 15 was optimal).
+    // inputRowsPerSecond can be Infinity (two triggers starting inside
+    // the same millisecond divide by a 0.0 interval) — one non-finite
+    // sample would poison the EMA permanently (α·x + (1−α)·Inf = Inf),
+    // so fall back to the duration estimate unless the rate is a
+    // finite positive number
     val perRow =
-      if (p.inputRowsPerSecond > 0) p.inputRowsPerSecond / batchRows
+      if (p.inputRowsPerSecond > 0 && !p.inputRowsPerSecond.isInfinite)
+        p.inputRowsPerSecond / batchRows
       else 1000.0 / p.durationMs
     var kg = 0
     while (kg < maxParallelism) {

@@ -725,10 +725,11 @@ object DedupQueries {
       val dfRounds = s.conf.get("spark.graft.cc.dfRounds", "4").toInt
       var cur = inputEdges.select(col("id1"), col("id2"))
       var persisted: Option[DataFrame] = prePersisted
-      // previous round's broadcast min-table: destroyable (driver copy
-      // included) once the round that read it has been superseded —
-      // the live round's broadcast stays recoverable for cache-loss
-      // recompute of its nxt
+      // previous round's broadcast min-table: executor copies are
+      // dropped once the round that read it is superseded, but the
+      // driver copy must survive until the parallelize-backed finish —
+      // cache-loss recompute of the LIVE round's nxt walks the lineage
+      // back through every prior round's broadcast lookup
       var prevBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
       var rounds = 0
       while (rounds < dfRounds) {
@@ -820,15 +821,24 @@ object DedupQueries {
         }
         persisted.foreach(_.unpersist(blocking = false))
         persisted = Some(nxt)
-        // the superseded round's broadcast (its nxt just unpersisted)
-        // can never be needed again — release the driver copy as well
-        prevBc.foreach(_.destroy())
+        // the superseded round's broadcast is still REACHABLE through
+        // the live round's lineage: a lost cached partition of nxt(r)
+        // recomputes through nxt(r-1)'s mapPartitions, which reads
+        // bc(r-1) — destroy() would turn that recompute into a hard
+        // failure, so only drop the executor copies (the driver
+        // re-ships on demand; driver copies are bounded by the ~4
+        // rounds the gate allows and are destroyed in the
+        // parallelize-backed finish path, where nothing can recompute
+        // through them)
+        prevBc.foreach(_.unpersist(blocking = false))
         prevBc = bcOpt
         cur = nxt
       }
       val out = ccStarRddLoop(s, cur, finishThreshold, rounds)
       persisted.foreach(_.unpersist(blocking = false))
-      prevBc.foreach(_.destroy())
+      // same reachability argument: the RDD loop's output may retain
+      // lineage through cur's broadcast-lookup stage
+      prevBc.foreach(_.unpersist(blocking = false))
       out
     } else {
       val out = ccStarRddLoop(s, inputEdges, finishThreshold, 0)

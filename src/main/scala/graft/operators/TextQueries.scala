@@ -466,22 +466,17 @@ object TextQueries {
       // sum is the same order-free integer sum as the exact form, so
       // pruned == exact whenever K covers the corpus (spec-pinned).
       // The unigram table feeds THREE consumers (the lp join, the
-      // backoff model's TakeOrdered, the vocab count): cache it, or
-      // each one re-runs the corpus explode + count. The tokenized
-      // corpus likewise feeds three scans (bigram counts, unigram
-      // counts, the scoring pass) — cache it so the regex tokenize
-      // runs once.
-      val docsC = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val uni2 = docsC.select(explode(col("toks")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      val big2 = docsC.select(explode(shinglesOfTokens(col("toks"), 2)).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("c2"))
-        .withColumn("w1", substring_index(col("g"), " ", 1))
-      val uniC = uni2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val vocabC = uniC.agg(count(lit(1)).as("v"))
-      val bigTop = big2.orderBy(col("c2").desc, col("g")).limit(topK)
-      val lpTop = broadcast(bigTop).join(uniC.withColumnRenamed("w", "w1"), "w1")
-        .crossJoin(broadcast(vocabC))
+      // backoff model's TakeOrdered, the vocab count) and the
+      // tokenized corpus three scans (bigram counts, unigram counts,
+      // the scoring pass) — persist BOTH. persist() registers the
+      // very plans `uni`/`big`/`vocab` above are built from, so the
+      // shared definitions serve the exact branch un-cached and this
+      // branch cached, with no duplicated frame definitions to drift.
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bigTop = big.orderBy(col("c2").desc, col("g")).limit(topK)
+      val lpTop = broadcast(bigTop).join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(broadcast(vocab))
         .select(col("g"),
           floor(lit(1000000.0) *
             log((col("c2").cast("double") + 0.5) /
@@ -489,14 +484,14 @@ object TextQueries {
             .as("lp_scaled"))
       val lpModel = lpTop.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val uniModel = uniC.orderBy(col("c1").desc, col("w")).limit(topK)
+      val uniModel = uni.orderBy(col("c1").desc, col("w")).limit(topK)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val vTotal = vocabC.head().getLong(0)
-      uniC.unpersist(blocking = false)
+      val vTotal = vocab.head().getLong(0)
+      uni.unpersist(blocking = false)
       val lpB = s.sparkContext.broadcast(lpModel)
       val uniB = s.sparkContext.broadcast(uniModel)
       import s.implicits._
-      val scored = docsC.select(col("doc_id"), col("toks"))
+      val scored = docs.select(col("doc_id"), col("toks"))
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val lp = lpB.value
@@ -528,7 +523,7 @@ object TextQueries {
         // collect above), and a lazy return would re-tokenize the
         // corpus on the caller's action after the unpersist below
         .localCheckpoint()
-      docsC.unpersist(blocking = false)
+      docs.unpersist(blocking = false)
       scored.orderBy(col("doc_id"))
     } else {
       val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
@@ -633,35 +628,27 @@ object TextQueries {
       // re-explosion, no scoring-side shuffle. Integer sums, so
       // pruned == exact whenever K covers the vocab (spec-pinned).
       // the tokenized corpus feeds FOUR actions (weight-table collect,
-      // totals, prior, the scoring pass) — cache it so the regex
-      // tokenize runs once, not once per action
-      val docsC = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val toksC = docsC.select(col("doc_id"), col("tgt"),
-        explode(col("toks")).as("w"))
-      val countsC = toksC.groupBy(col("w"))
-        .agg(count(when(col("tgt"), 1)).as("c_t"),
-          count(when(!col("tgt"), 1)).as("c_o"))
-      val totalsC = countsC.agg(sum(col("c_t")).as("nt"),
-        sum(col("c_o")).as("no"), count(lit(1)).as("v"))
-      val priorC = docsC.agg(
-        floor(lit(1000000.0) *
-          log(count(when(col("tgt"), 1)).cast("double") /
-            count(when(!col("tgt"), 1)).cast("double"))).as("prior_scaled"))
-      val wTop = countsC
+      // totals, prior, the scoring pass) — persist it so the tokenize
+      // runs once, not once per action. persist() registers the very
+      // plan `toks`/`counts`/`totals`/`prior` above are built from, so
+      // the shared definitions serve the exact branch un-cached and
+      // this branch cached, with no duplicated frames to drift.
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wTop = counts
         .orderBy((col("c_t") + col("c_o")).desc, col("w")).limit(topK)
-        .crossJoin(broadcast(totalsC))
+        .crossJoin(broadcast(totals))
         .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
       val wModel = wTop.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val t = totalsC.head()
+      val t = totals.head()
       val (nt, no, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
       val backoff = math.floor(1000000.0 *
         (math.log(1.0 / (nt + v).toDouble) -
           math.log(1.0 / (no + v).toDouble))).toLong
-      val priorScaled = priorC.head().getLong(0)
+      val priorScaled = prior.head().getLong(0)
       val wB = s.sparkContext.broadcast(wModel)
       import s.implicits._
-      val scored = docsC.select(col("doc_id"), col("toks"))
+      val scored = docs.select(col("doc_id"), col("toks"))
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val wm = wB.value
@@ -680,7 +667,7 @@ object TextQueries {
         // eager materialization while the corpus cache is live — same
         // contract as the pruned-LM path above
         .localCheckpoint()
-      docsC.unpersist(blocking = false)
+      docs.unpersist(blocking = false)
       scored.orderBy(col("doc_id"))
     } else {
       val w = counts.crossJoin(broadcast(totals))

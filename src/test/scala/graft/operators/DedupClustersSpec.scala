@@ -120,6 +120,17 @@ class DedupClustersSpec extends AnyFunSuite {
             .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         }
         assert(noPre === expected, s"trial $trial (n=$n) no-pre diverged")
+        // and WITHOUT withPureStar: default localEdgeThreshold keeps
+        // the DF large-star rounds in play, and the default (high)
+        // broadcastNodeThreshold selects the broadcast-min-table
+        // lookup branch — the production path for forests above the
+        // driver bound, which no other variant executes (pre-contract
+        // finishes small graphs in phase 0, the join-fallback block
+        // forces the gate to 0, withPureStar skips DF rounds)
+        val bmap = DedupQueries.ccForTest(spark, pairDf, local = false)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(bmap === expected,
+          s"trial $trial (n=$n) broadcast-map path diverged")
       } finally spark.conf.unset("spark.graft.cc.preContract")
     }
   }

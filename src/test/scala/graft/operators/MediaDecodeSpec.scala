@@ -29,4 +29,34 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaPipeline.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
     assert(MediaPipeline.decodeImage(Array.emptyByteArray).isEmpty)
   }
+
+  /** The generic per-partition feature-extraction stage (the batch
+    * shape a real codec/embedder plugs into): one narrow feature row
+    * per payload, deterministic digest = md5 of the payload bytes,
+    * 8-dim feature derived from the digest, payload dropped from the
+    * output schema. */
+  test("extractFeatures batches payloads to narrow deterministic features") {
+    val spark = graft.SparkTestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    val media = MediaPipeline.mediaTable(spark, dir)
+    val feats = MediaPipeline.extractFeatures(media).collect()
+    assert(feats.length === media.count())
+    // narrow frame: no payload column survives
+    assert(!MediaPipeline.extractFeatures(media).schema
+      .fieldNames.contains("payload"))
+    val byId = feats.map(f => f.media_id -> f).toMap
+    media.collect().take(20).foreach { m =>
+      val f = byId(m.media_id)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = md.digest(m.payload).map("%02x".format(_)).mkString
+      assert(f.digest === expect)
+      assert(f.byte_len === m.payload.length.toLong)
+      assert(f.feature.length === 8)
+      assert(f.kind === m.kind)
+    }
+    // deterministic across runs
+    val again = MediaPipeline.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.digest).toMap
+    assert(feats.forall(f => again(f.media_id) == f.digest))
+  }
 }
