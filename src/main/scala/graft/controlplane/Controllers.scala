@@ -185,12 +185,19 @@ final class StreamSwitchController(operator: String,
     emaAlpha: Double = 0.5,
     maxParallelism: Int = 128,
     maxTasks: Int = 32,
-    settleBatches: Int = 1)
+    settleBatches: Int = 1,
+    scaleInConsecutive: Int = 3)
   extends Controller {
   val name = "stream-switch"
 
   private val rates = new Array[Double](maxParallelism)
   private var settling = 0
+  // hysteresis for the shrink direction: scale-in releases resources
+  // and costs a restart to regret, so it must not fire on ONE low
+  // window (a transient EMA dip mid-load measured 0.49 for a single
+  // tick and shrank 22→14, which the very next windows reversed) —
+  // require `scaleInConsecutive` clean qualifying windows in a row
+  private var lowTicks = 0
   /** True while post-action catch-up batches are being discarded —
     * `lastMaxUtil` is STALE (pre-action) during this window, so
     * convergence detectors must not count it as evidence. */
@@ -266,6 +273,7 @@ final class StreamSwitchController(operator: String,
     val totalRate = rates.sum
 
     if (maxUtil > targetUtilization) {
+      lowTicks = 0
       val (migrated, migratedMax) = packByRate(par)
       if (migratedMax / mu <= targetUtilization) {
         ex.assignWorkload(operator, migrated)
@@ -289,32 +297,40 @@ final class StreamSwitchController(operator: String,
         applied(ex.execute(
           f"$name@batch${p.batchId} scale-out $par->$p2 maxUtil=$maxUtil%.2f"))
       } else None
-    } else if (par > 1 && totalRate / (mu * (par - 1)) < scaleInUtilization) {
-      // A low MEAN is necessary but not sufficient: one keygroup whose
-      // rate alone exceeds targetUtilization·μ makes the packed
-      // bottleneck at fewer tasks unfixable by migration, and shrinking
-      // would immediately re-trigger scale-out (oscillating
-      // stop/restart every interval). Gate on the same
-      // repacked-bottleneck check the migrate branch uses — and, like
-      // scale-out, jump DIRECTLY to the smallest feasible parallelism
-      // (start the search at the load's utilization-target quotient,
-      // walk up until the pack fits): draining one task per interval
-      // costs a restart each and left a drained 26-task run still at
-      // 22 when the window closed.
-      var p2 = math.max(1,
-        math.ceil(totalRate / (mu * targetUtilization)).toInt)
-      var packed = packByRate(p2)
-      while (packed._2 / mu > targetUtilization && p2 < par - 1) {
-        p2 += 1
-        packed = packByRate(p2)
-      }
-      if (p2 < par && packed._2 / mu <= targetUtilization) {
-        ex.assignResources(operator, p2)
-        ex.assignWorkload(operator, packed._1)
-        applied(ex.execute(
-          f"$name@batch${p.batchId} scale-in $par->$p2"))
+    } else {
+      val lowMean =
+        par > 1 && totalRate / (mu * (par - 1)) < scaleInUtilization
+      // consecutive means CONSECUTIVE: a window back inside the healthy
+      // band restarts the streak
+      lowTicks = if (lowMean) lowTicks + 1 else 0
+      if (lowMean && lowTicks >= scaleInConsecutive) {
+        // A low MEAN is necessary but not sufficient: one keygroup whose
+        // rate alone exceeds targetUtilization·μ makes the packed
+        // bottleneck at fewer tasks unfixable by migration, and shrinking
+        // would immediately re-trigger scale-out (oscillating
+        // stop/restart every interval). Gate on the same
+        // repacked-bottleneck check the migrate branch uses — and, like
+        // scale-out, jump DIRECTLY to the smallest feasible parallelism
+        // (start the search at the load's utilization-target quotient,
+        // walk up until the pack fits): draining one task per interval
+        // costs a restart each and left a drained 26-task run still at
+        // 22 when the window closed.
+        var p2 = math.max(1,
+          math.ceil(totalRate / (mu * targetUtilization)).toInt)
+        var packed = packByRate(p2)
+        while (packed._2 / mu > targetUtilization && p2 < par - 1) {
+          p2 += 1
+          packed = packByRate(p2)
+        }
+        if (p2 < par && packed._2 / mu <= targetUtilization) {
+          lowTicks = 0
+          ex.assignResources(operator, p2)
+          ex.assignWorkload(operator, packed._1)
+          applied(ex.execute(
+            f"$name@batch${p.batchId} scale-in $par->$p2"))
+        } else None
       } else None
-    } else None
+    }
   }
 }
 

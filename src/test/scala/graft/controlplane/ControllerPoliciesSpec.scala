@@ -80,13 +80,38 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     // 20 rows/s total over 3 remaining tasks → util 0.07 < 0.5; the
     // smallest feasible parallelism (20 rows/s packs onto one task at
     // util 0.2 ≤ 0.8) is 1 — the policy jumps straight there instead
-    // of draining one restart per interval
-    val r = ctl.onProgress(ex, progress(1, Map(0 -> 10L, 64 -> 10L)))
+    // of draining one restart per interval. But shrinking is
+    // HYSTERESIS-gated (scaleInConsecutive = 3 by default): one
+    // transient low window must NOT release resources — a live load
+    // run measured a single 0.49 dip that shrank 22→14 and was
+    // reversed two windows later, costing two restarts for nothing.
+    val low = Map(0 -> 10L, 64 -> 10L)
+    assert(ctl.onProgress(ex, progress(1, low)).isEmpty)
+    assert(ctl.onProgress(ex, progress(2, low)).isEmpty)
+    assert(ex.plan.operators("op").parallelism === 4)
+    val r = ctl.onProgress(ex, progress(3, low))
     assert(r.isDefined && r.get.reason.contains("scale-in 4->1"))
     assert(ex.plan.operators("op").parallelism === 1)
     // and holds there: p=1 cannot shrink further
-    val r2 = ctl.onProgress(ex, progress(2, Map(0 -> 10L, 64 -> 10L)))
+    val r2 = ctl.onProgress(ex, progress(4, low))
     assert(r2.isEmpty && ex.plan.operators("op").parallelism === 1)
+    // a healthy-band window resets the streak: after it, two more low
+    // windows are again not enough... (p=1 can't shrink, so assert via
+    // a fresh controller at p=4)
+    val ex2 = new FakeExecutor(4)
+    val ctl2 = new StreamSwitchController("op", serviceRatePerTask = 100,
+      emaAlpha = 1.0, settleBatches = 0)
+    assert(ctl2.onProgress(ex2, progress(1, low)).isEmpty)
+    assert(ctl2.onProgress(ex2, progress(2, low)).isEmpty)
+    // util 140/300 = 0.47 < 0.5 over p-1? No: healthy window — rates
+    // jump to 70/70, mean over 3 tasks = 140/300 ≈ 0.467 — still low;
+    // use a genuinely in-band load (maxUtil ≤ 0.8, mean ≥ 0.5):
+    assert(ctl2.onProgress(ex2,
+      progress(3, Map(0 -> 80L, 64 -> 80L))).isEmpty)
+    assert(ctl2.onProgress(ex2, progress(4, low)).isEmpty)
+    assert(ctl2.onProgress(ex2, progress(5, low)).isEmpty)
+    assert(ex2.plan.operators("op").parallelism === 4)
+    assert(ctl2.onProgress(ex2, progress(6, low)).isDefined)
   }
 
   test("stream-switch never scales in when the shrunk pack would breach target") {
@@ -101,12 +126,14 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     val ctl = new StreamSwitchController("op", serviceRatePerTask = 100,
       emaAlpha = 1.0)
     val load = (0 until 10).map(i => i * 13 -> 44L).toMap
-    val r = ctl.onProgress(ex, progress(1, load))
-    assert(r.isEmpty)
-    assert(ex.plan.operators("op").parallelism === 10)
-    // and the refusal is stable: the same load never flaps the plan
-    val r2 = ctl.onProgress(ex, progress(2, load))
-    assert(r2.isEmpty && ex.plan.operators("op").parallelism === 10)
+    // run PAST the scale-in hysteresis (3 consecutive low windows) so
+    // the refusal under test is the packed-bottleneck gate itself, not
+    // the streak counter
+    for (b <- 1 to 5) {
+      val r = ctl.onProgress(ex, progress(b, load))
+      assert(r.isEmpty, s"batch $b")
+      assert(ex.plan.operators("op").parallelism === 10, s"batch $b")
+    }
   }
 
   test("stream-switch holds steady inside the utilization band") {
