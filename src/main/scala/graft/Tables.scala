@@ -73,7 +73,14 @@ object Tables {
     * Branch on the loaded type so either vintage of the file works. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    tsShim(load(s, d, "events"))
+  }
+
+  /** The vintage shim itself, shared by the batch loader above and the
+    * streaming reader (`EventStream.readStream`) so a future vintage
+    * fix cannot land on one side only and silently desync the
+    * batch/stream parity tests. */
+  def tsShim(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -82,7 +89,6 @@ object Tables {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

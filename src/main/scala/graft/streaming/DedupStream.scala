@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Streaming forms of the exact-dedup operator: the corpus arrives as
   * a stream and each content digest is emitted once — the ingestion
@@ -18,18 +17,16 @@ import org.apache.spark.sql.types._
   */
 object DedupStream {
 
-  private val docSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** File-replay stream of the documents table (staged via
-    * [[ReplayStaging]], cleaned up at JVM shutdown). */
+    * [[ReplayStaging]], cleaned up at JVM shutdown). The streaming
+    * schema comes from a batch peek at the file — the same
+    * vintage-adaptive pattern as [[EventStream.readStream]] — rather
+    * than a hand-written StructType that would silently drift from
+    * the generator (exactly how the events.ts vintage change broke
+    * r7's hardcoded shim). */
   def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(docSchema)
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(ReplayStaging.stage(s"$dir/documents.parquet"))
 

@@ -27,15 +27,10 @@ object EventStream {
       .schema(fileSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(ReplayStaging.stage(s"$dir/events.parquet"))
-    fileSchema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        // timestamp[us] without tz loads as NTZ; watermarks need
-        // TIMESTAMP — cast preserves the instant (sessions run UTC)
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    // ONE shim for both readers: the batch loader and this streaming
+    // reader must stay vintage-for-vintage identical or the
+    // batch/stream parity tests compare different instants
+    graft.Tables.tsShim(raw)
   }
 
   /** Streaming hourly tumbling counts (Q5 analog) with a watermark;

@@ -34,7 +34,10 @@ object ReplayStaging {
     * per-JVM staging root; returns the directory path to hand to
     * `readStream.parquet(...)`. */
   def stage(file: String): String = {
-    val src = Paths.get(file)
+    // absolutize BEFORE linking: a relative `file` would be written
+    // into the symlink verbatim and resolve against the STAGING dir,
+    // not the caller's cwd — a dangling link the stream fails on
+    val src = Paths.get(file).toAbsolutePath.normalize
     val dir = Files.createDirectories(
       root.resolve(s"s${counter.getAndIncrement()}"))
     Files.createSymbolicLink(dir.resolve(src.getFileName), src)
