@@ -187,12 +187,12 @@ object ReconfigBench {
       val wasSettling = controller.settlingNow
       val acted = loop.tick().isDefined
       val u = controller.lastMaxUtil
-      val ps = collector.progresses
-      val freshN = ps.size - seen
-      seen = ps.size
+      val freshPs = collector.progressesFrom(seen)
+      val freshN = freshPs.size
+      seen += freshN
       if (sys.env.contains("GRAFT_SS_DEBUG"))
         System.err.println(s"[ss] tick fresh=$freshN " +
-          ps.takeRight(freshN).map(p => s"b${p.batchId}:" +
+          freshPs.map(p => s"b${p.batchId}:" +
             s"rows=${p.numInputRows}:inRps=${p.inputRowsPerSecond.toInt}:" +
             s"dur=${p.durationMs}").mkString(" "))
       if (u >= 0) utils += u

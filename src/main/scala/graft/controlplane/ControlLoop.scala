@@ -33,9 +33,9 @@ final class ControlLoop(
     * feeding them forward let a single tick chain several stale-data
     * reconfigurations back to back. */
   def tick(): Option[ReconfigReport] = {
-    val ps = collector.progresses
-    val fresh = ps.drop(consumed)
-    consumed = ps.size
+    // page the tail — never re-copy the whole history per tick
+    val fresh = collector.progressesFrom(consumed)
+    consumed += fresh.size
     offer(fresh)
   }
 

@@ -40,10 +40,16 @@ final class TestingController(
   extends Controller {
   val name = "testing"
   private val pending = mutable.Queue(script.sortBy(_._1): _*)
+  // monotonic observed-batch clock: Spark batch ids RESTART at 0 after
+  // every non-routing reconfiguration (each generation is a fresh
+  // checkpoint), so a script keyed on the raw batchId would fire its
+  // later entries ~N batches late after a reconfig at old-gen batch N
+  private var seen = 0L
 
   def onBatch(executor: ReconfigurationExecutor, batchId: Long,
       m: Map[Int, Long]): Option[ReconfigReport] = {
-    if (pending.nonEmpty && batchId >= pending.head._1) {
+    seen += 1
+    if (pending.nonEmpty && seen - 1 >= pending.head._1) {
       val (_, action) = pending.dequeue()
       action(executor)
       Some(executor.execute(s"$name@batch$batchId"))
@@ -59,12 +65,18 @@ final class PeriodicReconfigController(operator: String,
     everyNBatches: Long, maxParallelism: Int = 128)
   extends Controller {
   val name = "performance-evaluator"
-  private var last = -1L
+  // monotonic observed-batch clock, NOT the raw batchId: ids restart
+  // at 0 after every non-routing reconfig (fresh checkpoint per
+  // generation), so `batchId - last` would grow the firing period by
+  // ~N extra batches after every reconfig at old-generation batch N
+  private var seen = 0L
+  private var lastFire = 0L
 
   def onBatch(executor: ReconfigurationExecutor, batchId: Long,
       m: Map[Int, Long]): Option[ReconfigReport] = {
-    if (batchId == 0 || batchId - last < everyNBatches) return None
-    last = batchId
+    seen += 1
+    if (seen - lastFire < everyNBatches) return None
+    lastFire = seen
     val p = executor.getPlan.operators(operator).parallelism
     executor.assignWorkload(operator,
       KeygroupRouter.roundRobin(maxParallelism, p))
@@ -336,8 +348,12 @@ final class StreamSwitchController(operator: String,
 
 /** Load-balancing policy in the spirit of StreamSwitch: if the hottest
   * task carries more than `imbalanceFactor` × the mean keygroup load,
-  * remap keygroups to tasks by greedy bin packing of observed rates. */
-final class LoadBalanceController(operator: String, parallelism: Int,
+  * remap keygroups to tasks by greedy bin packing of observed rates.
+  * Packs onto the PLAN's current parallelism (read per decision, never
+  * a constructor constant): after any rescale a stale fixed count
+  * would assign keygroups to tasks the routing layer clamps onto the
+  * last partition — the opposite of balancing. */
+final class LoadBalanceController(operator: String,
     maxParallelism: Int = 128, imbalanceFactor: Double = 1.5)
   extends Controller {
   val name = "load-balance"
@@ -359,8 +375,8 @@ final class LoadBalanceController(operator: String, parallelism: Int,
     if (hottest <= imbalanceFactor * mean) return None
 
     // greedy rebalance: sort keygroups by observed load desc, assign
-    // each to the currently lightest task
-    val loads = Array.fill(parallelism)(0L)
+    // each to the currently lightest task (of the plan's CURRENT count)
+    val loads = Array.fill(desc.parallelism)(0L)
     val newAssign = new Array[Int](maxParallelism)
     val byLoad = (0 until maxParallelism)
       .sortBy(kg => -rowsPerKeygroup.getOrElse(kg, 0L))

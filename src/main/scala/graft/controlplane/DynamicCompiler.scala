@@ -194,8 +194,15 @@ object DynamicCompiler {
       s"count logic '$name' was already shipped; executor-side " +
         "classloaders cache the first-loaded class, so submit " +
         "changed logic under a NEW name and assignExecutionLogic to it")
-    val jar = compileCountLogicJar(name, source)
-    sc.addJar(jar.toString)
+    // the name is claimed only while the compile+ship below succeeds:
+    // a failed submission (typo in the source, compile error) must not
+    // burn the name for the life of the JVM — nothing reached the
+    // executors, so a corrected resubmission is safe
+    val jar =
+      try compileCountLogicJar(name, source)
+      catch { case e: Throwable => shippedNames.remove(name); throw e }
+    try sc.addJar(jar.toString)
+    catch { case e: Throwable => shippedNames.remove(name); throw e }
     val loader = new java.net.URLClassLoader(
       Array(jar.toUri.toURL), getClass.getClassLoader)
     val fn =

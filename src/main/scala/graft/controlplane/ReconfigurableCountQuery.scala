@@ -36,6 +36,11 @@ case class CountState(count: Long, payload: Array[Byte] = Array.empty)
   * rebuild is O(total rows) per batch: a test/debug harness sink, not
   * a production sink (production pipelines write to real sinks). */
 object ReconfigurableCountQuery {
+  /** Serializes the session-conf-set → writeStream.start() window in
+    * [[ReconfigurableCountQuery.start]] across pipelines sharing one
+    * SparkSession. */
+  private[controlplane] val startLock = new Object
+
   private val sinks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentLinkedQueue[KeyedTuple]]()
 
@@ -251,11 +256,17 @@ final class ReconfigurableCountQuery(
     * `AssignedKeyGroupStreamPartitioner.java:33-81` — a remap staged
     * via `assignWorkload` changes where records are processed in the
     * next generation, observable through [[PlacementObserver]]). */
-  def start(): Unit = {
+  def start(): Unit = ReconfigurableCountQuery.startLock.synchronized {
     val desc = plan.operators(OperatorName)
     val logicName = desc.udfName
     // pinned state layout (Flink keygroup model) or legacy follow-the-
-    // parallelism; the routed map stage below always uses parallelism
+    // parallelism; the routed map stage below always uses parallelism.
+    // shuffle.partitions is SESSION-scoped and read when the stream
+    // materializes at writeStream.start() below — two pipelines
+    // sharing one session (the sink-buffer design supports that) could
+    // otherwise interleave set→start windows and bucket one pipeline's
+    // state under the other's partition count, so the whole
+    // conf-set→start sequence is serialized JVM-wide
     spark.conf.set("spark.sql.shuffle.partitions",
       statePartitions.getOrElse(desc.parallelism))
     val observed = graft.streaming.Metrics
@@ -364,10 +375,18 @@ final class ReconfigurableCountQuery(
   /** Apply staged changes: the four primitives at the batch boundary. */
   override def execute(reason: String): ReconfigReport = {
     val before = plan
+    // A controller may re-stage an assignment identical to the running
+    // plan (a periodic round-robin at unchanged parallelism, a greedy
+    // pack that reproduces the current layout). Applying it would
+    // stop/restart the query for nothing — and the old
+    // require(staged != plan) here THREW in that case, killing the
+    // control loop's ticking thread on a built-in controller's second
+    // fire. Report a zero-phase no-op instead.
+    if (staged == plan)
+      return ReconfigReport(reason + " [no-op: staged == running plan]",
+        Map.empty, before, plan)
     var routingOnly = false
     profiler.time("prepare") {
-      // diff is trivial here: staged vs running descriptor
-      require(staged != plan || initState.isEmpty, "nothing staged")
       val (s, p) = (staged.operators(OperatorName), plan.operators(OperatorName))
       // the checkpoint can be resumed whenever the keyed-state layout
       // is unchanged: always true with a pinned statePartitions (remap,

@@ -39,7 +39,12 @@ object Order {
       orderNo = f(0),
       tranMaintCode = f(1),
       lastUpdTime = f(2),
-      orderPriceCents = (f(3).toDouble * 100).toInt,
+      // round, don't truncate: decimal price strings are not exactly
+      // representable as doubles ("10.97".toDouble * 100 =
+      // 1096.999…, truncating to 1096 — one cent off the written
+      // price); rounding recovers the intended cents for every
+      // 2-decimal string
+      orderPriceCents = math.round(f(3).toDouble * 100).toInt,
       orderExecVol = if (f(4).isEmpty) 0 else f(4).toDouble.toInt,
       orderVol = if (f(5).isEmpty) 0 else f(5).toDouble.toInt,
       secCode = f(6),

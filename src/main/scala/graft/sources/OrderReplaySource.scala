@@ -53,7 +53,11 @@ object OrderReplaySource {
         val hh = if (pre) "09:10" else "09:30"
         val time = f"$hh:${i % 60}%02d"
         val dir = if (i % 2 == 0) "B" else "S"
-        val price = (mid + (if (dir == "B") -(i % 7) else i % 5)) / 100.0
+        // write cents as an exact 2-decimal string: a double division
+        // (cents / 100.0) stringifies to values the cents conversion
+        // in Order.parse could round differently than intended
+        val cents = mid + (if (dir == "B") -(i % 7) else i % 5)
+        val price = f"${cents / 100}.${cents % 100}%02d"
         val vol = 10 + (i % 9) * 10
         if (i % 17 == 0 && i > 0) {
           // delete the previous order (price 0 ⇒ full-side scan path)

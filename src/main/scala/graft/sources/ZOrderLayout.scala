@@ -28,6 +28,13 @@ object ZOrderLayout {
     * and the curve degenerates to a linear sort on the wide key.
     * `aBits`/`bBits` are the keys' domain widths (⌈log2 max⌉). */
   def zValue(a: Column, b: Column, aBits: Int, bBits: Int): Column = {
+    // Java shift distances wrap mod 64: widths summing past 63 would
+    // SILENTLY fold high interleaved bits onto low positions and the
+    // layout would prune on neither dimension — fail loudly instead
+    require(aBits > 0 && bBits > 0 && aBits + bBits <= 63,
+      s"zValue needs positive widths with aBits + bBits <= 63 " +
+        s"(got $aBits + $bBits): a 64-bit long cannot hold the " +
+        "interleaved value and shiftleft wraps mod 64")
     var pos = aBits + bBits
     val terms = Seq.newBuilder[Column]
     // pair by RELATIVE significance (i-th most significant bit of each

@@ -76,8 +76,21 @@ object Metrics {
 
   /** Collects per-batch progress — the MetricsManager analog. */
   final class ProgressCollector extends StreamingQueryListener {
-    private val buf = new ConcurrentLinkedQueue[BatchProgress]()
-    def progresses: List[BatchProgress] = buf.asScala.toList
+    // indexed buffer (not a linked queue): pollers page the TAIL via
+    // progressesFrom in O(new records), where repeatedly copying/
+    // dropping a linked history was O(history) per tick — O(n²)
+    // cumulative for a long-lived control loop
+    private val buf = scala.collection.mutable.ArrayBuffer[BatchProgress]()
+    def progresses: List[BatchProgress] = buf.synchronized { buf.toList }
+    /** Number of records collected so far — the paging cursor for
+      * [[progressesFrom]]. */
+    def size: Int = buf.synchronized { buf.length }
+    /** The records from index `from` (inclusive). */
+    def progressesFrom(from: Int): List[BatchProgress] =
+      buf.synchronized {
+        if (from >= buf.length) Nil
+        else buf.view.slice(from, buf.length).toList
+      }
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -102,12 +115,13 @@ object Metrics {
             p.batchDuration
           endMs - maxTsMs
         }
-      buf.add(BatchProgress(p.batchId, p.numInputRows,
+      val bp = BatchProgress(p.batchId, p.numInputRows,
         p.processedRowsPerSecond, p.batchDuration, kg, latency,
         p.stateOperators.map(_.numRowsTotal).sum,
         p.stateOperators.map(_.memoryUsedBytes).sum,
         p.runId.toString,
-        if (p.inputRowsPerSecond.isNaN) -1.0 else p.inputRowsPerSecond))
+        if (p.inputRowsPerSecond.isNaN) -1.0 else p.inputRowsPerSecond)
+      buf.synchronized { buf += bp }
     }
   }
 

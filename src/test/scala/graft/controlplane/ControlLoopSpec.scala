@@ -30,8 +30,7 @@ class ControlLoopSpec extends AnyFunSuite {
     spark.streams.addListener(collector)
     try {
       rq.start()
-      val controller = new LoadBalanceController(rq.OperatorName,
-        parallelism = 2)
+      val controller = new LoadBalanceController(rq.OperatorName)
       val loop = new ControlLoop(rq, controller, collector)
 
       // phase 1: heavy skew on one key + a thin tail

@@ -99,7 +99,7 @@ class ControllerEndpointSpec extends AnyFunSuite {
   test("controller registration and plan inspection over REST") {
     val endpoint = new ControllerEndpoint(executor,
       Map("dummy" -> (() => new DummyController),
-        "load-balance" -> (() => new LoadBalanceController("op", 4))),
+        "load-balance" -> (() => new LoadBalanceController("op"))),
       port = 0) // ephemeral port for the test; 8520 in production
     val port = endpoint.start()
     try {

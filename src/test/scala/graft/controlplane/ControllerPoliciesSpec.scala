@@ -28,10 +28,18 @@ class ControllerPoliciesSpec extends AnyFunSuite {
   test("periodic controller fires every N batches with round-robin remap") {
     val ex = new FakeExecutor(4)
     val ctl = new PeriodicReconfigController("op", everyNBatches = 3)
-    assert(ctl.onBatch(ex, 0, Map.empty).isEmpty) // never at batch 0
-    assert(ctl.onBatch(ex, 2, Map.empty).isDefined) // -1 -> 2 ≥ 3? 2-(-1)=3 ✓
-    assert(ctl.onBatch(ex, 3, Map.empty).isEmpty) // only 1 since last
-    assert(ctl.onBatch(ex, 5, Map.empty).isDefined)
+    // the controller keeps its own monotonic observed-batch clock —
+    // one onBatch call per progress — because Spark batch ids RESTART
+    // at 0 after every non-routing reconfig
+    assert(ctl.onBatch(ex, 0, Map.empty).isEmpty) // 1 observed
+    assert(ctl.onBatch(ex, 1, Map.empty).isEmpty) // 2 observed
+    assert(ctl.onBatch(ex, 2, Map.empty).isDefined) // 3 observed: fires
+    // batch ids restart after the reconfig (new generation, new
+    // checkpoint): the period must stay N, never stall for the
+    // pre-restart id range
+    assert(ctl.onBatch(ex, 0, Map.empty).isEmpty)
+    assert(ctl.onBatch(ex, 1, Map.empty).isEmpty)
+    assert(ctl.onBatch(ex, 2, Map.empty).isDefined)
     assert(ex.plan.operators("op").keygroupAssignment ===
       KeygroupRouter.roundRobin(128, 4))
   }

@@ -44,7 +44,7 @@ class KeygroupRouterSpec extends AnyFunSuite {
         ReconfigReport(reason, Map.empty, plan, plan)
       }
     }
-    val ctl = new LoadBalanceController("op", parallelism = 2)
+    val ctl = new LoadBalanceController("op")
     // keygroup 0 is hot: 1000 rows; everything else 1 row
     val load = Map(0 -> 1000L) ++ (1 until 128).map(_ -> 1L).toMap
     val r = ctl.onBatch(exec, 0L, load)
