@@ -189,19 +189,36 @@ object Bench {
     // the LAST line is a compact (<2 KB) self-describing summary —
     // total, count, per-family sums, worst-5, skips/errors, and the
     // path of the full per-query record this main also writes.
-    def j(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
+    // Locale-pinned number formatting: the f interpolator uses the
+    // JVM's default locale, and a comma-decimal locale (de_DE, fr_FR)
+    // would render {"value":1,234} — invalid JSON, losing the round's
+    // bench record to the driver's parse.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def j(v: Double): String = if (v.isNaN) "null" else num(v)
+    // JSON string escape (same contract as Verify's): env-supplied
+    // paths and builder-authored names must never break the artifact
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val measured = results.filter(r => !r._2.isNaN && r._2 >= 0)
     val skippedNames = results.filter(_._2.isNaN).map(_._1)
     val errorNames = results.filter(_._2 == -1.0).map(_._1)
     val total = measured.map(_._2).sum
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + j(v) }
+    val qs = results.map { case (k, v) => q(k) + ":" + j(v) }
       .mkString("{", ",", "}")
-    val arr = (xs: Seq[String]) => xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val arr = (xs: Seq[String]) => xs.map(q).mkString("[", ",", "]")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+        s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},"sf":${q(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -213,13 +230,13 @@ object Bench {
     }
     val fams = measured.groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(-_._2)
-      .map { case (f, v) => "\"" + f + "\":" + j(v) }.mkString("{", ",", "}")
+      .map { case (f, v) => q(f) + ":" + j(v) }.mkString("{", ",", "}")
     val worst = measured.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => q(k) + ":" + j(v) }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${measured.size},""" +
-        f""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
-        f""""errors":${arr(errorNames)},"full":"$fullPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${measured.size},""" +
+        s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
+        s""""errors":${arr(errorNames)},"full":${q(fullPath)},"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

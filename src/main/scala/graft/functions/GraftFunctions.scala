@@ -23,9 +23,11 @@ object GraftFunctions {
     pmod(hash(key), lit(maxParallelism))
 
   /** Contiguous range assignment of key-groups to `parallelism` operator
-    * instances (KeyGroupRangeAssignment.computeOperatorIndexForKeyGroup). */
+    * instances (KeyGroupRangeAssignment.computeOperatorIndexForKeyGroup).
+    * INTEGER division (`div`), not Column `/` — the latter is double
+    * division and would yield fractional "task indices". */
   def keygroupToTask(kg: Column, maxParallelism: Int, parallelism: Int): Column =
-    (kg * parallelism) / maxParallelism
+    floor((kg * parallelism) / maxParallelism).cast("int")
 
   /** Dot product of two equal-length ARRAY<DOUBLE> columns, accumulated
     * left-to-right in double (deterministic order ⇒ reproducible to the
@@ -67,13 +69,15 @@ object GraftFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesOfTokens(tokens(text), n)
 
-  /** Register SQL-callable forms for spark.sql users. */
+  /** Register SQL-callable forms for spark.sql users. The scalar
+    * `keygroup` UDF delegates to the control plane's ONE scalar
+    * implementation (`KeygroupRouter.keygroup`, string-byte Murmur3 —
+    * what the live pipelines route with), so a SQL caller can never
+    * get assignments that disagree with the control plane. An earlier
+    * version here hand-rolled Murmur3-of-Long, which hashes a numeric
+    * key differently from the router's UTF-8-byte form. */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("keygroup", (k: Long, n: Int) => {
-      // mirror pmod(hash, n) — driver-side scalar convenience only
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashLong(k, 42)
-      ((h % n) + n) % n
-    })
+    spark.udf.register("keygroup",
+      (k: String, n: Int) => graft.controlplane.KeygroupRouter.keygroup(k, n))
   }
 }

@@ -22,7 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashImpl {
 
-  private def md5: MessageDigest = MessageDigest.getInstance("MD5")
+  // per-thread digest instance: getInstance runs a JCA provider lookup
+  // plus an allocation, and every kernel here calls `md5` once per ROW
+  // on the hottest corpus-pass paths (for bloomBits the lookup is a
+  // comparable fraction of the whole row cost). MessageDigest is not
+  // thread-safe but kernels run on task threads — a ThreadLocal with
+  // reset() is exactly the right sharing.
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  private def md5: MessageDigest = {
+    val d = md5Local.get()
+    d.reset()
+    d
+  }
 
   /** 64-bit SimHash of the DISTINCT tokens in `toks`, packed as
     * [hi, lo] 32-bit halves.
@@ -113,9 +127,20 @@ object HashImpl {
     * keys of ((2i+1)·(kh >> 28) + 0x9e3779b9 + i·0x85ebca6b) mod 2³²
     * — the universal hash family of the MinHash operator (operands
     * stay < 2⁶³, so plain long arithmetic is exact).
-    */
+    *
+    * REFUSES the empty key set: min over nothing would yield the
+    * Long.MaxValue sentinel in every slot, so every shingle-less doc
+    * would share ONE degenerate signature — all of them colliding
+    * into a single LSH band bucket and blowing the candidate join up
+    * quadratically. The operators filter `n_sh > 0` before banding;
+    * an unguarded SQL caller gets this loud error instead of the
+    * silent blow-up. */
   def minhashSig(khs: ArrayData, numHashes: Int): ArrayData = {
     val n = khs.numElements()
+    if (n == 0) throw new IllegalArgumentException(
+      "minhash_sig of an EMPTY key set is undefined (every empty doc " +
+        "would share one degenerate signature and collide into a " +
+        "single LSH bucket) — filter size(keys) > 0 before signing")
     val out = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
@@ -372,6 +397,13 @@ object HashImpl {
   * ARRAY-kernel base class. */
 case class BloomBitPositions(child: Expression, k: Int, m: Int)
   extends UnaryExpression {
+  // the kernel slices k consecutive 4-byte windows of ONE 16-byte md5
+  // digest: k > 4 would read past the digest (task-killing AIOOBE at
+  // runtime) — fail at construction with the contract instead
+  require(k >= 1 && k <= 4,
+    s"bloom_bits supports 1..4 hash functions per digest (got k=$k); " +
+      "derive additional salted digests for more")
+  require(m >= 1, s"bloom_bits needs a positive bit-space size, got m=$m")
   override def prettyName: String = "bloom_bits"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

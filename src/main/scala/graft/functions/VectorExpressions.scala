@@ -5,7 +5,26 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Analysis-time input validation shared by the binary array kernels:
+  * a wrong-typed argument from `spark.sql` (these are registered as
+  * SQL functions) must fail with a datatype-mismatch message, never a
+  * runtime ClassCastException — or worse, a silent garbage read
+  * (`getDouble` on 4-byte INT slots of an UnsafeArrayData returns
+  * wrong bytes without throwing). Same contract as
+  * [[HashKernelExpression]]. */
+private[functions] object VectorTypeChecks {
+  def twoArrays(fn: String, elem: DataType, l: DataType, r: DataType)
+      : TypeCheckResult = (l, r) match {
+    case (ArrayType(le, _), ArrayType(re, _)) if le == elem && re == elem =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires two ARRAY<${elem.simpleString}> inputs, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+}
 
 /** Native Catalyst expression for the similarity-search hot path.
   *
@@ -23,6 +42,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.twoArrays(prettyName, DoubleType,
+      left.dataType, right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,6 +91,9 @@ case class QuantSquaredL2(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "quant_l2sq"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.twoArrays(prettyName, LongType,
+      left.dataType, right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -120,6 +145,9 @@ case class SumLookup(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sum_lookup"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.twoArrays(prettyName, LongType,
+      left.dataType, right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val idx = a.asInstanceOf[ArrayData]
@@ -186,6 +214,17 @@ case class QuantVecSum(
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  // only FLOAT and DOUBLE elements have a defined read below — any
+  // other element type (e.g. ARRAY<INT>) would take the getDouble
+  // branch and silently read garbage bytes from the unsafe buffer
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got " +
+          other.simpleString)
+    }
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
