@@ -53,6 +53,12 @@ object BpeTrainer {
   def initialVocab(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("word"))
+      // the tokenizer can emit "" (regex split keeps leading/trailing
+      // empty fields for non-space whitespace at the text's ends), and
+      // sequence(1, 0) defaults to a DESCENDING step — an empty word
+      // would symbolize to ["", ""] and feed a phantom ("","") pair
+      // into every training round's counts
+      .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("wn"))
       .select(col("word"), col("wn"),
         expr("transform(sequence(1, char_length(word))," +

@@ -120,9 +120,16 @@ object DedupQueries {
     // (numerically) sorted array — a slice, no window sort needed
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * lit(0.7)) + 1)
       .cast("int")
+    // `get` (0-based, null past the end), NOT element_at: under Spark
+    // 4's default ANSI mode element_at([], 1) THROWS, and a sub-n-token
+    // doc has an empty shingle array with prefixLen = 1 — the
+    // projection evaluates maxpref even though the adjacent explode
+    // emits no row for it. A null maxpref on an empty array is inert
+    // (no exploded rows ⇒ no candidates). Same pattern as the AnnLsh
+    // emit-once prefix read.
     val prefix = docs.select(col("doc_id"), col("n_sh"),
       prefixLen.as("p"),
-      element_at(col("khs"), prefixLen).as("maxpref"),
+      get(col("khs"), prefixLen - 1).as("maxpref"),
       explode(slice(col("khs"), lit(1), prefixLen)).as("kh"))
     // Common-prefix-count upper bound (the PPJoin family's strongest
     // exact filter, and the one that matters on templated corpora):
@@ -691,12 +698,19 @@ object DedupQueries {
       val oldCost = s.conf.get("spark.sql.files.openCostInBytes", "4194304")
       s.conf.set("spark.sql.files.maxPartitionBytes", "1m")
       s.conf.set("spark.sql.files.openCostInBytes", "0")
-      val fc =
-        try forest.count()
+      // confs are read when the PHYSICAL plan is built — force that
+      // (queryExecution.toRdd) inside the narrow window and restore
+      // the session confs BEFORE the job runs, so the milliseconds of
+      // plan-building are the only time a concurrently-planned query
+      // in this shared session could pick up the 1 MB splits (the old
+      // form held the narrowed confs for the whole multi-second count)
+      val planned =
+        try forest.queryExecution.toRdd
         finally {
           s.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
           s.conf.set("spark.sql.files.openCostInBytes", oldCost)
         }
+      val fc = planned.count()
       System.err.println(
         f"[graft] cc pre-contract: $fc forest edges in " +
           f"${(System.nanoTime() - tp) / 1e9}%.2f s")

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  StringType, StructField, StructType}
 
 import graft.Tables
 import graft.model.Rule
@@ -63,7 +64,19 @@ object DynamicRules {
           concat_ws("|", keyCols.map(_.cast("string")): _*).as("key"),
           col("value"))
     }
-    alerts.reduce(_ unionByName _)
+    // no ACTIVE rule (the control stream can pause the last one) ⇒ an
+    // EMPTY alerts frame with the contract schema, not
+    // empty.reduceLeft's UnsupportedOperationException
+    alerts.reduceOption(_ unionByName _)
+      .getOrElse {
+        val s = events.sparkSession
+        s.createDataFrame(s.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("rule_id", LongType),
+            StructField("win_start", StringType),
+            StructField("key", StringType),
+            StructField("value", DoubleType))))
+      }
       .orderBy(col("rule_id"), col("win_start"), col("key"))
   }
 

@@ -132,7 +132,12 @@ object EventQueries {
 
   /** Nexmark Q11 analog — session windows (30 min gap) per user.
     * Reference: Query11.java:72-81 (EventTimeSessionWindows). The
-    * oracle reconstructs sessions with the gaps-and-islands pattern. */
+    * oracle reconstructs sessions with the gaps-and-islands pattern;
+    * its gap comparison is STRICT `<` because Spark's session_window
+    * is half-open [ts, ts+gap): an event exactly gap after its
+    * predecessor starts a NEW session (verified on Spark 4.1.2) — a
+    * `<=` oracle would merge it and hash-mismatch on any corpus with
+    * an exactly-aligned gap. */
   def e11Sessions(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -152,7 +157,7 @@ object EventQueries {
       |  FROM (
       |    SELECT user_id, ts, event_id,
       |      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      |                < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
       |    FROM events))
       |GROUP BY user_id, sess_id ORDER BY user_id, session_start""".stripMargin
 

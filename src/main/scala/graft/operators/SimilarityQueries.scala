@@ -70,9 +70,13 @@ object SimilarityQueries {
     * (tie → smaller label). */
   def knnLabel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = withNorm(s, dir)
-      .join(Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+    // one scan: carry the label alongside v/norm — an earlier form
+    // joined a SECOND full embeddings scan back on vec_id just to
+    // attach the column the first scan already had in hand
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("norm", l2Norm(col("v")))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val cands = emb.filter(col("vec_id") >= 10)

@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
 object SkewTools {
 
   /** Equi-join `probe ⋈ build` on `key` with `salts`-way salting.
-    * The salt is derived from a per-row id — its VALUE is irrelevant
-    * to the result (every probe row meets exactly one replica of its
-    * key's build rows), it only controls placement. */
+    * The salt's VALUE is irrelevant to the result (every probe row
+    * meets exactly one replica of its key's build rows), it only
+    * controls placement — but it must be DETERMINISTIC per row
+    * content: a monotonically_increasing_id-derived salt changes on
+    * task retry whenever the probe's intra-partition row order is
+    * nondeterministic (any post-shuffle input), and a recomputed map
+    * task that re-salts rows differently duplicates or drops probe
+    * rows at the reducers that already fetched the old output. A
+    * whole-row hash is retry-stable; rows with identical content
+    * share a salt, which only costs spreading when the hot key's rows
+    * are full duplicates. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
     // pick an internal column name neither side already carries — a
@@ -32,7 +40,7 @@ object SkewTools {
       .map(i => if (i == 0) "__salt" else s"__salt$i")
       .find(!taken.contains(_)).get
     val p = probe.withColumn(salt,
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(hash(probe.columns.map(col): _*), lit(salts)))
     val b = build.withColumn(salt,
       explode(array((0 until salts).map(lit): _*)))
     p.join(b, Seq(key, salt)).drop(salt)
