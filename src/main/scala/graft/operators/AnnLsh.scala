@@ -87,6 +87,39 @@ object AnnLsh {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
 
+  /** Exact cosine re-rank of a (qid, cid) candidate-pair frame —
+    * shared by the top-k and multi-probe shapes (one copy of the
+    * verify-join orientation, which already had to be fixed twice
+    * when it lived inline in both).
+    *
+    * Verify join orientation: the candidate set is occupancy-bounded
+    * (queries × tables × occupancy — INDEPENDENT of corpus size), so
+    * broadcast it and stream the corpus-side vector table through the
+    * hash join — the corpus never shuffles; the only exchange left is
+    * the window's partition-by-qid over matched candidates. Relying
+    * on AQE to discover this at runtime works at bench scale but is
+    * not guaranteed once the candidate stats pass the adaptive
+    * threshold at 100 TB. */
+  private def rerank(s: SparkSession, dir: String, ids: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = vecTable(s, dir)
+    val qv = vec.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val cv = vec.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    cv.join(broadcast(ids.join(broadcast(qv), "qid")), "cid")
+      .withColumn("cos",
+        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Approximate top-k: candidates sharing ≥1 LSH bucket with the
     * query, exactly re-ranked by cosine.
     *
@@ -97,7 +130,6 @@ object AnnLsh {
     * with log(corpus) at scale to keep buckets small. */
   def annTopK(s: SparkSession, dir: String, k: Int = 5,
       tables: Int = 16, bits: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sig = sigTable(s, dir, tables, bits)
     val ids = sig.filter(col("vec_id") >= 10)
       .withColumnRenamed("vec_id", "cid")
@@ -105,29 +137,7 @@ object AnnLsh {
         Seq("table", "bucket"))
       .select(col("qid"), col("cid"))
       .distinct()
-    val vec = vecTable(s, dir)
-    val qv = vec.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    val cv = vec.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    // Verify join orientation: the candidate set is occupancy-bounded
-    // (queries × tables × occupancy — INDEPENDENT of corpus size), so
-    // broadcast it and stream the corpus-side vector table through the
-    // hash join — the corpus never shuffles; the only exchange left is
-    // the window's partition-by-qid over matched candidates. Relying
-    // on AQE to discover this at runtime works at bench scale but is
-    // not guaranteed once the candidate stats pass the adaptive
-    // threshold at 100 TB.
-    cv.join(broadcast(ids.join(broadcast(qv), "qid")), "cid")
-      .withColumn("cos",
-        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("cid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    rerank(s, dir, ids, k)
   }
 
   /** Occupancy-bounded signature width: bits must grow with
@@ -287,7 +297,6 @@ object AnnLsh {
     * determinism, exact oracle. */
   def annMultiProbe(s: SparkSession, dir: String, k: Int = 5,
       tables: Int = 4, bits: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sig = sigTable(s, dir, tables, bits)
     val probes = sig.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("table"),
@@ -298,23 +307,7 @@ object AnnLsh {
       .join(probes, Seq("table", "bucket"))
       .select(col("qid"), col("cid"))
       .distinct()
-    val vec = vecTable(s, dir)
-    val qv = vec.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-    val cv = vec.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    // same verify-join orientation as [[annTopK]]: broadcast the
-    // occupancy-bounded candidates, never shuffle the corpus vectors
-    cv.join(broadcast(ids.join(broadcast(qv), "qid")), "cid")
-      .withColumn("cos",
-        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("cid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    rerank(s, dir, ids, k)
   }
 
   /** Driver entry. */

@@ -28,32 +28,19 @@ object BehaviorQueries {
     * Each stage's window references the previous stage's column —
     * three Window nodes, all on the user_id partitioning, zero extra
     * exchanges. */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("tus"))
-      .withColumn("mv",
-        min(when(col("event_type") === "view", col("tus"))).over(w))
-      .withColumn("mc",
-        min(when(col("event_type") === "click" && col("tus") > col("mv"),
-          col("tus"))).over(w))
-      .withColumn("mp",
-        min(when(col("event_type") === "purchase" && col("tus") > col("mc"),
-          col("tus"))).over(w))
-      .agg(
-        countDistinct(when(col("mv").isNotNull, col("user_id")))
-          .as("n_view"),
-        countDistinct(when(col("mc").isNotNull, col("user_id")))
-          .as("n_click"),
-        countDistinct(when(col("mp").isNotNull, col("user_id")))
-          .as("n_purchase"))
-  }
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelStages(s, dir).agg(
+      count(when(col("mv").isNotNull, 1)).as("n_view"),
+      count(when(col("mc").isNotNull, 1)).as("n_click"),
+      count(when(col("mp").isNotNull, 1)).as("n_purchase"))
 
   /** The funnel's per-user stage frame (first view / first click
     * after / first purchase after, as nullable epoch-µs), used by the
-    * streaming twin's parity spec: the stateful streaming form must
-    * reproduce exactly these rows. */
+    * streaming twin's parity spec AND as [[funnel]]'s input — ONE copy
+    * of the three-stage window chain, so the headline counts and the
+    * parity-tested frame can never drift apart. The frame is one row
+    * per user (distinct over per-user-constant columns), so funnel's
+    * stage counts are plain conditional counts over it. */
   def funnelStages(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.events(s, dir)
