@@ -49,9 +49,16 @@ object Tables {
     val stamp = scala.util.Try(
       path.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(path).getModificationTime).getOrElse(0L)
+    // the readable form is LOSSY ("/d/sf 1" and "/d/sf_1" both
+    // sanitize to "_d_sf_1"), so an md5 of the exact dir string is
+    // the collision-proof part of the key — two distinct corpora must
+    // never share one materialization (a later overwrite would delete
+    // files the earlier corpus's constructed plans still read)
     val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val exact = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
-      s"${System.identityHashCode(s)}-$sane-$stamp"
+      s"${System.identityHashCode(s)}-$sane-$exact-$stamp"
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

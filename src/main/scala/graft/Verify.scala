@@ -29,15 +29,33 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        failed(name) = Option(e.getMessage).getOrElse(e.toString)
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } catch {
+        // a designed refusal (e.g. the all-pairs cap at large SFs) is
+        // NOT a failure — label it so a verify_errors reader can never
+        // mistake it for a loader regression (the Bench main makes the
+        // same distinction)
+        case e: graft.model.DesignedSkip =>
+          failed(name) = "designed-skip: " +
+            Option(e.getMessage).getOrElse(e.toString)
+          System.err.println(s"[verify] $name designed-skip: ${e.getMessage}")
+        case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.toString)
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release query-scoped caches before the next query (clearCache
-      // misses localCheckpoint blocks — drop those from the RDD registry)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // misses localCheckpoint blocks — drop those from the RDD
+      // registry). Guarded: if the failure above KILLED the context
+      // (fatal executor error in local mode), cleanup on the stopped
+      // context must not abort the sweep — the remaining queries'
+      // attempts and the manifests below are exactly what makes a
+      // dead-context round diagnosable instead of silently zeroed.
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] cache cleanup failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

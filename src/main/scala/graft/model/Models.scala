@@ -43,8 +43,11 @@ object Order {
       // representable as doubles ("10.97".toDouble * 100 =
       // 1096.999…, truncating to 1096 — one cent off the written
       // price); rounding recovers the intended cents for every
-      // 2-decimal string
-      orderPriceCents = math.round(f(3).toDouble * 100).toInt,
+      // 2-decimal string. Empty field → 0, the same guard the volume
+      // fields need (real SSE rows carry empty numerics on
+      // delete/cancel lines).
+      orderPriceCents =
+        if (f(3).isEmpty) 0 else math.round(f(3).toDouble * 100).toInt,
       orderExecVol = if (f(4).isEmpty) 0 else f(4).toDouble.toInt,
       orderVol = if (f(5).isEmpty) 0 else f(5).toDouble.toInt,
       secCode = f(6),

@@ -12,6 +12,23 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** registerAll is the spark.sql user's front door: every table must
+    * come up as a view, and the events view must route through the
+    * vintage-adaptive loader (ts lands as TIMESTAMP, never raw long
+    * nanos or NTZ) — the guarantee its scaladoc states, pinned here so
+    * a future vintage change can't silently desync the SQL-view path
+    * from the DataFrame path. */
+  test("registerAll registers every table with the events ts shim applied") {
+    graft.Tables.registerAll(spark, dir)
+    graft.Tables.names.foreach { n =>
+      assert(spark.catalog.tableExists(n), s"view $n missing")
+    }
+    val tsType = spark.table("events").schema("ts").dataType
+    assert(tsType === org.apache.spark.sql.types.TimestampType,
+      s"events.ts through registerAll must be TIMESTAMP, got $tsType")
+    assert(spark.sql("SELECT COUNT(*) FROM events").head.getLong(0) > 0)
+  }
+
   /** Approximate operators with no SQL-expressible oracle (driver
     * falls back to a rows-only check). */
   private val rowsOnly = Set("sim_ann_lsh", "sim_ann_ivf")
