@@ -38,16 +38,21 @@ object NexmarkStreamBench {
     val peak = base + 2 * amplitude
     val raw = spark.readStream.format("rate")
       .option("rowsPerSecond", peak).load()
-    Metrics.observeSourceTs(raw, "timestamp")
-      .select(col("timestamp"), col("value"))
-      .as[(Timestamp, Long)]
-      .flatMap { case (ts, i) =>
-        val epochSec = i / peak // peak rows arrive per epoch second
-        if (i % peak <
-            NexmarkSources.sineRate(base, amplitude, cycleSec, epochSec))
-          Iterator.single(NexmarkSources.bidAt(i).copy(dateTime = ts))
-        else Iterator.empty
-      }
+    // observeEmitted AFTER the sine drop: numInputRows counts the
+    // peak-rate source reads (2·amplitude rows/s), so without it the
+    // reported "sustained rate" would be ~2× the offered mean and
+    // insensitive to the very curve this bench exists to exercise
+    Metrics.observeEmitted(
+      Metrics.observeSourceTs(raw, "timestamp")
+        .select(col("timestamp"), col("value"))
+        .as[(Timestamp, Long)]
+        .flatMap { case (ts, i) =>
+          val epochSec = i / peak // peak rows arrive per epoch second
+          if (i % peak <
+              NexmarkSources.sineRate(base, amplitude, cycleSec, epochSec))
+            Iterator.single(NexmarkSources.bidAt(i).copy(dateTime = ts))
+          else Iterator.empty
+        })
   }
 
   /** Q1 — currency conversion map (Query1.java:83-85): stateless

@@ -20,7 +20,12 @@ import graft.streaming.{Metrics, TransformWithStateOps}
 object OrderStreamBench {
 
   private def orderOf(v: Long, nSecs: Int): Order = {
-    val price = 10000 + (v % 50).toInt - 25
+    // price cycles on v / nSecs (the per-security sequence number),
+    // NOT on raw v: with a raw modulus that divides nSecs, every order
+    // of a given security got ONE constant price — the per-price
+    // MapState under test held a single entry per key and the
+    // dual-pool state shape was never exercised
+    val price = 10000 + ((v / nSecs) % 50).toInt - 25
     Order(orderNo = v.toString, tranMaintCode = "A",
       lastUpdTime = "09:30:00", orderPriceCents = price,
       orderExecVol = 0, orderVol = 100,
@@ -31,8 +36,6 @@ object OrderStreamBench {
   private def run(spark: SparkSession, tws: Boolean, rate: Int,
       nSecs: Int, seconds: Int): String = {
     import spark.implicits._
-    val collector = new Metrics.ProgressCollector
-    spark.streams.addListener(collector)
     val orders = spark.readStream
       .format("rate").option("rowsPerSecond", rate).load()
       .select(col("value")).as[Long]
@@ -40,15 +43,14 @@ object OrderStreamBench {
     val trades =
       if (tws) TransformWithStateOps.orderBook(orders)
       else graft.operators.OrderBook.streaming(orders)
-    val q = trades.writeStream.format("noop").outputMode("append").start()
-    Thread.sleep(seconds * 1000L)
-    q.stop()
-    spark.streams.removeListener(collector)
-    val ps = collector.progresses.filter(_.numInputRows > 0)
-    val rps = ps.map(_.processedRowsPerSecond)
-    val meanRps = if (rps.nonEmpty) rps.sum / rps.size else 0.0
+    // the shared measurement harness (StreamBench.measure) carries the
+    // runId filter, the died-mid-run check, and the percentile summary
+    // — an earlier inline copy here had none of them
+    val r = StreamBench.measure(spark, rate, seconds) {
+      trades.writeStream.format("noop").outputMode("append").start()
+    }
     val mode = if (tws) "tws" else "fmgws"
-    f"""{"mode":"$mode","orders_per_sec":$meanRps%.0f,"batches":${ps.size},"total_rows":${ps.map(_.numInputRows).sum},"config":{"rate":$rate,"securities":$nSecs}}"""
+    s"""{"mode":"$mode","config":{"rate":$rate,"securities":$nSecs},"result":${r.json}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,9 +72,13 @@ object OrderStreamBench {
     val lines = mode match {
       case "tws" => Seq(run(spark, tws = true, rate, nSecs, seconds))
       case "fmgws" => Seq(run(spark, tws = false, rate, nSecs, seconds))
-      case _ => Seq(
+      case "both" => Seq(
         run(spark, tws = true, rate, nSecs, seconds),
         run(spark, tws = false, rate, nSecs, seconds))
+      // a typo must not silently double the runtime and emit an
+      // artifact shape the caller's script doesn't expect
+      case other => sys.error(
+        s"unknown mode '$other' (expected fmgws | tws | both)")
     }
     lines.foreach(println)
     outFile.foreach(f => java.nio.file.Files.writeString(

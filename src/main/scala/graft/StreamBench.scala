@@ -53,19 +53,45 @@ object StreamBench {
       : StepResult = {
     val collector = new Metrics.ProgressCollector
     spark.streams.addListener(collector)
-    val t0 = System.nanoTime()
     val q = startQuery
+    val t0 = System.nanoTime()
     Thread.sleep(seconds * 1000L)
     q.stop()
+    // a query that DIED mid-run must fail the bench loudly: stop() on
+    // a terminated query is a no-op and the pre-crash batches would
+    // otherwise summarize into a plausible-looking (low) result — in
+    // sweep mode the plateau check would read the crash as saturation
+    // and print a false ceiling artifact with exit code 0
+    q.exception.foreach(e => throw new IllegalStateException(
+      s"streaming query failed mid-measure: ${e.message}", e))
     val wallSec = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(collector)
-    val ps = collector.progresses.filter(_.numInputRows > 0)
-    val rps = ps.map(_.processedRowsPerSecond)
+    // filter to THIS query's runId: the listener bus is asynchronous,
+    // so back-to-back queries on one session can otherwise leak a
+    // still-in-flight final batch into the NEXT measurement's collector
+    val runId = q.runId.toString
+    val ps = collector.progresses
+      .filter(p => p.runId == runId && p.numInputRows > 0)
+    // when an emitted-rows observation is attached (sine-modulated
+    // sources drop rows AFTER the source, so numInputRows counts the
+    // peak-rate reads), rate and totals come from the emitted counts —
+    // the rows the query was actually offered
+    def rows(p: Metrics.BatchProgress): Long =
+      p.emittedRows.getOrElse(p.numInputRows)
+    val rps = ps.map(p =>
+      if (p.emittedRows.isDefined && p.durationMs > 0)
+        rows(p) * 1000.0 / p.durationMs
+      else p.processedRowsPerSecond)
     val durs = ps.map(_.durationMs)
     val lats = ps.flatMap(_.latencyMs)
     StepResult(rate,
       if (rps.nonEmpty) rps.sum / rps.size else 0.0,
-      ps.size, ps.map(_.numInputRows).sum,
+      ps.size, ps.map(rows).sum,
+      // busy = executed-batch time over the measured window only; t0
+      // is taken AFTER startQuery returns so seconds of query planning
+      // / state-store init don't deflate the fraction (the saturation
+      // gate reads busy >= 0.9 — a denominator padded with startup
+      // kept the sweep doubling past true saturation)
       durs.sum / 1000.0 / wallSec,
       pct(durs, 0.50), pct(durs, 0.95), pct(durs, 0.99),
       pct(lats, 0.50), pct(lats, 0.95), pct(lats, 0.99),

@@ -45,7 +45,14 @@ object Metrics {
         * is the processing throughput, which overstates demand on
         * every catch-up batch. −1 when Spark reports none (first batch
         * of a run). */
-      inputRowsPerSecond: Double = -1.0)
+      inputRowsPerSecond: Double = -1.0,
+      /** rows that survived a generator-side drop stage (needs
+        * [[observeEmitted]]): a sine-modulated source reads at the
+        * curve's PEAK and discards inside a flatMap, so numInputRows
+        * counts pre-drop source rows — a throughput summary built on
+        * it would overstate the offered workload ~2×. None when no
+        * emitted observation is attached. */
+      emittedRows: Option[Long] = None)
 
   /** Per-keygroup load instrumentation, the analog of the reference's
     * per-key-group rate metrics (KafkaMetricsManager.java:242-250):
@@ -73,6 +80,16 @@ object Metrics {
 
   def observeSourceTs(df: DataFrame, tsCol: String): DataFrame =
     df.observe(SourceTsMetricName, max(col(tsCol)).as("max_ts"))
+
+  /** Count of rows at the observation POINT — attach after a
+    * generator-side drop stage (sine modulation) so throughput
+    * summaries report the rows the query was actually offered, not
+    * the peak-rate source reads ([[BatchProgress.emittedRows]]). */
+  val EmittedMetricName = "graft_emitted"
+
+  def observeEmitted[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] =
+    ds.observe(EmittedMetricName, count(lit(1)).as("n"))
 
   /** Collects per-batch progress — the MetricsManager analog. */
   final class ProgressCollector extends StreamingQueryListener {
@@ -115,12 +132,16 @@ object Metrics {
             p.batchDuration
           endMs - maxTsMs
         }
+      val emitted = Option(p.observedMetrics.get(EmittedMetricName))
+        .filter(r => !r.isNullAt(0))
+        .map(_.getLong(0))
       val bp = BatchProgress(p.batchId, p.numInputRows,
         p.processedRowsPerSecond, p.batchDuration, kg, latency,
         p.stateOperators.map(_.numRowsTotal).sum,
         p.stateOperators.map(_.memoryUsedBytes).sum,
         p.runId.toString,
-        if (p.inputRowsPerSecond.isNaN) -1.0 else p.inputRowsPerSecond)
+        if (p.inputRowsPerSecond.isNaN) -1.0 else p.inputRowsPerSecond,
+        emitted)
       buf.synchronized { buf += bp }
     }
   }
