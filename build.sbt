@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures `sbt runMain` stdout and json-parses the
+// LAST line (graft.Bench prints a <2 KB summary line last). sbt's
+// default LoggedOutput prefixes every forked line with "[info] " and
+// appends its own "[success] Total time: …" after the run — both of
+// which break that parse. Emit forked output raw and drop the success
+// banner so the summary line really is the last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -78,9 +78,16 @@ object StreamBench {
     // the rows the query was actually offered
     def rows(p: Metrics.BatchProgress): Long =
       p.emittedRows.getOrElse(p.numInputRows)
+    // both modes share ONE denominator — Spark's processing-time rate
+    // — with the emitted mode scaling it by the post-drop row share.
+    // The previous emitted path divided by total batch duration
+    // (trigger time incl. planning/commit), which made sine-modulated
+    // and plain benches report slightly incomparable throughput and
+    // silently fell back to the peak-rate figure on a durationMs==0
+    // batch.
     val rps = ps.map(p =>
-      if (p.emittedRows.isDefined && p.durationMs > 0)
-        rows(p) * 1000.0 / p.durationMs
+      if (p.emittedRows.isDefined && p.numInputRows > 0)
+        p.processedRowsPerSecond * (rows(p).toDouble / p.numInputRows)
       else p.processedRowsPerSecond)
     val durs = ps.map(_.durationMs)
     val lats = ps.flatMap(_.latencyMs)

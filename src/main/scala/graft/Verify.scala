@@ -20,6 +20,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -31,12 +32,13 @@ object Verify {
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch {
         // a designed refusal (e.g. the all-pairs cap at large SFs) is
-        // NOT a failure — label it so a verify_errors reader can never
-        // mistake it for a loader regression (the Bench main makes the
-        // same distinction)
+        // NOT a failure — it goes to its own manifest (verify_skips
+        // .json) and stays out of the FAILED count, so a reader gating
+        // on verify_errors entry count can never mistake an expected
+        // refusal for a loader regression (the Bench main makes the
+        // same skipped-vs-error distinction)
         case e: graft.model.DesignedSkip =>
-          failed(name) = "designed-skip: " +
-            Option(e.getMessage).getOrElse(e.toString)
+          skipped(name) = Option(e.getMessage).getOrElse(e.toString)
           System.err.println(s"[verify] $name designed-skip: ${e.getMessage}")
         case e: Throwable =>
           failed(name) = Option(e.getMessage).getOrElse(e.toString)
@@ -75,10 +77,14 @@ object Verify {
     // Completeness manifest: erroring queries leave no parquet behind,
     // which a per-query compare silently skips — record them explicitly
     // so a loader regression is visible in the round artifacts.
-    val errJson = failed
+    def manifest(m: scala.collection.Map[String, String]): String = m
       .map { case (k, v) => s"${q(k)}: ${q(v.linesIterator.take(3).mkString(" "))}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), manifest(failed))
+    Files.writeString(Paths.get(s"$outDir/verify_skips.json"), manifest(skipped))
+    if (skipped.nonEmpty)
+      System.err.println(
+        s"[verify] ${skipped.size} designed-skip: ${skipped.keys.mkString(", ")}")
     if (failed.nonEmpty)
       System.err.println(
         s"[verify] ${failed.size} FAILED: ${failed.keys.mkString(", ")}")

@@ -274,8 +274,14 @@ object AnnLsh {
       col("norm").as("n1"))
     val e2 = vecF.select(col("vec_id").as("id2"), col("embedding").as("e2"),
       col("norm").as("n2"))
+    // e1/e2 are INDEPENDENT broadcasts of the same table (different
+    // output aliases defeat exchange reuse), so the resident payload
+    // is 2× the estimate plus driver-side copies — gate on the
+    // doubled figure, not the single-copy size, or a default 512 MB
+    // budget admits ~1 GB of broadcast state on a default-sized
+    // local driver.
     val joined =
-      if (estBytes <= maxBytes) ids.join(broadcast(e1), "id1").join(broadcast(e2), "id2")
+      if (2 * estBytes <= maxBytes) ids.join(broadcast(e1), "id1").join(broadcast(e2), "id2")
       else ids.join(e1, "id1").join(e2, "id2")
     joined
       .withColumn("cos",

@@ -28,9 +28,16 @@ object SkewTools {
     * nondeterministic (any post-shuffle input), and a recomputed map
     * task that re-salts rows differently duplicates or drops probe
     * rows at the reducers that already fetched the old output. A
-    * whole-row hash is retry-stable; rows with identical content
-    * share a salt, which only costs spreading when the hot key's rows
-    * are full duplicates. */
+    * whole-row hash is retry-stable — and mixing the input partition
+    * id into it keeps the spread even when the hot key's rows are
+    * exact duplicates (pure content hashing would collapse them all
+    * onto ONE salt, silently degrading to an unsalted join in the
+    * heavy-duplicate case this helper exists for). The partition id
+    * is itself retry-stable: a recomputed map task re-reads the same
+    * input partition, so each row re-hashes to the same salt.
+    * Duplicates WITHIN one partition still share a salt; that
+    * residual is bounded by the partition size, not the key's total
+    * row count. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
     // pick an internal column name neither side already carries — a
@@ -40,7 +47,8 @@ object SkewTools {
       .map(i => if (i == 0) "__salt" else s"__salt$i")
       .find(!taken.contains(_)).get
     val p = probe.withColumn(salt,
-      pmod(hash(probe.columns.map(col): _*), lit(salts)))
+      pmod(hash(spark_partition_id() +: probe.columns.map(col): _*),
+        lit(salts)))
     val b = build.withColumn(salt,
       explode(array((0 until salts).map(lit): _*)))
     p.join(b, Seq(key, salt)).drop(salt)

@@ -80,14 +80,26 @@ class SkewToolsSpec extends AnyFunSuite {
     }
   }
 
-  test("hot key rows spread across salt buckets") {
+  test("exact-duplicate hot-key rows still spread across salts") {
     import spark.implicits._
-    val probe = spark.range(50000).select(lit(0L).as("k"), col("id").as("v"))
-    val salted = probe.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
-    val buckets = salted.groupBy(col("__salt")).count().collect()
-    assert(buckets.length === 8)
-    // no bucket holds more than half the hot key
-    assert(buckets.map(_.getLong(1)).max < 25000)
+    // every probe row is the SAME content — a content-only salt would
+    // collapse them all onto one bucket, silently degrading to an
+    // unsalted join in exactly the heavy-duplicate case the helper
+    // exists for. Mixing the input partition id into the hash keeps
+    // the spread (and stays retry-stable: a recomputed map task
+    // re-reads the same partition).
+    val probe = spark.range(40000).repartition(8)
+      .select(lit(0L).as("k"), lit(1L).as("v"))
+    val build = spark.range(1)
+      .select(col("id").as("k"), lit("dim").as("name"))
+    val out = SkewTools.saltedJoin(probe, build, "k", 8)
+    assert(out.count() === 40000)
+    // the salt expression saltedJoin builds, replicated here: across 8
+    // input partitions the duplicates must land on >1 bucket
+    val salts = probe
+      .select(pmod(hash(spark_partition_id(), col("k"), col("v")),
+        lit(8)).as("s"))
+      .distinct().count()
+    assert(salts >= 2, s"duplicate rows collapsed onto $salts salt(s)")
   }
 }
