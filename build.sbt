@@ -19,6 +19,9 @@ run / fork := true
 // banner so the summary line really is the last line of stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// both keys are consumed by sbt's command/forked-run machinery, which
+// the unused-key lint can't see
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

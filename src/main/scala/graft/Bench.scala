@@ -91,9 +91,17 @@ object Bench {
     // sweep semantics the sharing is FOR); (2) with repeats > 1 they
     // report the FIRST repeat, not the min — a later CC repeat hits
     // the memo and would report only the parquet-read tail.
+    // NOTE the EXACT text-scorer forms (t_lm_perplexity,
+    // t_quality_classifier) are deliberately NOT here: they recompute
+    // their corpus model inside every repeat (no collect, no memo, no
+    // scratch table), so min-over-repeats hides nothing — only their
+    // _pruned twins collect model state at construction. Listing the
+    // exact forms here (as earlier rounds did) just reported one-time
+    // JIT as if it were query cost (sf10: 9.3 s first repeat vs 6.4 s
+    // steady-state for the classifier).
     val heavyConstruction =
       Set("dedup_clusters", "dedup_simhash_pairs", "pipeline_keep",
-        "pipeline_keep_best", "t_lm_perplexity", "t_quality_classifier",
+        "pipeline_keep_best",
         "t_lm_perplexity_pruned", "t_quality_classifier_pruned",
         // the embedding near-dup pair memo: built by the family's
         // first timed query, reused by the rest — warming it at the

@@ -29,7 +29,8 @@ object SparkEntry {
       AsofJoin.queries, SubqueryQueries.queries,
       DecisionSupportQueries.queries, BehaviorQueries.queries,
       SketchQueries.queries, CurationQueries.queries,
-      SemDedup.queries, BpeTrainer.queries, DataloaderQueries.queries)
+      SemDedup.queries, BpeTrainer.queries, DataloaderQueries.queries,
+      graft.sources.BucketedLayout.queries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val merged = queryModules.reduce(_ ++ _)
@@ -54,7 +55,8 @@ object SparkEntry {
       AsofJoin.oracles, SubqueryQueries.oracles,
       DecisionSupportQueries.oracles, BehaviorQueries.oracles,
       SketchQueries.oracles, CurationQueries.oracles,
-      SemDedup.oracles, BpeTrainer.oracles, DataloaderQueries.oracles)
+      SemDedup.oracles, BpeTrainer.oracles, DataloaderQueries.oracles,
+      graft.sources.BucketedLayout.oracles)
     val merged = mods.reduce(_ ++ _)
     require(merged.size == mods.map(_.size).sum,
       "duplicate oracle names across modules (Map ++ silently shadows)")

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+class BucketedLayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed orders-lineitem join runs with zero exchange") {
+    // force the sort-merge path: with broadcast available the small
+    // side would hide the property under test (a broadcast join is
+    // also exchange-free on the big side, but proves nothing about
+    // the bucket layout)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (ot, lt) = BucketedLayout.ensureBucketed(spark, dir)
+      val j = spark.table(ot).join(spark.table(lt),
+        col("o_orderkey") === col("l_orderkey"))
+      val n = j.collect().length
+      val plain = Tables.orders(spark, dir).join(
+        Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(n.toLong === plain)
+      // materialized plan of THIS execution: the join must consume the
+      // bucket layout directly — no shuffle AND no broadcast exchange
+      // anywhere under it
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        "bucketed join still exchanges:\n" + plan.take(3000))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("groupBy on the bucket key aggregates with zero exchange") {
+    val (_, lt) = BucketedLayout.ensureBucketed(spark, dir)
+    val agg = spark.table(lt).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "bucketed groupBy still exchanges:\n" + plan.take(3000))
+  }
+
+  test("bucketed rollup equals the raw-parquet rollup") {
+    val viaBuckets = BucketedLayout.bucketedJoin(spark, dir).collect()
+    val dec = "decimal(18,2)"
+    val raw = Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    assert(viaBuckets.toSeq === raw.toSeq)
+  }
+
+  test("each bucket is a single file per side") {
+    // the repartition-before-write contract: N tasks x B buckets must
+    // not explode into N*B files (the small-file trap bucketing is
+    // notorious for at scale)
+    val (ot, lt) = BucketedLayout.ensureBucketed(spark, dir)
+    val n = BucketedLayout.bucketCount(spark)
+    Seq(ot, lt).foreach { t =>
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter(col("col_name") === "Location").head().getString(1)
+      val files = new java.io.File(new java.net.URI(loc))
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === n,
+        s"$t: ${files.length} data files for $n buckets")
+    }
+  }
+}
