@@ -59,4 +59,20 @@ class MediaDecodeSpec extends AnyFunSuite {
       .map(f => f.media_id -> f.digest).toMap
     assert(feats.forall(f => again(f.media_id) == f.digest))
   }
+
+  test("builtin media_frames query equals the sampleFrames operator") {
+    // the oracle-gated query is the codegen-native builtin composition
+    // (explode(sequence) + binary substring + md5); sampleFrames is
+    // the mapPartitions batch shape a real codec would plug into —
+    // this parity pin is what lets the query take the fast tier
+    // without the two paths drifting
+    val spark = graft.SparkTestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    val viaQuery = MediaPipeline.mediaFrames(spark, dir)
+    val viaOperator = MediaPipeline
+      .sampleFrames(MediaPipeline.mediaTable(spark, dir), 64, 128).toDF()
+    assert(viaQuery.count() === viaOperator.count())
+    assert(viaQuery.exceptAll(viaOperator).isEmpty)
+    assert(viaOperator.exceptAll(viaQuery).isEmpty)
+  }
 }
