@@ -21,10 +21,19 @@ object BucketedTables {
     * registered as `name` at `path`. Bucket count is a layout
     * constant (like the reference's fixed max-parallelism): pick it
     * for the TARGET scale — queries at any parallelism ≤ buckets
-    * read co-located data. */
+    * read co-located data.
+    *
+    * The input is repartitioned onto the bucket key first: bucketed
+    * writers emit one file per (task, bucket), so an arbitrary input
+    * layout explodes into tasks×buckets small files — the classic
+    * bucketing trap at scale — and multi-file buckets also forfeit
+    * the sortBy metadata (Spark re-sorts them under every
+    * sort-merge join). With the repartition each task owns exactly
+    * one bucket: one file per bucket, sort order trusted. */
   def materialize(df: DataFrame, name: String, path: String,
       key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)
       .bucketBy(buckets, key)

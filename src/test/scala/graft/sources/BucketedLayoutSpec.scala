@@ -9,11 +9,13 @@ class BucketedLayoutSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("bucketed orders-lineitem join runs with zero exchange") {
-    // force the sort-merge path: with broadcast available the small
-    // side would hide the property under test (a broadcast join is
-    // also exchange-free on the big side, but proves nothing about
-    // the bucket layout)
+  // plan properties (exchange-free join/agg, partition pruning) are
+  // pinned by BucketedJoinSpec over BucketedTables directly; this
+  // suite covers what the query wiring adds on top: the memoized
+  // per-(session, dir) copies, result equality, and the
+  // one-file-per-bucket write contract.
+
+  test("forced-SMJ join over the memoized copies stays exchange-free") {
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -25,9 +27,6 @@ class BucketedLayoutSpec extends AnyFunSuite {
         Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey")).count()
       assert(n.toLong === plain)
-      // materialized plan of THIS execution: the join must consume the
-      // bucket layout directly — no shuffle AND no broadcast exchange
-      // anywhere under it
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan.take(2000))
       assert(!plan.contains("Exchange"),
@@ -36,16 +35,6 @@ class BucketedLayoutSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
-  }
-
-  test("groupBy on the bucket key aggregates with zero exchange") {
-    val (_, lt) = BucketedLayout.ensureBucketed(spark, dir)
-    val agg = spark.table(lt).groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity")).as("q"))
-    agg.collect()
-    val plan = agg.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      "bucketed groupBy still exchanges:\n" + plan.take(3000))
   }
 
   test("bucketed rollup equals the raw-parquet rollup") {
