@@ -85,8 +85,10 @@ object StreamBench {
     // and plain benches report slightly incomparable throughput and
     // silently fell back to the peak-rate figure on a durationMs==0
     // batch.
+    // (ps is already filtered to numInputRows > 0, so the ratio's
+    // denominator is never zero here)
     val rps = ps.map(p =>
-      if (p.emittedRows.isDefined && p.numInputRows > 0)
+      if (p.emittedRows.isDefined)
         p.processedRowsPerSecond * (rows(p).toDouble / p.numInputRows)
       else p.processedRowsPerSecond)
     val durs = ps.map(_.durationMs)

@@ -26,14 +26,21 @@ object Tables {
   private val planMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Long), Any]
   def memoizedAtConstruction[T](s: SparkSession, dir: String,
-      table: String, tag: String = "")(compute: => T): T = {
+      table: String, tag: String = "")(compute: => T): T =
+    planMemo.getOrElseUpdate(
+      (System.identityHashCode(s), s"$dir/$table.parquet#$tag",
+        tableStamp(s, dir, table)), compute)
+      .asInstanceOf[T]
+
+  /** Source-table mtime (0 when unreadable) — the freshness stamp the
+    * construction memo and the scratch layout share; a memo over MORE
+    * than one input table folds the extra tables' stamps into `tag`
+    * so regenerating any of them invalidates the entry. */
+  def tableStamp(s: SparkSession, dir: String, table: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val stamp = scala.util.Try(
+    scala.util.Try(
       path.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(path).getModificationTime).getOrElse(0L)
-    planMemo.getOrElseUpdate(
-      (System.identityHashCode(s), s"$path#$tag", stamp), compute)
-      .asInstanceOf[T]
   }
 
   /** Scratch-parquet directory for a construction-memoized
@@ -45,21 +52,24 @@ object Tables {
     * never share one materialization via a dir.hashCode collision. */
   def scratchDir(s: SparkSession, dir: String, table: String,
       tag: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val stamp = scala.util.Try(
-      path.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getFileStatus(path).getModificationTime).getOrElse(0L)
+    val stamp = tableStamp(s, dir, table)
     // the readable form is LOSSY ("/d/sf 1" and "/d/sf_1" both
     // sanitize to "_d_sf_1"), so an md5 of the exact dir string is
     // the collision-proof part of the key — two distinct corpora must
     // never share one materialization (a later overwrite would delete
     // files the earlier corpus's constructed plans still read)
     val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val exact = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
-      s"${System.identityHashCode(s)}-$sane-$exact-$stamp"
+      s"${System.identityHashCode(s)}-$sane-${dirDigest(dir)}-$stamp"
   }
+
+  /** Collision-proof short digest of an exact corpus-dir string — ONE
+    * definition, shared by [[scratchDir]] and every caller that keys
+    * catalog names on the corpus (a second copy could silently drift
+    * from the scratch-path digest). */
+  def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -38,6 +38,13 @@ object SkewTools {
     * Duplicates WITHIN one partition still share a salt; that
     * residual is bounded by the partition size, not the key's total
     * row count. */
+  /** The probe-side salt expression saltedJoin uses — exposed so the
+    * spec's spread assertions exercise the REAL formula (a replicated
+    * copy in the test would keep passing if this changed). */
+  def probeSalt(probe: DataFrame, salts: Int): org.apache.spark.sql.Column =
+    pmod(hash(spark_partition_id() +: probe.columns.map(col): _*),
+      lit(salts))
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
     // pick an internal column name neither side already carries — a
@@ -46,9 +53,7 @@ object SkewTools {
     val salt = Iterator.from(0)
       .map(i => if (i == 0) "__salt" else s"__salt$i")
       .find(!taken.contains(_)).get
-    val p = probe.withColumn(salt,
-      pmod(hash(spark_partition_id() +: probe.columns.map(col): _*),
-        lit(salts)))
+    val p = probe.withColumn(salt, probeSalt(probe, salts))
     val b = build.withColumn(salt,
       explode(array((0 until salts).map(lit): _*)))
     p.join(b, Seq(key, salt)).drop(salt)

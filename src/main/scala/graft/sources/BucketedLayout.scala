@@ -27,26 +27,44 @@ object BucketedLayout {
 
   /** Ensure bucketed copies of orders and lineitem exist for `dir`;
     * returns (ordersTable, lineitemTable) catalog names. Memoized per
-    * (session, dir, table mtime): one write, reused by every
-    * subsequent query in the session — the cost model that makes
-    * write-side bucketing pay for itself. */
-  def ensureBucketed(s: SparkSession, dir: String): (String, String) =
-    Tables.memoizedAtConstruction(s, dir, "lineitem", "bucketed") {
-      val n = bucketCount(s)
+    * (session, dir, BOTH tables' mtimes, bucket count): one write,
+    * reused by every subsequent query in the session — the cost model
+    * that makes write-side bucketing pay for itself. The memo's table
+    * stamp covers only lineitem, so the orders stamp and the bucket
+    * count fold into the tag (and into every path/name below):
+    * regenerating orders in place, or changing `spark.graft.buckets`
+    * mid-session, builds FRESH copies at fresh paths instead of
+    * serving stale tables or overwriting files an older memo entry's
+    * plans still read. */
+  def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val n = bucketCount(s)
+    val oStamp = Tables.tableStamp(s, dir, "orders")
+    val variant = s"bucketed-n$n-o$oStamp"
+    Tables.memoizedAtConstruction(s, dir, "lineitem", variant) {
       // table names carry the exact-dir digest (two corpora in one
-      // session must not collide) and the session identity (catalog
-      // names are session-scoped but the scratch files are not)
-      val exact = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      // session must not collide), the variant, and the session
+      // identity (catalog names are session-scoped but the scratch
+      // files are not)
+      val ver = java.lang.Long.toHexString(
+        oStamp * 31 + Tables.tableStamp(s, dir, "lineitem"))
       val sid = Integer.toHexString(System.identityHashCode(s))
-      val ot = s"graft_orders_b_${exact}_$sid"
-      val lt = s"graft_lineitem_b_${exact}_$sid"
-      BucketedTables.materialize(Tables.orders(s, dir), ot,
-        Tables.scratchDir(s, dir, "orders", s"bucket$n"), "o_orderkey", n)
-      BucketedTables.materialize(Tables.lineitem(s, dir), lt,
-        Tables.scratchDir(s, dir, "lineitem", s"bucket$n"), "l_orderkey", n)
+      val suffix = s"${n}_${Tables.dirDigest(dir)}_${ver}_$sid"
+      val ot = s"graft_orders_b$suffix"
+      val lt = s"graft_lineitem_b$suffix"
+      val op = Tables.scratchDir(s, dir, "orders", variant)
+      val lp = Tables.scratchDir(s, dir, "lineitem", variant)
+      BucketedTables.materialize(Tables.orders(s, dir), ot, op,
+        "o_orderkey", n)
+      BucketedTables.materialize(Tables.lineitem(s, dir), lt, lp,
+        "l_orderkey", n)
+      // full-table copies are the heaviest scratch this engine writes
+      // (≈ the two largest base tables per run) — clean them up at JVM
+      // exit; unlike the derived-table memos, leaking these across
+      // rounds would fill the disk
+      Seq(op, lp).foreach(graft.ScratchJanitor.register)
       (ot, lt)
     }
+  }
 
   /** Oracle-gated query over the bucketed copies: order-priority
     * revenue rollup through the `orders ⋈ lineitem` join. Over raw

@@ -94,11 +94,11 @@ class SkewToolsSpec extends AnyFunSuite {
       .select(col("id").as("k"), lit("dim").as("name"))
     val out = SkewTools.saltedJoin(probe, build, "k", 8)
     assert(out.count() === 40000)
-    // the salt expression saltedJoin builds, replicated here: across 8
-    // input partitions the duplicates must land on >1 bucket
+    // the REAL salt expression (not a replica — a copy here would keep
+    // passing if the formula changed): across 8 input partitions the
+    // duplicates must land on >1 bucket
     val salts = probe
-      .select(pmod(hash(spark_partition_id(), col("k"), col("v")),
-        lit(8)).as("s"))
+      .select(SkewTools.probeSalt(probe, 8).as("s"))
       .distinct().count()
     assert(salts >= 2, s"duplicate rows collapsed onto $salts salt(s)")
   }
