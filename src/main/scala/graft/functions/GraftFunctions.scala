@@ -43,6 +43,29 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Slice of an md5 HEX-string column as an exact LONG: the shared
+    * definition behind the engine's deterministic uniform "coins"
+    * (hash sampling, mixture rebalance coins, shard keys, sketch cell
+    * indices, IVF sample gates). Every caller's DuckDB oracle twin
+    * restates it as `CAST(('0x' || substr(md5(x), start, digits)) AS
+    * BIGINT)`, so the Spark side must stay bit-identical — one
+    * definition, not a hand-rolled copy per operator (each copy is an
+    * independent chance to drift on substring width, radix, or the
+    * cast-to-binary). ≤15 hex digits fits a long exactly. */
+  def hexSliceLong(hex: Column, start1: Int, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15,
+      s"hexSliceLong needs 1..15 hex digits (got $digits): 16 digits " +
+        "can exceed Long.MaxValue and conv() would saturate")
+    conv(substring(hex, start1, digits), 16, 10).cast("long")
+  }
+
+  /** The md5-fraction coin over an id/value column: first `digits`
+    * hex chars of md5(CAST(c AS STRING)) as a long — uniform,
+    * reproducible across engines/retries/partitionings (unlike
+    * rand()), which is what makes sampled subsets auditable. */
+  def md5CoinLong(c: Column, digits: Int = 8): Column =
+    hexSliceLong(md5(c.cast("string").cast("binary")), 1, digits)
+
   /** Whitespace tokenizer shared by the text-analysis operators — the
     * native byte-scan kernel ([[HashExpressions.whitespaceTokens]]),
     * byte-exact to the `split(trim(text), "\\s+")` regex form it
@@ -50,7 +73,14 @@ object GraftFunctions {
     * incl. leading/trailing-empty-field regex semantics). The regex
     * split was the single hottest scalar in the text family: every
     * operator tokenizes, and Pattern.split costs ~4 s per corpus pass
-    * at the 500k-doc scale set vs <1 s for the byte scan. */
+    * at the 500k-doc scale set vs <1 s for the byte scan.
+    *
+    * Corpus contract note: Java `\s` includes vertical tab (0x0B)
+    * which RE2 — DuckDB's `string_split_regex('\s+')` — does NOT, so
+    * a 0x0B byte in a document would tokenize differently in the two
+    * engines. The driver fixtures never emit 0x0B; a corpus that does
+    * needs a normalization pass (strip/replace 0x0B) ahead of the
+    * text operators for the oracles to stay comparable. */
   def tokens(text: Column): Column = HashExpressions.whitespaceTokens(text)
 
   /** Word n-gram shingles (space-joined) from a token array column —

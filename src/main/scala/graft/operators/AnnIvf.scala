@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.dotProduct
+import graft.functions.GraftFunctions.{dotProduct, md5CoinLong}
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the
   * second scale path next to [[AnnLsh]].
@@ -93,9 +93,7 @@ object AnnIvf {
     val n = emb.count()
     val every = math.max(1L, n / 10000L)
     val sample = emb
-      .filter(pmod(
-        conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8),
-          16, 10).cast("long"), lit(every)) === 0)
+      .filter(pmod(md5CoinLong(col("vec_id")), lit(every)) === 0)
       .orderBy(col("vec_id"))
       .select(col("v")).as[Array[Double]].collect()
     val cents = kmeans(sample, nlist, iters)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions.{shinglesOfTokens, tokens}
+import graft.functions.GraftFunctions.{hexSliceLong, md5CoinLong, shinglesOfTokens, tokens}
 import graft.functions.HashExpressions.shingleHashes
 
 /** Corpus-curation operators a large-scale training-data pipeline
@@ -78,9 +78,7 @@ object CurationQueries {
     * shuffle, pushes straight onto the scan. */
   def sampleHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .filter(
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-          16, 10).cast("long") % 10 === 0)
+      .filter(md5CoinLong(col("doc_id")) % 10 === 0)
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
 
@@ -171,8 +169,7 @@ object CurationQueries {
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         // src7 -> index 7; fraction coin in [0, 1) from md5 of doc_id
         substring(col("source"), 4, 10).cast("int").as("src_idx"),
-        (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-          1, 8), 16, 10).cast("long") % 1000000L).as("coin"))
+        (md5CoinLong(col("doc_id")) % 1000000L).as("coin"))
     val per = toks.groupBy(col("source"), col("src_idx"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
     val tot = per.agg(sum(col("src_tokens")).as("total_tokens"),
@@ -241,10 +238,20 @@ object CurationQueries {
     // collect is bounded by the source-label cardinality and memoized
     // per (session, table version) so registration sweeps and repeated
     // bench constructions pay the scan once
+    // UTF-8 unsigned-byte order, NOT java.lang.String's UTF-16
+    // code-unit order: the pair orientation below must agree with the
+    // oracle's `a.source < b.source` and Spark's own UTF8String binary
+    // sort, and the two orders diverge for supplementary-plane names
+    // (surrogate code units 0xD800.. sort BELOW 0xE000.. in UTF-16
+    // but the code points they encode sort above). ASCII fixtures
+    // never see the difference; a real corpus's source labels can.
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
     val srcNames = Tables.memoizedAtConstruction(s, dir, "documents") {
       Tables.documents(s, dir)
         .select(col("source")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+        .collect().map(_.getString(0)).sorted(utf8Order).toSeq
     }.toArray
     if (srcNames.length > 64) return sourceOverlapWide(s, dir)
     val idxMap = typedlit(srcNames.zipWithIndex.toMap)
@@ -521,8 +528,7 @@ object CurationQueries {
       .select(col("doc_id"),
         posexplode(shinglesOfTokens(col("w"), 5)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("kh"))
+        hexSliceLong(md5(col("sh").cast("binary")), 1, 15).as("kh"))
     val shared = sh.select(col("doc_id"), col("kh")).distinct()
       .groupBy(col("kh")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -593,7 +599,6 @@ object CurationQueries {
     * hand the first buckets the remainder rows, so the split is
     * engine-identical. One shuffle on source. */
   def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars"), col("doc_id"))
     Tables.documents(s, dir)
@@ -681,8 +686,7 @@ object CurationQueries {
       .select(col("doc_id"), col("source"),
         md5(concat(lit("shuf42:"), col("doc_id").cast("string"))
           .cast("binary")).as("skey"))
-      .withColumn("shard",
-        conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("shard", hexSliceLong(col("skey"), 1, 8) % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("shard"), col("pos"), col("doc_id"), col("source"),
         col("skey"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
+import graft.functions.GraftFunctions.hexSliceLong
 
 /** Deterministic sketch operators. A sketch earns its keep at 100 TB
   * by replacing the per-key shuffle with a FIXED-SIZE one: the
@@ -31,7 +32,7 @@ object SketchQueries {
     * md5("j:word") family; the sketch stays fully deterministic and
     * oracle-identical. */
   private def bucket(j: Int, md5hex: Column): Column =
-    conv(substring(md5hex, 1 + 8 * j, 8), 16, 10).cast("long") % W
+    hexSliceLong(md5hex, 1 + 8 * j, 8) % W
 
   /** Heavy hitters via count-min: estimate = min over the d cells a
     * word hashes to; report every word whose estimate clears the
@@ -229,8 +230,8 @@ object SketchQueries {
       .select(explode(graft.functions.GraftFunctions.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
     words.select(col("word"),
-        (conv(substring(md5(concat(lit("lc:"), col("word")).cast("binary")),
-          1, 8), 16, 10).cast("long") % LC).as("bit"))
+        (hexSliceLong(md5(concat(lit("lc:"), col("word")).cast("binary")),
+          1, 8) % LC).as("bit"))
       .agg(countDistinct(col("bit")).as("occupied"),
         countDistinct(col("word")).as("exact_distinct"))
       .select(lit(LC.toLong).as("m"), col("occupied"),
