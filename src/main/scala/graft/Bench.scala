@@ -79,7 +79,13 @@ object Bench {
         "t_quality_classifier_pruned" -> ((s, d) => {
           s.conf.set("spark.graft.nb.topK", "262144")
           graft.operators.TextQueries.qualityClassifier(s, d)
-        }))
+        }),
+        // the amortized side of the pay-once layout trade: runs after
+        // the cold row (alphabetical order), so ensureBucketed serves
+        // from the session memo and this times the exchange-free READ
+        // path — the cost every query after the first pays at 100 TB
+        "layout_bucketed_join_warm" -> ((s, d) =>
+          graft.sources.BucketedLayout.bucketedJoin(s, d)))
 
     // Queries whose CONSTRUCTION performs real model/materialization
     // work: the CC family materializes the shared cluster-label table
@@ -106,8 +112,13 @@ object Bench {
         // constructing this one MATERIALIZES the bucketed fact-table
         // copies (the write-side cost the co-location lever trades
         // for) — it must be paid inside the first timed repeat, not
-        // vanish into the untimed warm-up
-        "layout_bucketed_join",
+        // vanish into the untimed warm-up. The _warm twin is here for
+        // the warm-up EXCLUSION only (constructing it at the bench SF
+        // during warm-up would materialize the copies untimed and rob
+        // the cold row): in the timed sweep it runs after the cold
+        // row, so its first repeat is already the memoized read path
+        // it exists to measure.
+        "layout_bucketed_join", "layout_bucketed_join_warm",
         // the embedding near-dup pair memo: built by the family's
         // first timed query, reused by the rest — warming it at the
         // bench SF would hide the family's dominant cost untimed
