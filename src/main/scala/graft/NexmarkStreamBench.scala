@@ -14,9 +14,21 @@ import graft.streaming.Metrics
   * (reference examples/src/main/java/Nexmark/queries/Query1.java:52-55,
   * Query5.java:66-69; curve Util.java:14-20). Each query runs from a
   * fresh sine-modulated source for `seconds` and reports sustained
-  * rate + batch-duration and end-to-end latency percentiles — the
-  * reference's sink-side acceptance metric
-  * (DummyLatencyCountingSink.java:41-47).
+  * rate + batch-duration percentiles and a `latency_ms` figure.
+  *
+  * What `latency_ms` measures, precisely: batch completion wallclock
+  * minus the newest SOURCE timestamp the batch ingested — i.e. input
+  * processing recency. For the stateless per-row queries (Q1/Q2) every
+  * ingested row is emitted in its batch, so this coincides with the
+  * reference's sink-side per-record latency
+  * (DummyLatencyCountingSink.java:41-47). For the stateful queries it
+  * does NOT: Q5's windows emit only after the watermark passes the
+  * window end and Q11's sessions only after a gap timeout, so their
+  * output-record latency is the recency figure PLUS the window/gap
+  * wait — and a run whose sessions never close reports healthy
+  * recency with near-zero sink output. Read `latency_ms` for Q5/Q11
+  * as "how far processing lags the source", not "how stale an emitted
+  * result is".
   *
   * Usage: runMain graft.NexmarkStreamBench [amplitude] [cycleSec] [seconds] [outFile]
   *   amplitude: the reference's srcRate — offered rate follows
@@ -47,9 +59,9 @@ object NexmarkStreamBench {
         .select(col("timestamp"), col("value"))
         .as[(Timestamp, Long)]
         .flatMap { case (ts, i) =>
-          val epochSec = i / peak // peak rows arrive per epoch second
-          if (i % peak <
-              NexmarkSources.sineRate(base, amplitude, cycleSec, epochSec))
+          // peak rows arrive per epoch second -> epoch = i / peak
+          if (NexmarkSources.sineKeep(base, amplitude, cycleSec,
+              i / peak, i % peak))
             Iterator.single(NexmarkSources.bidAt(i).copy(dateTime = ts))
           else Iterator.empty
         })

@@ -26,6 +26,17 @@ object NexmarkSources {
   def sineRate(base: Int, rate: Int, cycleSec: Int, epochSec: Long): Int =
     base + ((math.sin(2 * math.Pi * epochSec / cycleSec) + 1) * rate).toInt
 
+  /** The sine-prefix keep rule shared by every sine-modulated stream
+    * (generator-time [[bidStreamSine]] and the wallclock
+    * NexmarkStreamBench source): an epoch is generated at the curve's
+    * peak, and element `idxInEpoch` survives iff it falls inside the
+    * sine-sized prefix. One definition — the two sources must follow
+    * the SAME offered curve for their measurements to be comparable,
+    * and a second copy of the predicate could drift silently. */
+  def sineKeep(base: Int, rate: Int, cycleSec: Int, epoch: Long,
+      idxInEpoch: Long): Boolean =
+    idxInEpoch < sineRate(base, rate, cycleSec, epoch)
+
   private val HotAuctionRatio = 100 // 1-1/ratio of bids hit the hot auction
   private val FirstAuctionId = 1000L
   private val FirstPersonId = 1000L
@@ -130,8 +141,7 @@ object NexmarkSources {
       .load()
       .select(col("value")).as[Long]
       .flatMap { i =>
-        val batch = i / maxR
-        if (i % maxR < sineRate(base, rate, cycleSec, batch))
+        if (sineKeep(base, rate, cycleSec, i / maxR, i % maxR))
           Iterator.single(bidAt(i))
         else Iterator.empty
       }

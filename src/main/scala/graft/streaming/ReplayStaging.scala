@@ -21,13 +21,19 @@ object ReplayStaging {
   }
 
   private def deleteTree(p: Path): Unit = {
-    // walk() reports a symlink itself (not its target); reverse order
-    // deletes children before parents
-    val walk = Files.walk(p)
+    // the root may already be gone (CI workspace wipe, tmpwatch) —
+    // walk() itself throws on a missing path, and an uncaught throw
+    // from a shutdown hook prints a spurious stack trace at exit, so
+    // the whole traversal sits inside the guard, not just the deletes
     try {
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
-    } finally walk.close()
+      // walk() reports a symlink itself (not its target); reverse
+      // order deletes children before parents
+      val walk = Files.walk(p)
+      try {
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+      } finally walk.close()
+    } catch { case _: Exception => () }
   }
 
   /** Stage `file` behind a symlink in a fresh subdirectory of the

@@ -103,6 +103,16 @@ object StatefulOps {
   case class SessionState(start: Long, lastTs: Long, count: Long,
       sinceFire: Long)
 
+  /** Per-key state: ALL concurrently-open sessions. A single-session
+    * state mishandles in-horizon out-of-order events — an event more
+    * than `gap` BEFORE the open session's span must open its own
+    * session (and may later be bridged into a merge), not be absorbed
+    * into the newer one. The list is bounded by the watermark horizon:
+    * a session closes as soon as `lastTs + gap` falls at/behind the
+    * watermark, so at most ~(watermark delay / gap) + 1 sessions are
+    * ever open per key. */
+  case class SessionList(sessions: List[SessionState])
+
   /** Session window (gap-based) with count-based early firing —
     * Nexmark Q11's `EventTimeSessionWindows.withGap` +
     * `MaxLogEventsTrigger` (reference Query11.java:72-144): the session
@@ -119,36 +129,57 @@ object StatefulOps {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.key)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionList, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key, rows, state: GroupState[SessionState]) =>
+        (key, rows, state: GroupState[SessionList]) =>
           val out = List.newBuilder[SessionOut]
-          if (state.hasTimedOut) {
-            // session gap elapsed: FIRE_AND_PURGE
-            state.getOption.foreach(s => out += SessionOut(key, s.count, true))
-            state.remove()
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var st = state.getOption.orNull
-            sorted.foreach { e =>
+          var sessions: List[SessionState] =
+            state.getOption.map(_.sessions).getOrElse(Nil)
+          // a session is final once no admissible future event can
+          // extend it: events at/below the watermark are dropped
+          // upstream, so lastTs + gap <= watermark seals it. This is
+          // the ONLY close rule — the old code also closed eagerly on
+          // an intra-batch gap, which mis-finalized sessions a later
+          // in-horizon event could still bridge.
+          def closeSealed(): Unit = {
+            val wm = state.getCurrentWatermarkMs()
+            val (dead, live) = sessions.partition(_.lastTs + gapMs <= wm)
+            dead.sortBy(_.start)
+              .foreach(s => out += SessionOut(key, s.count, true))
+            sessions = live
+          }
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
-              st =
-                if (st == null) SessionState(t, t, 1L, 1L)
-                else if (t - st.lastTs > gapMs) {
-                  // gap inside the batch: close previous session
-                  out += SessionOut(key, st.count, true)
-                  SessionState(t, t, 1L, 1L)
-                } else SessionState(st.start, math.max(st.lastTs, t),
-                  st.count + 1, st.sinceFire + 1)
-              if (st.sinceFire >= maxEvents) {
-                out += SessionOut(key, st.count, false) // early FIRE
-                st = st.copy(sinceFire = 0L)
+              // the event extends every session within gap of its
+              // span — touching two sessions BRIDGES them (Flink's
+              // merging session windows, the reference's Q11 shape)
+              val (touched, rest) = sessions.partition(s =>
+                t >= s.start - gapMs && t <= s.lastTs + gapMs)
+              var cur = touched match {
+                case Nil => SessionState(t, t, 1L, 1L)
+                case ss => SessionState(
+                  math.min(ss.map(_.start).min, t),
+                  math.max(ss.map(_.lastTs).max, t),
+                  ss.map(_.count).sum + 1,
+                  ss.map(_.sinceFire).sum + 1)
               }
+              if (cur.sinceFire >= maxEvents) {
+                out += SessionOut(key, cur.count, false) // early FIRE
+                cur = cur.copy(sinceFire = 0L)
+              }
+              sessions = cur :: rest
             }
-            if (st != null) {
-              state.update(st)
-              state.setTimeoutTimestamp(st.lastTs + gapMs)
-            }
+          }
+          closeSealed()
+          if (sessions.isEmpty) state.remove()
+          else {
+            state.update(SessionList(sessions))
+            // earliest seal point among open sessions; closeSealed
+            // just guaranteed every survivor is strictly above the
+            // watermark, which setTimeoutTimestamp requires
+            state.setTimeoutTimestamp(
+              sessions.map(_.lastTs + gapMs).min)
           }
           out.result().iterator
       }

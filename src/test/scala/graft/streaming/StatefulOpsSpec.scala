@@ -95,4 +95,65 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(all.contains(StatefulOps.SessionOut(1, 3, true)))
     } finally q.stop()
   }
+
+  test("sessionWithEarlyFire: in-horizon out-of-order event opens its own session") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StatefulOps.TimedEvent]
+    def ev(key: Long, sec: Long) =
+      StatefulOps.TimedEvent(key, new Timestamp(sec * 1000))
+    // 60 s watermark slack: an event 20 s older than the open session
+    // is still admissible — a single-session state would absorb it
+    // (negative delta is never "> gap"), inflating the newer session
+    // and losing a close; correct gap semantics give TWO sessions
+    val withWm = in.toDS().withWatermark("ts", "60 seconds")
+    val q = StatefulOps.sessionWithEarlyFire(withWm, gapMs = 10000,
+        maxEvents = 100)
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 100))
+      q.processAllAvailable()
+      // 20 s BEFORE the open session's start, >gap away: own session
+      in.addData(ev(1, 80))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' gaps
+      in.addData(ev(99, 400))
+      q.processAllAvailable()
+      in.addData(ev(98, 500))
+      q.processAllAvailable()
+      val finals = spark.table("sess_ooo")
+        .as[StatefulOps.SessionOut].collect().filter(_.key == 1L).toList
+      assert(finals === List(StatefulOps.SessionOut(1, 1, true),
+        StatefulOps.SessionOut(1, 1, true)),
+        s"expected two single-event sessions, got $finals")
+    } finally q.stop()
+  }
+
+  test("sessionWithEarlyFire: bridging event merges two open sessions") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StatefulOps.TimedEvent]
+    def ev(key: Long, sec: Long) =
+      StatefulOps.TimedEvent(key, new Timestamp(sec * 1000))
+    val withWm = in.toDS().withWatermark("ts", "60 seconds")
+    val q = StatefulOps.sessionWithEarlyFire(withWm, gapMs = 10000,
+        maxEvents = 100)
+      .writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 100), ev(1, 118)) // two sessions 18 s apart
+      q.processAllAvailable()
+      in.addData(ev(1, 109)) // within gap of both spans: bridges them
+      q.processAllAvailable()
+      in.addData(ev(99, 400))
+      q.processAllAvailable()
+      in.addData(ev(98, 500))
+      q.processAllAvailable()
+      val finals = spark.table("sess_bridge")
+        .as[StatefulOps.SessionOut].collect().filter(_.key == 1L).toList
+      assert(finals === List(StatefulOps.SessionOut(1, 3, true)),
+        s"expected one merged 3-event session, got $finals")
+    } finally q.stop()
+  }
 }
