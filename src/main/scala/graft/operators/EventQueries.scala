@@ -47,15 +47,9 @@ object EventQueries {
   /** Nexmark Q3 analog — filtered stream ⋈ dimension (persons⋈auctions
     * becomes events⋈customer). Reference: Query3.java:71-155. The
     * customer side is broadcast (small dim). */
-  def e3JoinDim(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
-    val c = Tables.customer(s, dir)
-      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-    e.join(broadcast(c), e("user_id") === c("c_custkey"))
-      .select(col("event_id"), col("user_id"), col("c_name"),
-        col("c_mktsegment"))
+  def e3JoinDim(s: SparkSession, dir: String): DataFrame =
+    EventSemantics.dimJoin(Tables.events(s, dir), Tables.customer(s, dir))
       .orderBy(col("event_id"))
-  }
 
   val e3JoinDimSql: String =
     """SELECT event_id, user_id, c_name, c_mktsegment
@@ -66,12 +60,7 @@ object EventQueries {
   /** Nexmark Q5 analog — tumbling-window count ("hot items").
     * Reference: Query5.java:79-143 (sliding variant below). */
   def e5TumblingHourly(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(dec)).cast("double").as("total"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
-        col("event_type"), col("n"), col("total"))
+    EventSemantics.tumblingHourly(Tables.events(s, dir))
       .orderBy(col("hour"), col("event_type"))
 
   val e5TumblingHourlySql: String =
@@ -102,23 +91,9 @@ object EventQueries {
   /** Nexmark Q8 analog — windowed stream-stream equi-join: users who
     * signed up and purchased within the same tumbling hour.
     * Reference: Query8.java:101-120 (join on window equality). */
-  def e8WindowJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id").as("su_user"),
-        window(col("ts"), "1 hour").getField("start").as("su_win"),
-        col("event_id").as("su_event"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("pu_user"),
-        window(col("ts"), "1 hour").getField("start").as("pu_win"),
-        col("event_id").as("pu_event"))
-    signups.join(purchases,
-        col("su_user") === col("pu_user") && col("su_win") === col("pu_win"))
-      .select(col("su_user").as("user_id"),
-        date_format(col("su_win"), "yyyy-MM-dd HH:00").as("hour"),
-        col("su_event"), col("pu_event"))
+  def e8WindowJoin(s: SparkSession, dir: String): DataFrame =
+    EventSemantics.windowJoin(Tables.events(s, dir))
       .orderBy(col("user_id"), col("su_event"), col("pu_event"))
-  }
 
   val e8WindowJoinSql: String =
     """SELECT s.user_id AS user_id,
@@ -139,12 +114,7 @@ object EventQueries {
     * `<=` oracle would merge it and hash-mismatch on any corpus with
     * an exactly-aligned gap. */
   def e11Sessions(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        col("n_events"))
+    EventSemantics.sessions(Tables.events(s, dir))
       .orderBy(col("user_id"), col("session_start"))
 
   val e11SessionsSql: String =
@@ -211,24 +181,9 @@ object EventQueries {
     * cross product. Streaming twin: [[graft.streaming.EventStream]]
     * intervalJoin (stream-stream with the same bound as the state
     * eviction constraint). */
-  def eIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("cu"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("pu"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-    clicks.join(purchases,
-        col("cu") === col("pu") &&
-          col("purchase_ts") > col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
-        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
-        col("value"))
+  def eIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    EventSemantics.intervalJoin(Tables.events(s, dir))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
-  }
 
   val eIntervalJoinSql: String =
     """SELECT c.user_id AS user_id, c.event_id AS click_id,

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+
+import graft.operators.EventSemantics
 
 /** Replay of the driver's `events` table through Structured Streaming,
   * plus the streaming forms of the windowed event queries (SURVEY §2.6).
@@ -33,86 +33,42 @@ object EventStream {
     graft.Tables.tsShim(raw)
   }
 
-  /** Streaming hourly tumbling counts (Q5 analog) with a watermark;
-    * same aggregation expression as EventQueries.e5TumblingHourly. */
+  private val wm: DataFrame => DataFrame = _.withWatermark("ts", "0 seconds")
+
+  /** Streaming hourly tumbling counts (Q5 analog): the SHARED
+    * [[EventSemantics.tumblingHourly]] core under a watermark — one
+    * expression tree with the oracle-gated batch twin (the previous
+    * hand copy here had silently dropped the `total` column). */
   def tumblingHourly(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
-        col("event_type"), col("n"))
+    EventSemantics.tumblingHourly(wm(events))
 
-  /** Streaming session windows per user (Q11 built-in variant). */
+  /** Streaming session windows per user (Q11 built-in variant) —
+    * shared core under a watermark. */
   def sessions(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "0 seconds")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
-          .as("session_start"),
-        col("n_events"))
+    EventSemantics.sessions(wm(events))
 
-  /** Windowed stream-stream join (Q8 analog): signups ⋈ purchases in
-    * the same hour, with watermarks on both sides (built-in SS
-    * stream-stream join; reference Query8.java:101-120). */
-  def windowJoin(events: DataFrame): DataFrame = {
-    val signups = events.filter(col("event_type") === "signup")
-      .withWatermark("ts", "0 seconds")
-      .select(col("user_id").as("su_user"), col("ts").as("su_ts"),
-        window(col("ts"), "1 hour").getField("start").as("su_win"),
-        col("event_id").as("su_event"))
-    val purchases = events.filter(col("event_type") === "purchase")
-      .withWatermark("ts", "0 seconds")
-      .select(col("user_id").as("pu_user"), col("ts").as("pu_ts"),
-        window(col("ts"), "1 hour").getField("start").as("pu_win"),
-        col("event_id").as("pu_event"))
-    signups.join(purchases,
-      col("su_user") === col("pu_user") && col("su_win") === col("pu_win"))
-      .select(col("su_user").as("user_id"),
-        date_format(col("su_win"), "yyyy-MM-dd HH:00").as("hour"),
-        col("su_event"), col("pu_event"))
-  }
+  /** Windowed stream-stream join (Q8 analog; reference
+    * Query8.java:101-120): shared core with a per-side watermark prep
+    * (built-in SS stream-stream join needs one on each input). */
+  def windowJoin(events: DataFrame): DataFrame =
+    EventSemantics.windowJoin(events, wm)
 
   /** Stream-static dimension join (Nexmark Q3 as stream⋈table): the
     * static customer dim is broadcast into every micro-batch — no
-    * state, no watermark needed; the streaming twin of
-    * EventQueries.e3JoinDim. At scale the dim re-broadcasts per
-    * batch; a slowly-changing dim would swap in via the per-batch
-    * supplier pattern (DynamicRules.streaming). */
+    * state, no watermark needed; shared core with the batch twin. At
+    * scale the dim re-broadcasts per batch; a slowly-changing dim
+    * would swap in via the per-batch supplier pattern
+    * (DynamicRules.streaming). */
   def dimJoin(events: DataFrame, spark: SparkSession,
-      dir: String): DataFrame = {
-    val c = graft.Tables.customer(spark, dir)
-      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-    events.filter(col("event_type") === "purchase")
-      .join(broadcast(c), col("user_id") === col("c_custkey"))
-      .select(col("event_id"), col("user_id"), col("c_name"),
-        col("c_mktsegment"))
-  }
+      dir: String): DataFrame =
+    EventSemantics.dimJoin(events, graft.Tables.customer(spark, dir))
 
   /** Time-interval stream-stream join (Flink interval-join analog):
-    * purchases within 30 minutes after a click by the same user. The
-    * time bound doubles as the state-eviction constraint — each
-    * side's buffered rows are dropped once the other side's watermark
-    * passes the interval, so join state is bounded by rate × 30 min,
-    * not by history. Batch twin: EventQueries.eIntervalJoin. */
-  def intervalJoin(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .withWatermark("ts", "0 seconds")
-      .select(col("user_id").as("cu"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val purchases = events.filter(col("event_type") === "purchase")
-      .withWatermark("ts", "0 seconds")
-      .select(col("user_id").as("pu"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-    clicks.join(purchases,
-        col("cu") === col("pu") &&
-          col("purchase_ts") > col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
-        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
-        col("value"))
-  }
+    * shared core with per-side watermarks; the 30-minute bound
+    * doubles as the state-eviction constraint — each side's buffered
+    * rows are dropped once the other side's watermark passes the
+    * interval, so join state is bounded by rate × 30 min, not by
+    * history. */
+  def intervalJoin(events: DataFrame): DataFrame =
+    EventSemantics.intervalJoin(events, wm)
 }
