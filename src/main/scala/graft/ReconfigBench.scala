@@ -67,7 +67,6 @@ object ReconfigBench {
     rq.start()
     val reports = scala.collection.mutable.ArrayBuffer.empty[
       (Map[String, Double], Double)]
-    var prevPhases = Map.empty[String, Double]
     var rotation = 0
     val deadline = t0 + seconds * 1_000_000_000L
     while (System.nanoTime() < deadline) {
@@ -80,11 +79,9 @@ object ReconfigBench {
         val tR = System.nanoTime()
         val r = rq.execute(s"periodic remap #$rotation")
         val wallMs = (System.nanoTime() - tR) / 1e6
-        // profiler accumulates across reconfigs — diff to per-call
-        val delta = r.phasesMs.map { case (k, v) =>
-          k -> (v - prevPhases.getOrElse(k, 0.0)) }
-        prevPhases = r.phasesMs
-        reports += ((delta, wallMs))
+        // phasesMs is already this ONE reconfiguration's delta (the
+        // profiler itself stays cumulative; the report diffs it)
+        reports += ((r.phasesMs, wallMs))
       }
     }
     Thread.sleep(2000) // let the final generation commit some batches

@@ -73,6 +73,14 @@ final class ControllerEndpoint(
     catch {
       case e: DynamicCompiler.CompileException =>
         respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+      // anything else from the compile/eval path (e.g. the NPE a
+      // source evaluating to null raises inside eval's type match)
+      // must still ANSWER the exchange — an escaped throwable drops
+      // the connection with no response at all
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, s"""{"error":${
+          jsonStr(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }}""")
     }
   }
 

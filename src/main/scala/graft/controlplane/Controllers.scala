@@ -26,6 +26,28 @@ trait Controller {
     onBatch(executor, p.batchId, p.rowsPerKeygroup)
 }
 
+object Controller {
+  /** Greedy descending-weight pack of all keygroups onto `p` tasks:
+    * hottest group first, each onto the currently lightest task.
+    * Returns (assignment, heaviest task load). ONE definition shared
+    * by StreamSwitch's repack sizing and the load-balance remap — the
+    * two inline copies this replaces could drift on clamp/tie-break
+    * rules (ties follow sortBy's stable keygroup order in both). */
+  private[controlplane] def greedyPack(weight: Int => Double,
+      maxParallelism: Int, p: Int): (Vector[Int], Double) = {
+    val loads = new Array[Double](p)
+    val assign = new Array[Int](maxParallelism)
+    (0 until maxParallelism).sortBy(kg => -weight(kg)).foreach { kg =>
+      var best = 0
+      var t = 1
+      while (t < p) { if (loads(t) < loads(best)) best = t; t += 1 }
+      assign(kg) = best
+      loads(best) += weight(kg)
+    }
+    (assign.toVector, if (p == 0) 0.0 else loads.max)
+  }
+}
+
 /** Never reconfigures (DummyController). */
 final class DummyController extends Controller {
   val name = "dummy"
@@ -233,18 +255,8 @@ final class StreamSwitchController(operator: String,
   /** Greedy repack of keygroups by rate (descending) onto `p` tasks —
     * the migration move: hottest groups spread first, each to the
     * currently lightest task. */
-  private def packByRate(p: Int): (Vector[Int], Double) = {
-    val loads = new Array[Double](p)
-    val assign = new Array[Int](maxParallelism)
-    (0 until maxParallelism).sortBy(kg => -rates(kg)).foreach { kg =>
-      var best = 0
-      var t = 1
-      while (t < p) { if (loads(t) < loads(best)) best = t; t += 1 }
-      assign(kg) = best
-      loads(best) += rates(kg)
-    }
-    (assign.toVector, loads.max)
-  }
+  private def packByRate(p: Int): (Vector[Int], Double) =
+    Controller.greedyPack(rates, maxParallelism, p)
 
   override def onProgress(ex: ReconfigurationExecutor,
       p: graft.streaming.Metrics.BatchProgress): Option[ReconfigReport] = {
@@ -374,18 +386,12 @@ final class LoadBalanceController(operator: String,
     val hottest = perTask.values.maxOption.getOrElse(0L)
     if (hottest <= imbalanceFactor * mean) return None
 
-    // greedy rebalance: sort keygroups by observed load desc, assign
-    // each to the currently lightest task (of the plan's CURRENT count)
-    val loads = Array.fill(desc.parallelism)(0L)
-    val newAssign = new Array[Int](maxParallelism)
-    val byLoad = (0 until maxParallelism)
-      .sortBy(kg => -rowsPerKeygroup.getOrElse(kg, 0L))
-    byLoad.foreach { kg =>
-      val task = loads.zipWithIndex.minBy(_._1)._2
-      newAssign(kg) = task
-      loads(task) += rowsPerKeygroup.getOrElse(kg, 0L)
-    }
-    executor.assignWorkload(operator, newAssign.toVector)
+    // greedy rebalance onto the plan's CURRENT task count — the shared
+    // pack (one definition with StreamSwitch's repack sizing)
+    val (newAssign, _) = Controller.greedyPack(
+      kg => rowsPerKeygroup.getOrElse(kg, 0L).toDouble,
+      maxParallelism, desc.parallelism)
+    executor.assignWorkload(operator, newAssign)
     Some(executor.execute(s"$name@batch$batchId imbalance=${hottest / mean}"))
   }
 }

@@ -20,21 +20,32 @@ import graft.functions.GraftFunctions
   */
 object KeygroupRouter {
 
-  /** Routes keygroup kg to partition assignment(kg). */
+  /** Routes keygroup kg to partition assignment(kg). A stale
+    * assignment VALUE built for a larger parallelism (legal plan
+    * state after a scale-in — the routed DataFrame path tolerates it
+    * the same way) clamps onto the last partition instead of crashing
+    * the shuffle; a keygroup OUTSIDE the assignment's range stays a
+    * loud error (that is a maxParallelism mismatch between route()
+    * and the assignment, a wiring bug no clamp should hide). */
   final class AssignedKeygroupPartitioner(
       assignment: Array[Int], override val numPartitions: Int)
     extends Partitioner {
     override def getPartition(key: Any): Int = key match {
-      case kg: Int => assignment(kg)
+      case kg: Int =>
+        require(kg >= 0 && kg < assignment.length,
+          s"keygroup $kg outside assignment range ${assignment.length} " +
+            "(maxParallelism mismatch between route() and the assignment)")
+        math.min(assignment(kg), numPartitions - 1)
       case other => throw new IllegalArgumentException(s"not a keygroup: $other")
     }
   }
 
   def keygroup(key: String, maxParallelism: Int): Int = {
+    val bytes = key.getBytes("UTF-8")
     val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-      .hashUnsafeBytes(key.getBytes("UTF-8"),
+      .hashUnsafeBytes(bytes,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        key.getBytes("UTF-8").length, 42)
+        bytes.length, 42)
     ((h % maxParallelism) + maxParallelism) % maxParallelism
   }
 

@@ -186,10 +186,19 @@ final class ReconfigurableCountQuery(
       * drains every available batch before stopping —
       * `processAllAvailable` never returns against a continuously
       * generating source (rate, live Kafka), so continuous pipelines
-      * set `false`: stop() alone IS the sync barrier there, because
-      * the in-flight batch is uncommitted and replays from the
-      * checkpoint after resume (at-least-once, same guarantee the
-      * sinks already handle). */
+      * set `false`: stop() alone is the sync barrier there. Delivery
+      * of the stop()-aborted in-flight batch then depends on the
+      * reconfiguration path: on a ROUTING-ONLY one the restarted
+      * query resumes the SAME checkpoint, so the uncommitted batch
+      * replays (at-least-once). On a state-moving one the new
+      * generation opens a FRESH checkpoint and `sourceFactory`
+      * repositions the source — a durable source that resumes from
+      * its own committed consumer offsets preserves at-least-once; a
+      * head-positioned source (the rate source, this bench) drops
+      * whatever the aborted batch had read, and the loss is bounded
+      * by one trigger interval. Pin state layout (`statePartitions`)
+      * to make every logic-preserving reconfiguration routing-only
+      * and side-step the question entirely. */
     drainOnSync: Boolean = true)
   extends ReconfigurationExecutor {
 
@@ -230,6 +239,12 @@ final class ReconfigurableCountQuery(
   // empty row log even when another live instance shares `sinkTable`
   private val sinkKey =
     s"$sinkTable#${ReconfigurableCountQuery.instanceIds.incrementAndGet()}"
+
+  /** Key under which THIS instance's placement observations are
+    * recorded — per-instance for the same reason sinkKey is: two live
+    * pipelines sharing a sinkTable must not interleave last-writer-
+    * wins placement records. Tests read placements through this. */
+  def placementKey: String = sinkKey
 
   override def getPlan: QueryPlanDescriptor = plan
 
@@ -280,7 +295,7 @@ final class ReconfigurableCountQuery(
     val routed = observed.repartition(desc.parallelism,
       element_at(typedLit(kgToken),
         pmod(hash(col("key")), lit(maxParallelism)).cast("int")))
-    val (tag, gen, mp) = (sinkTable, generation, maxParallelism)
+    val (tag, gen, mp) = (sinkKey, generation, maxParallelism)
     val placed =
       if (!observePlacement) routed
       else routed.map { t =>
@@ -385,6 +400,10 @@ final class ReconfigurableCountQuery(
     if (staged == plan)
       return ReconfigReport(reason + " [no-op: staged == running plan]",
         Map.empty, before, plan)
+    // the profiler accumulates for the run's life (the reference's
+    // cumulative ReconfigurationProfiler); a ReconfigReport documents
+    // ONE reconfiguration, so it carries the delta from here
+    val phaseSnap = profiler.snapshotNs
     var routingOnly = false
     profiler.time("prepare") {
       val (s, p) = (staged.operators(OperatorName), plan.operators(OperatorName))
@@ -404,9 +423,20 @@ final class ReconfigurableCountQuery(
       profiler.time("updateState") {
         val st = readState(checkpointDir(generation)).cache()
         st.count() // materialize before the old checkpoint goes stale
+        // release the PREVIOUS generation's snapshot before replacing
+        // it — without this every legacy reconfiguration leaks one
+        // cached full-state Dataset for the life of the run
+        initState.foreach(_.unpersist(blocking = false))
         initState = Some(st)
       }
     }
+    // NOTE a routing-only reconfiguration deliberately KEEPS the
+    // current initState: if the generation's checkpoint has committed
+    // state, the resuming query ignores initial state (so a kept
+    // snapshot is harmless); if the routing-only restart lands BEFORE
+    // the generation's first commit, the re-attached snapshot is
+    // exactly the state the fresh checkpoint still needs. Dropping it
+    // here would lose state in that window.
     profiler.time("updateKeyMapping") {
       plan = staged
       // routing-only: same generation ⇒ same checkpoint ⇒ state stays
@@ -416,6 +446,6 @@ final class ReconfigurableCountQuery(
     profiler.time("resume") {
       start()
     }
-    ReconfigReport(reason, profiler.reportMs, before, plan)
+    ReconfigReport(reason, profiler.reportMsSince(phaseSnap), before, plan)
   }
 }

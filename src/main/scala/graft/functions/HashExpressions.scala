@@ -68,6 +68,17 @@ object HashImpl {
       }
       i += 1
     }
+    // REFUSE zero distinct tokens (empty or all-null array): every
+    // majority vote 2·0 ≥ 0 passes, so all such docs would share the
+    // all-ones signature and collide pairwise in any Hamming join —
+    // the same quadratic blow-up minhashSig's guard exists to
+    // prevent, raised loudly instead of silently. Unreachable through
+    // the operators: ws_tokens never returns an empty array
+    // ("" tokenizes to [""], one empty-string token).
+    if (total == 0) throw new IllegalArgumentException(
+      "simhash64 of zero distinct tokens is undefined (all such docs " +
+        "would share the all-ones signature and collide pairwise) — " +
+        "filter size(toks) > 0 before signing")
     var hi = 0L
     var lo = 0L
     var b = 0

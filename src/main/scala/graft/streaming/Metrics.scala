@@ -182,5 +182,21 @@ object Metrics {
     }
     def reportMs: Map[String, Double] =
       timers.map { case (k, ns) => k -> ns / 1e6 }.toMap
+
+    /** Cumulative totals snapshot (pair with [[reportMsSince]]). */
+    def snapshotNs: Map[String, Long] = timers.toMap
+
+    /** Phase times of ONE reconfiguration: the delta against a
+      * snapshot taken at its start. Phases with zero delta are
+      * ABSENT — so a routing-only reconfiguration that runs after a
+      * state-moving one reports no `updateState` entry, which is the
+      * exact property the zero-state-movement assertions check.
+      * (reportMs alone is cumulative across the profiler's life and
+      * inflates every report from the second reconfiguration on.) */
+    def reportMsSince(snap: Map[String, Long]): Map[String, Double] =
+      timers.collect {
+        case (k, ns) if ns - snap.getOrElse(k, 0L) > 0 =>
+          k -> (ns - snap.getOrElse(k, 0L)) / 1e6
+      }.toMap
   }
 }

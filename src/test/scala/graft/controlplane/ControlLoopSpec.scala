@@ -19,12 +19,14 @@ class ControlLoopSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val checkpointRoot = Files.createTempDirectory("ctl-loop").toString
-    PlacementObserver.clear("ctl_sink")
     var stream: MemoryStream[KeyedTuple] = null
     val rq = new ReconfigurableCountQuery(spark,
       () => { stream = MemoryStream[KeyedTuple]; stream.toDS() },
       checkpointRoot, "ctl_sink", initialParallelism = 2,
       observePlacement = true)
+    // placements are recorded under the per-INSTANCE key (two live
+    // pipelines sharing a sinkTable must not interleave records)
+    PlacementObserver.clear(rq.placementKey)
 
     val collector = new Metrics.ProgressCollector
     spark.streams.addListener(collector)
@@ -62,8 +64,8 @@ class ControlLoopSpec extends AnyFunSuite {
       // new generation ran on exactly the partition the plan assigns it,
       // and at least one keygroup physically moved between generations
       val planAfter = rq.getPlan.operators(rq.OperatorName).keygroupAssignment
-      val before = PlacementObserver.placement("ctl_sink", 0)
-      val after = PlacementObserver.placement("ctl_sink", 1)
+      val before = PlacementObserver.placement(rq.placementKey, 0)
+      val after = PlacementObserver.placement(rq.placementKey, 1)
       assert(after.nonEmpty, "no placement observed after remap")
       after.foreach { case (kg, part) =>
         assert(part === planAfter(kg), s"keygroup $kg off-plan")
