@@ -96,14 +96,22 @@ object DynamicRules {
       StructField("limit", DecimalType(38, 18)),
       StructField("windowMinutes", IntegerType)))
     import s.implicits._
-    s.createDataset(jsonLines)
+    // a malformed or incomplete control message parses to a null
+    // struct / null fields under from_json's PERMISSIVE mode — it
+    // must be SKIPPED (with a stderr note), not NPE the whole
+    // rule-refresh batch: one bad message on the control stream would
+    // otherwise take down the streaming deployment's rules supplier
+    val (ok, bad) = s.createDataset(jsonLines)
       .select(from_json(col("value"), schema).as("r"))
       .select(col("r.*"))
       .collect()
       .toSeq
-      .map(r => Rule(r.getInt(0), r.getString(1),
-        r.getSeq[String](2), r.getString(3), r.getString(4),
-        r.getString(5), BigDecimal(r.getDecimal(6)), r.getInt(7)))
+      .partition(r => !r.anyNull)
+    bad.foreach(r => System.err.println(
+      s"[rules] skipping malformed control message (parsed: $r)"))
+    ok.map(r => Rule(r.getInt(0), r.getString(1),
+      r.getSeq[String](2), r.getString(3), r.getString(4),
+      r.getString(5), BigDecimal(r.getDecimal(6)), r.getInt(7)))
   }
 
   /** The fixed demo rule set the oracle checks (rules arrive on a
@@ -126,19 +134,122 @@ object DynamicRules {
     * (the reference broadcasts ControlMessages to all tasks,
     * MegaphoneEvaluator.java:90,133-140 — here the rules supplier is
     * read at every batch, so rule ACTIVE/PAUSE/DELETE transitions from
-    * a control stream apply at the next trigger). Each batch's alerts
-    * are appended through `sink`. */
+    * a control stream apply at the next trigger).
+    *
+    * Windows ACCUMULATE across micro-batches: each batch is reduced
+    * executor-side to per-(rule, window, key) DECIMAL partials
+    * (sum/count/min/max — tiny relative to the events), which merge
+    * into a window-accumulator keyed exactly like the reference's
+    * per-key window state (MegaphoneEvaluator's MapState). A
+    * per-batch-only evaluation (the previous form here) under-counts
+    * every window that spans a trigger: 400 in batch 1 + 400 in batch
+    * 2 never fires a SUM>700 rule although the true window total is
+    * 800. Alerts are evaluated over the ACCUMULATED aggregates of the
+    * windows each batch touches and fire on every touching batch
+    * whose accumulated value satisfies the rule — the reference
+    * evaluates per arriving element the same way, so early partial
+    * alerts (an AVG rule that holds now and not at window end) are
+    * the reference's semantics, not an artifact. State is bounded:
+    * windows evict once the max event time seen passes their end plus
+    * `lateSlackMinutes`, and rules no longer ACTIVE drop their
+    * windows at the next batch. Each batch's alerts append through
+    * `sink` with the [[evaluate]] output schema. */
   def streaming(events: DataFrame, currentRules: () => Seq[Rule],
-      sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (DataFrame, Long) => Unit, lateSlackMinutes: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // (ruleId, winStartSec, key) -> (sum, cnt, min, max, winEndSec);
+    // confined to the streaming thread (foreachBatch is sequential)
+    val state = scala.collection.mutable.HashMap
+      .empty[(Int, Long, String), Array[java.math.BigDecimal]]
+    val winEnd = scala.collection.mutable.HashMap.empty[(Int, Long, String), Long]
+    var maxTsSec = Long.MinValue
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm")
+      .withZone(java.time.ZoneOffset.UTC)
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val rules = currentRules().filter(_.ruleState == "ACTIVE")
-        if (rules.nonEmpty && !batch.isEmpty)
-          sink(evaluate(batch.toDF(), rules), batchId)
+        val active = rules.map(_.ruleId).toSet
+        state.keySet.filterNot(k => active(k._1)).toSeq.foreach { k =>
+          state.remove(k); winEnd.remove(k)
+        }
+        if (rules.nonEmpty && !batch.isEmpty) {
+          val df = batch.toDF()
+          val touched = Seq.newBuilder[(Rule, (Int, Long, String))]
+          rules.foreach { r =>
+            val keyCols = r.groupingKeyNames.map(col)
+            val winStart = unix_timestamp(
+              window(col("ts"), s"${r.windowMinutes} minutes")
+                .getField("start"))
+            val d = col(r.aggregateFieldName).cast(dec)
+            df.groupBy(winStart.as("ws"),
+                concat_ws("|", keyCols.map(_.cast("string")): _*).as("key"))
+              .agg(sum(d).as("s"), count(lit(1)).as("c"),
+                min(d).as("mn"), max(d).as("mx"))
+              .collect()
+              .foreach { row =>
+                val k = (r.ruleId, row.getLong(0), row.getString(1))
+                val s = row.getDecimal(2); val c = row.getLong(3)
+                val mn = row.getDecimal(4); val mx = row.getDecimal(5)
+                val acc = state.getOrElseUpdate(k, Array(
+                  java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO,
+                  mn, mx))
+                acc(0) = acc(0).add(s)
+                acc(1) = acc(1).add(java.math.BigDecimal.valueOf(c))
+                if (mn.compareTo(acc(2)) < 0) acc(2) = mn
+                if (mx.compareTo(acc(3)) > 0) acc(3) = mx
+                winEnd(k) = row.getLong(0) + r.windowMinutes * 60L
+                touched += ((r, k))
+              }
+          }
+          maxTsSec = math.max(maxTsSec,
+            df.agg(max(unix_timestamp(col("ts")))).head().getLong(0))
+          val alerts = touched.result().distinct.flatMap { case (r, k) =>
+            val acc = state(k)
+            val value = r.aggregatorFunctionType match {
+              case "SUM" => acc(0).doubleValue
+              case "AVG" => acc(0).doubleValue / acc(1).longValue
+              case "MIN" => acc(2).doubleValue
+              case "MAX" => acc(3).doubleValue
+              case other => throw new IllegalArgumentException(s"agg $other")
+            }
+            val lim = r.limit.toDouble
+            val fires = r.limitOperatorType match {
+              case "=" => value == lim
+              case "!=" => value != lim
+              case ">" => value > lim
+              case "<" => value < lim
+              case ">=" => value >= lim
+              case "<=" => value <= lim
+              case other => throw new IllegalArgumentException(s"op $other")
+            }
+            if (fires)
+              Some(Row(k._1.toLong,
+                fmt.format(java.time.Instant.ofEpochSecond(k._2)),
+                k._3, value))
+            else None
+          }
+          // seal: a window whose end (+ slack) is behind the max event
+          // time seen can no longer be touched — drop its accumulator
+          val sealBefore = maxTsSec - lateSlackMinutes * 60L
+          winEnd.filter(_._2 <= sealBefore).keys.toSeq.foreach { k =>
+            state.remove(k); winEnd.remove(k)
+          }
+          if (alerts.nonEmpty) {
+            val s = df.sparkSession
+            sink(s.createDataFrame(
+              s.sparkContext.parallelize(alerts, 1),
+              StructType(Seq(
+                StructField("rule_id", LongType),
+                StructField("win_start", StringType),
+                StructField("key", StringType),
+                StructField("value", DoubleType)))), batchId)
+          }
+        }
       }
       .start()
+  }
 
   /** Oracle. Window starts via floor(epoch) (a bare ::BIGINT cast
     * rounds and can flip bucket at window boundaries) and

@@ -157,8 +157,12 @@ object EventQueries {
       .groupBy(col("keygroup")).agg(count(lit(1)).as("n"))
       .orderBy(col("keygroup"))
 
+  // floored mod on the oracle side: DuckDB's % keeps the dividend's
+  // sign while Spark's pmod is always non-negative — identical on the
+  // generator's user_id >= 0, but the definitions must agree for ANY
+  // corpus or a negative id silently lands in a different keygroup
   val eKeygroupsSql: String =
-    """SELECT user_id % 128 AS keygroup, COUNT(*) AS n
+    """SELECT ((user_id % 128) + 128) % 128 AS keygroup, COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY keygroup""".stripMargin
 
   /** JSON extraction from the props payload — per-row semi-structured
@@ -168,11 +172,17 @@ object EventQueries {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .orderBy(col("k"))
+      // NULLS LAST on BOTH sides: Spark's bare ASC is nulls-first,
+      // DuckDB's is nulls-last — a props payload missing $.k (legal
+      // JSON, absent key) would otherwise sort its NULL group to
+      // opposite ends and fail the order-sensitive hash compare.
+      // (Outright MALFORMED props remains a corpus contract: DuckDB's
+      // json_extract errors on it where get_json_object returns NULL.)
+      .orderBy(col("k").asc_nulls_last)
 
   val eJsonPropsSql: String =
     """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
-      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+      |FROM events GROUP BY 1 ORDER BY k NULLS LAST""".stripMargin
 
   /** Time-interval join (the Flink interval-join operator family):
     * purchases by the same user within 30 minutes AFTER a click.

@@ -25,7 +25,9 @@ class BpeTrainerSpec extends AnyFunSuite {
       for ((syms, wn) <- vocab; j <- 0 until syms.length - 1)
         counts((syms(j), syms(j + 1))) =
           counts.getOrElse((syms(j), syms(j + 1)), 0L) + wn
-      if (counts.isEmpty || counts.values.max < 2) done = true
+      // stop only when NO pair remains — same contract as train()
+      // and the oracle's fixed CTE chain (count-1 merges included)
+      if (counts.isEmpty) done = true
       else {
         val ((a, b), cnt) = counts.toSeq
           .minBy { case ((a, b), c) => (-c, a, b) }

@@ -62,4 +62,31 @@ class DynamicRulesStreamingSpec extends AnyFunSuite {
       assert(byRule(2L).map(_.getString(2)).toSet === Set("3"))
     } finally q.stop()
   }
+
+  test("windows accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val rules: Seq[Rule] = Seq(
+      Rule(1, "ACTIVE", Seq("user_id"), "value", "SUM", ">",
+        BigDecimal(700), 60))
+    val alerts = new ConcurrentLinkedQueue[Row]()
+    val q = DynamicRules.streaming(in.toDF(), () => rules,
+      (df, _) => df.collect().foreach(alerts.add))
+    try {
+      def ev(sec: Long, user: Long, v: Double) =
+        Ev(new Timestamp(sec * 1000), user, v)
+      // both batches land in the same 60-minute window; neither alone
+      // clears SUM > 700 — a per-batch-only evaluation never fires
+      in.addData(ev(100, 1, 400.0))
+      q.processAllAvailable()
+      assert(alerts.isEmpty, "fired on a 400 partial")
+      in.addData(ev(200, 1, 400.0))
+      q.processAllAvailable()
+      val fired = alerts.asScala.toList
+      assert(fired.map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+        === List((1L, "1", 800.0)),
+        s"expected one accumulated 800.0 alert, got $fired")
+    } finally q.stop()
+  }
 }
