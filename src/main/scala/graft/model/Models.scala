@@ -25,8 +25,12 @@ case class Auction(id: Long, itemName: String, description: String,
 
 /** Stock-exchange order (pipe-separated SSE line; field indices per
   * reference stock/InAppStatefulStockExchange.java:31-38; parse
-  * semantics per stock/Order.java:32-46: price ×100 truncated to int
-  * cents, volumes truncated to int). */
+  * semantics per stock/Order.java:32-46 EXCEPT the price: the
+  * reference truncates ×100 to int cents, which loses one cent on
+  * every 2-decimal price whose double product rounds down
+  * ("10.97" → 1096) — parse() deliberately ROUNDS instead (see the
+  * comment in [[Order.parse]]); volumes truncate like the
+  * reference. */
 case class Order(orderNo: String, tranMaintCode: String,
     lastUpdTime: String, orderPriceCents: Int, orderExecVol: Int,
     orderVol: Int, secCode: String, tradeDir: String)

@@ -82,22 +82,30 @@ object AnnIvf {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
 
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(dotProduct(col("v"), col("v"))))
+    // one shared definition of the double-cast + sequential-fold norm
+    // (the determinism contract the oracles depend on)
+    val emb = AnnLsh.vecTable(s, dir)
 
     // train the coarse quantizer on a deterministic driver-side sample:
     // keep vec_ids whose md5-derived hash ≡ 0 (mod every), every sized
-    // so the sample is ~10k vectors regardless of storage order
-    val n = emb.count()
-    val every = math.max(1L, n / 10000L)
-    val sample = emb
-      .filter(pmod(md5CoinLong(col("vec_id")), lit(every)) === 0)
-      .orderBy(col("vec_id"))
-      .select(col("v")).as[Array[Double]].collect()
-    val cents = kmeans(sample, nlist, iters)
-    val bc = s.sparkContext.broadcast(cents)
+    // so the sample is ~10k vectors regardless of storage order.
+    // Count + sample collect + k-means + the centroid broadcast are
+    // ALL construction-time model state — memoized per (session, table
+    // version, quantizer config) like AnnLsh.embeddingCount, so query
+    // registration sweeps and repeated bench/verify builds pay the two
+    // Spark jobs and the driver k-means once, and exactly ONE centroid
+    // broadcast exists per config instead of one per construction
+    // (the per-build broadcasts were never destroyed).
+    val bc = Tables.memoizedAtConstruction(s, dir, "embeddings",
+      s"ivf-centroids-$nlist-$iters") {
+      val n = AnnLsh.embeddingCount(s, dir)
+      val every = math.max(1L, n / 10000L)
+      val sample = emb
+        .filter(pmod(md5CoinLong(col("vec_id")), lit(every)) === 0)
+        .orderBy(col("vec_id"))
+        .select(col("v")).as[Array[Double]].collect()
+      s.sparkContext.broadcast(kmeans(sample, nlist, iters))
+    }
 
     val cands = emb.filter(col("vec_id") >= 10)
       .as[(Long, Array[Double], Double)]

@@ -179,7 +179,7 @@ object AnnLsh {
     * registration sweeps and plan-hygiene inspection build these
     * DataFrames repeatedly — one count job per (session, table
     * version) is the construction-time ceiling, not one per build. */
-  private def embeddingCount(s: SparkSession, dir: String): Long =
+  private[operators] def embeddingCount(s: SparkSession, dir: String): Long =
     Tables.memoizedAtConstruction(s, dir, "embeddings") {
       Tables.embeddings(s, dir).count()
     }

@@ -335,17 +335,27 @@ object DedupQueries {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     hammingPairs(s, dir).orderBy(col("id1"), col("id2"))
 
-  /** Test hook: run a CC path directly over an arbitrary (id1, id2)
-    * pair DataFrame (DedupClustersSpec's random-graph agreement). */
   /** Rounds taken by the most recent star-contraction run — test
     * observability for the O(log n) convergence claim. */
   @volatile private[graft] var lastStarRounds: Int = -1
 
+  /** Test hook: run a NAMED CC path directly over an arbitrary
+    * (id1, id2) pair DataFrame (DedupClustersSpec's agreement tests).
+    * "propagate" is reachable ONLY through here and the
+    * spark.graft.cc.algorithm conf — without this the propagation
+    * loop had no executing test (the conf-forced spec comparison was
+    * served from the simhashClusters memo and compared the driver
+    * union-find's parquet with itself). */
   private[graft] def ccForTest(s: SparkSession, pairDf: DataFrame,
-      local: Boolean): DataFrame = {
+      path: String): DataFrame = {
     import s.implicits._
-    if (local) ccUnionFindLocal(s, pairDf.as[(Long, Long)].collect())
-    else ccStarDistributed(s, pairDf)
+    path match {
+      case "local" => ccUnionFindLocal(s, pairDf.as[(Long, Long)].collect())
+      case "star" => ccStarDistributed(s, pairDf)
+      case "propagate" =>
+        ccPropagateDistributed(s, pairDf, 2 * pairDf.count())
+      case other => throw new IllegalArgumentException(s"unknown cc path $other")
+    }
   }
 
   /** Dev hook for tools.ProfileClusters — the raw pair set. */
@@ -363,7 +373,7 @@ object DedupQueries {
     * identical across its four consumers, so it is computed once per
     * (session, testdata version) into scratch parquet and re-read
     * (distributed write/read, keyed on documents.parquet mtime). */
-  private def hammingPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def hammingPairs(s: SparkSession, dir: String): DataFrame = {
     val path = Tables.memoizedAtConstruction(s, dir, "documents",
       "simhash-pairs") {
       val out = Tables.scratchDir(s, dir, "documents", "pairs")
@@ -528,7 +538,7 @@ object DedupQueries {
     if (edgeCount <= threshold)
       ccUnionFindLocal(s, pairDf.as[(Long, Long)].collect())
     else s.conf.get("spark.graft.cc.algorithm", "star") match {
-      case "propagate" => ccPropagateDistributed(s, pairDf)
+      case "propagate" => ccPropagateDistributed(s, pairDf, 2 * edgeCount)
       case _ => ccStarDistributed(s, pairDf)
     }
   }
@@ -575,15 +585,18 @@ object DedupQueries {
     * shuffle, no per-round planning. Partition count is sized by the
     * observed edge count, so the same code runs 1 task at test scale
     * and hundreds at 100 TB. */
+  /** `edgeCount` = DIRECTED edge count (2 × pair rows), passed down by
+    * the caller — connectedComponents just counted the pair set to
+    * pick this path, and re-counting here was a redundant full scan
+    * of the multi-million-row pair table. */
   private def ccPropagateDistributed(s: SparkSession,
-      pairDf: DataFrame): DataFrame = {
+      pairDf: DataFrame, edgeCount: Long): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     import s.implicits._
     val edges0 = pairDf.rdd.flatMap(r =>
       Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
-    val edgeCount = 2 * pairDf.count()
     // same sizing rule as the star path: edge-volume scaled, floored
     // at the cluster's parallelism
     val nParts = math.max(1, math.min(400,

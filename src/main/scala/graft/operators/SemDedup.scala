@@ -27,10 +27,21 @@ object SemDedup {
     * cosine ≥ [[Threshold]] LSH-verified pair graph; untouched
     * vectors are their own representative. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
+    // same 6-bit width gate as AnnLsh.nearDupLshQuery: the oracle CTE
+    // below is PINNED at bucketsCte(16, 6), and past 2048 vectors (or
+    // under a spark.graft.lsh.bits override) the auto width grows —
+    // the candidate set, clusters, and representatives would silently
+    // diverge from the static SQL. Fail loudly on gated corpus growth
+    // instead; non-gated scale callers use nearDupLsh directly.
+    val width = AnnLsh.pairsBitsFor(s, AnnLsh.embeddingCount(s, dir))
+    require(width == 6,
+      s"semDedup oracle SQL is pinned at 6-bit buckets but " +
+        s"pairsBitsFor = $width; regenerate the oracle for this width " +
+        "or gate a corpus <= 2048 vectors")
     // nearDupLsh serves from its scratch-parquet memo — the CC
     // probe's count and the labeling passes are cheap columnar
     // re-reads, no row cache needed (same reasoning as hammingPairs)
-    val pairs = AnnLsh.nearDupLsh(s, dir, Threshold)
+    val pairs = AnnLsh.nearDupLsh(s, dir, Threshold, bits = width)
       .select(col("id1"), col("id2"))
     val labeled = DedupQueries.connectedComponents(s, pairs)
     val singletons = Tables.embeddings(s, dir).select(col("vec_id"))

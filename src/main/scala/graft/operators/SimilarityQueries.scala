@@ -131,7 +131,11 @@ object SimilarityQueries {
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(s, dir)
     val cap = s.conf.get("spark.graft.bruteforce.maxRows", "20000").toLong
-    val n = emb.count()
+    // memoized per (session, table version) — the cap guard runs at
+    // every plan construction (registration sweeps, plan hygiene,
+    // each bench/verify build), and an unmemoized count() was a full
+    // embeddings scan job each time
+    val n = AnnLsh.embeddingCount(s, dir)
     if (n > cap) throw new graft.model.DesignedSkip(
       s"embeddingNearDup is the exact all-pairs form ($n rows > cap $cap " +
         s"=> ~${n * n / 2} candidate pairs); use the LSH-bucketed scale " +

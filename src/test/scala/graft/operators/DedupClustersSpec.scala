@@ -13,26 +13,41 @@ class DedupClustersSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private val thresholdKey = "spark.graft.cc.localEdgeThreshold"
-  private val algoKey = "spark.graft.cc.algorithm"
 
   private def clusters(): Seq[(Long, Long)] =
     DedupQueries.simhashClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   test("union-find, star contraction, and propagation agree exactly") {
-    val local = clusters()
-    assert(local.nonEmpty)
+    val viaQuery = clusters()
+    assert(viaQuery.nonEmpty)
     // sanity: at least one real (multi-doc) cluster exists at sf0.001
-    assert(local.exists { case (doc, rep) => doc != rep },
+    assert(viaQuery.exists { case (doc, rep) => doc != rep },
       "fixture produced no non-trivial clusters")
-    spark.conf.set(thresholdKey, "0") // force the distributed paths
+    // the three paths must run on the REAL pair set through ccForTest:
+    // re-calling simhashClusters under forced confs (the old form of
+    // this test) hit the per-session output memo and compared the
+    // first run's parquet with itself — the conf never reached the
+    // path selection and "propagate" had no executing test at all
+    val pairDf = DedupQueries.hammingPairs(spark, dir)
+      .select(org.apache.spark.sql.functions.col("id1"),
+        org.apache.spark.sql.functions.col("id2"))
+    def run(path: String): Seq[(Long, Long)] =
+      DedupQueries.ccForTest(spark, pairDf, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val local = run("local")
+    spark.conf.set(thresholdKey, "0") // pure distributed loop
     try {
-      val star = clusters()
-      assert(local === star)
-      spark.conf.set(algoKey, "propagate")
-      try assert(local === clusters())
-      finally spark.conf.unset(algoKey)
+      assert(run("star") === local, "star diverged from union-find")
+      assert(run("propagate") === local, "propagate diverged from union-find")
     } finally spark.conf.unset(thresholdKey)
+    // and the end-to-end memoized labels agree with CC over their own
+    // pair set for every pair-covered doc (singletons label themselves
+    // upstream of CC)
+    val byDoc = viaQuery.toMap
+    local.foreach { case (doc, rep) =>
+      assert(byDoc(doc) === rep, s"doc $doc labeled ${byDoc(doc)} != $rep")
+    }
   }
 
   /** The selling point of large/small-star over min-label propagation
@@ -57,7 +72,7 @@ class DedupClustersSpec extends AnyFunSuite {
     val pairDf = spark.range(n - 1)
       .select(col("id").as("id1"), (col("id") + 1).as("id2"))
     val got = withPureStar {
-      DedupQueries.ccForTest(spark, pairDf, local = false)
+      DedupQueries.ccForTest(spark, pairDf, "star")
         .as[(Long, Long)].collect()
     }
     assert(DedupQueries.lastStarRounds > 0)
@@ -82,16 +97,20 @@ class DedupClustersSpec extends AnyFunSuite {
       }.filter { case (a, b) => a != b }
       val edges = (chain ++ rand).distinct
       val pairDf = edges.toDF("id1", "id2")
-      val expected = DedupQueries.ccForTest(spark, pairDf, local = true)
+      val expected = DedupQueries.ccForTest(spark, pairDf, "local")
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       val got = withPureStar {
-        DedupQueries.ccForTest(spark, pairDf, local = false)
+        DedupQueries.ccForTest(spark, pairDf, "star")
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       }
       assert(got === expected, s"trial $trial (n=$n) diverged")
+      // min-label propagation on the same random graph
+      val prop = DedupQueries.ccForTest(spark, pairDf, "propagate")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(prop === expected, s"trial $trial (n=$n) propagate diverged")
       // the recursive hybrid (star rounds + bounded union-find finish,
       // the default-threshold path) must reach the same fixpoint
-      val hybrid = DedupQueries.ccForTest(spark, pairDf, local = false)
+      val hybrid = DedupQueries.ccForTest(spark, pairDf, "star")
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       assert(hybrid === expected, s"trial $trial (n=$n) hybrid diverged")
       // the DF large-star round picks broadcast-map vs shuffle-join by
@@ -103,7 +122,7 @@ class DedupClustersSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.cc.broadcastNodeThreshold", "0")
       spark.conf.set("spark.graft.cc.preContract", "false")
       try {
-        val joined = DedupQueries.ccForTest(spark, pairDf, local = false)
+        val joined = DedupQueries.ccForTest(spark, pairDf, "star")
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         assert(joined === expected, s"trial $trial (n=$n) join-path diverged")
       } finally {
@@ -116,7 +135,7 @@ class DedupClustersSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.cc.preContract", "false")
       try {
         val noPre = withPureStar {
-          DedupQueries.ccForTest(spark, pairDf, local = false)
+          DedupQueries.ccForTest(spark, pairDf, "star")
             .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         }
         assert(noPre === expected, s"trial $trial (n=$n) no-pre diverged")
@@ -127,7 +146,7 @@ class DedupClustersSpec extends AnyFunSuite {
         // driver bound, which no other variant executes (pre-contract
         // finishes small graphs in phase 0, the join-fallback block
         // forces the gate to 0, withPureStar skips DF rounds)
-        val bmap = DedupQueries.ccForTest(spark, pairDf, local = false)
+        val bmap = DedupQueries.ccForTest(spark, pairDf, "star")
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         assert(bmap === expected,
           s"trial $trial (n=$n) broadcast-map path diverged")
