@@ -29,6 +29,23 @@ import graft.Tables
   */
 object MediaPipeline {
 
+  // per-thread digest (the kernel pattern from HashExpressions): the
+  // JCA getInstance lookup per ROW on corpus-sized paths is pure
+  // wasted allocation
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  private def digestMd5: MessageDigest = {
+    val d = md5Local.get(); d.reset(); d
+  }
+
+  // ImageIO's use-cache flag is a JVM-wide static; setting it per row
+  // from every task thread is contended global mutation — a lazy val
+  // sets it exactly once per JVM
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Opaque media payload + typed metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int)
@@ -43,8 +60,7 @@ object MediaPipeline {
     * digest bytes — so tests and oracles are stable. ??? -> replace
     * with the real codec when available. */
   def decodeStub(payload: Array[Byte]): (String, Array[Float]) = {
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(payload)
+    val d = digestMd5.digest(payload)
     val hex = d.map("%02x".format(_)).mkString
     val feat = d.take(8).map(b => (b & 0xff) / 255.0f)
     (hex, feat)
@@ -106,7 +122,7 @@ object MediaPipeline {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoNoCache
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -117,7 +133,7 @@ object MediaPipeline {
     * None when no installed reader claims the payload. */
   private[operators] def decodeImage(
       payload: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoNoCache
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     if (img == null) None
@@ -172,8 +188,7 @@ object MediaPipeline {
           decodeImage(m.payload) match {
             case Some((w, h, ch, mr, mg, mb)) =>
               val canon = s"${w}x${h}x$mr,$mg,$mb"
-              val md = MessageDigest.getInstance("MD5")
-              val hex = md.digest(canon.getBytes("UTF-8"))
+              val hex = digestMd5.digest(canon.getBytes("UTF-8"))
                 .map("%02x".format(_)).mkString
               MediaDecoded(m.media_id, m.kind, w, h, ch, mr, mg, mb, hex)
             case None =>
@@ -267,9 +282,17 @@ object MediaPipeline {
   /** The per-row `unnest(range(...))` bound is the SAME frame-count
     * formula the operator computes (`(len - 64) / 128 + 1`, zero for
     * payloads shorter than a frame) — no hard cap, so the oracle
-    * agrees with the operator for arbitrarily long payloads. The CASE
+    * agrees with the operator for arbitrarily LONG payloads. The CASE
     * mirrors the Scala guard exactly because DuckDB's `//` truncates
-    * toward zero rather than flooring. */
+    * toward zero rather than flooring.
+    *
+    * Corpus contract (like the tokenizer's 0x0B note): the operator
+    * slices the UTF-8 payload by BYTES while this SQL slices text by
+    * CHARACTERS — identical only while documents are pure ASCII,
+    * which the driver fixtures are. DuckDB cannot express the
+    * byte-exact form (no substring over BLOB), so a non-ASCII corpus
+    * needs either ASCII normalization ahead of the media oracle or a
+    * DuckDB with blob slicing. */
   val mediaFramesSql: String =
     """SELECT media_id, i AS frame_idx,
       |  md5(substr(text, CAST(i * 128 + 1 AS INT), 64)) AS frame_digest

@@ -136,7 +136,16 @@ object OrderBook {
       case "D" => delete(o); Nil
       case _ =>
         if (Order.hhmmss(o.lastUpdTime) < Order.ContinuousOpenHHMMSS) {
-          insert(o); Nil // pre-open: book build only
+          // pre-open: book build only. A fully-executed row
+          // (exec >= vol — real SSE feeds carry them) has no open
+          // volume and must NOT rest: a later crossing order would
+          // match it for a zero/negative-volume trade, and the
+          // negative case INFLATES the incoming side's remaining
+          // (remaining -= vol with vol < 0), corrupting the book. The
+          // post-open path already drops such rows via its
+          // remaining > 0 guard — this makes the two phases agree.
+          if (o.orderVol - o.orderExecVol > 0) insert(o)
+          Nil
         } else matchOrder(o)
     }
 

@@ -45,13 +45,28 @@ object OrderReplaySource {
     * and delete paths. */
   def writeSyntheticOrders(path: String, securities: Seq[String],
       ordersPerSec: Int): Unit = {
+    // timestamps must be MONOTONIC in i within each phase: the replay
+    // sorts by (hhmmss, orderNo) — a fixed minute with seconds = i%60
+    // wrapped every 60 orders, so past 60 orders per phase a delete
+    // row could sort a whole wrap-cycle BEFORE the add it targets and
+    // silently no-op (defeating the delete-path coverage the fixture
+    // exists for). Encode i as a full seconds offset instead; the
+    // bound keeps the pre-open phase strictly before the 09:30 open.
+    require(ordersPerSec <= 5000,
+      s"ordersPerSec $ordersPerSec > 5000: the pre-open phase " +
+        "(ordersPerSec/5 seconds from 09:10:00) would cross the " +
+        "09:30 continuous open")
+    def fmt(baseSec: Int, i: Int): String = {
+      val t = baseSec + i
+      f"${t / 3600}%02d:${t / 60 % 60}%02d:${t % 60}%02d"
+    }
     val sb = new StringBuilder
     securities.zipWithIndex.foreach { case (sec, si) =>
       val mid = 1000 + si * 100 // dollars*0.01 → cents via parse
       (0 until ordersPerSec).foreach { i =>
         val pre = i < ordersPerSec / 5
-        val hh = if (pre) "09:10" else "09:30"
-        val time = f"$hh:${i % 60}%02d"
+        val time =
+          if (pre) fmt(9 * 3600 + 10 * 60, i) else fmt(9 * 3600 + 30 * 60, i)
         val dir = if (i % 2 == 0) "B" else "S"
         // write cents as an exact 2-decimal string: a double division
         // (cents / 100.0) stringifies to values the cents conversion
@@ -69,7 +84,8 @@ object OrderReplaySource {
         }
       }
     }
-    Files.createDirectories(Paths.get(path).getParent)
+    // a bare filename has a null parent — only create what exists
+    Option(Paths.get(path).getParent).foreach(p => Files.createDirectories(p))
     Files.writeString(Paths.get(path), sb.toString)
   }
 }

@@ -166,7 +166,11 @@ object TransformWithStateOps {
       case "D" => delete(o); Nil
       case _ =>
         if (Order.hhmmss(o.lastUpdTime) < Order.ContinuousOpenHHMMSS) {
-          insert(o); Nil
+          // same no-open-volume guard as the OrderBookState twin: a
+          // fully-executed pre-open row must not rest (zero/negative
+          // trades + remaining inflation on a later cross)
+          if (o.orderVol - o.orderExecVol > 0) insert(o)
+          Nil
         } else matchOrder(o)
     }
 
