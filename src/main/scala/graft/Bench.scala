@@ -53,6 +53,11 @@ object Bench {
           ((s, d) => graft.operators.AnnLsh.annTopKScaled(s, d)),
         "sim_ann_multiprobe" ->
           ((s, d) => graft.operators.AnnLsh.annMultiProbeScaled(s, d)),
+        // the oracle form's 6-bit width gate refuses corpora past
+        // 2048 vectors (pinned static SQL); the bench runs the
+        // auto-width production pipeline, like the two entries above
+        "sim_sem_dedup" ->
+          ((s, d) => graft.operators.SemDedup.semDedupScaled(s, d)),
         // exact-form guards: the _pruned twins below set the topK
         // confs at construction, which would otherwise leak into the
         // exact forms on the next sweep/dir — pin them unset here

@@ -25,23 +25,34 @@ object SemDedup {
 
   /** (vec_id, cluster_rep, keep): component labels over the
     * cosine ≥ [[Threshold]] LSH-verified pair graph; untouched
-    * vectors are their own representative. */
+    * vectors are their own representative. Oracle-gated form — same
+    * 6-bit width gate as AnnLsh.nearDupLshQuery: the oracle CTE below
+    * is PINNED at bucketsCte(16, 6), and past 2048 vectors (or under
+    * a spark.graft.lsh.bits override) the auto width grows — the
+    * candidate set, clusters, and representatives would silently
+    * diverge from the static SQL. Fail loudly on gated corpus growth
+    * instead; scale callers (and the bench) use [[semDedupScaled]]. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    // same 6-bit width gate as AnnLsh.nearDupLshQuery: the oracle CTE
-    // below is PINNED at bucketsCte(16, 6), and past 2048 vectors (or
-    // under a spark.graft.lsh.bits override) the auto width grows —
-    // the candidate set, clusters, and representatives would silently
-    // diverge from the static SQL. Fail loudly on gated corpus growth
-    // instead; non-gated scale callers use nearDupLsh directly.
     val width = AnnLsh.pairsBitsFor(s, AnnLsh.embeddingCount(s, dir))
     require(width == 6,
       s"semDedup oracle SQL is pinned at 6-bit buckets but " +
         s"pairsBitsFor = $width; regenerate the oracle for this width " +
         "or gate a corpus <= 2048 vectors")
+    pipeline(s, dir, width)
+  }
+
+  /** Production auto-width form (scale benchmarks): the signature
+    * width follows [[AnnLsh.pairsBitsFor]] so bucket occupancy — and
+    * the candidate join — stays bounded as the corpus grows; no
+    * static-oracle pin, so no width gate. */
+  def semDedupScaled(s: SparkSession, dir: String): DataFrame =
+    pipeline(s, dir, AnnLsh.pairsBitsFor(s, AnnLsh.embeddingCount(s, dir)))
+
+  private def pipeline(s: SparkSession, dir: String, bits: Int): DataFrame = {
     // nearDupLsh serves from its scratch-parquet memo — the CC
     // probe's count and the labeling passes are cheap columnar
     // re-reads, no row cache needed (same reasoning as hammingPairs)
-    val pairs = AnnLsh.nearDupLsh(s, dir, Threshold, bits = width)
+    val pairs = AnnLsh.nearDupLsh(s, dir, Threshold, bits = bits)
       .select(col("id1"), col("id2"))
     val labeled = DedupQueries.connectedComponents(s, pairs)
     val singletons = Tables.embeddings(s, dir).select(col("vec_id"))
