@@ -115,18 +115,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     * query so the final adaptive tree (where reuse is visible) is
     * what gets walked. */
   test("source overlap: one corpus scan, no shingle self-join") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val df = graft.operators.CurationQueries.sourceOverlap(spark, dir)
     df.collect() // finalize AQE so stage reuse is visible in the tree
-    def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
-      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
-      case q: QueryStageExec => q +: walk(q.plan)
-      case r: ReusedExchangeExec => Seq(r) // reused stage: runs once
-      case o => o +: o.children.flatMap(walk)
-    }
-    val nodes = walk(df.queryExecution.executedPlan)
+    val nodes = SparkTestUtil.walkPlan(df.queryExecution.executedPlan)
     val docScans = nodes.collect {
       case f: FileSourceScanExec if f.toString.contains("documents") => f
     }
@@ -152,13 +144,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val df = graft.operators.CurationQueries.dupSpans(spark, dir)
     df.collect()
-    def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
-      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
-      case q: QueryStageExec => q +: walk(q.plan)
-      case r: ReusedExchangeExec => Seq(r)
-      case o => o +: o.children.flatMap(walk)
-    }
-    val nodes = walk(df.queryExecution.executedPlan)
+    val nodes = SparkTestUtil.walkPlan(df.queryExecution.executedPlan)
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")), plan(df))
     // the window feeds its aggregations through the existing doc_id
     // partitioning: no Exchange may sit between Window and the run-
@@ -169,7 +155,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       case q: QueryStageExec => pathHasExchangeAboveWindow(q.plan, sawAgg)
       case o if o.nodeName.contains("Window") => false
       case o if o.nodeName.contains("Exchange") && sawAgg =>
-        o.children.exists(c => walk(c).exists(_.nodeName.contains("Window")))
+        o.children.exists(c => SparkTestUtil.walkPlan(c).exists(_.nodeName.contains("Window")))
       case o =>
         val saw = sawAgg || o.nodeName.contains("HashAggregate")
         o.children.exists(c => pathHasExchangeAboveWindow(c, saw))

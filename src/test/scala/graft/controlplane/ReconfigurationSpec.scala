@@ -152,7 +152,6 @@ class ReconfigurationSpec extends AnyFunSuite {
     * Readers take the newest (batch_id) row per key. */
   test("file sink survives pinned-layout rescale with state preserved") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, max_by}
     implicit val sql = spark.sqlContext
     val checkpointRoot = Files.createTempDirectory("reconfig-fs").toString
     val sinkDir = Files.createTempDirectory("reconfig-fs-out").toString + "/counts"

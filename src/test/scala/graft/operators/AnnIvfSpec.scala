@@ -21,15 +21,17 @@ class AnnIvfSpec extends AnyFunSuite {
   test("ivf recall@5 vs brute force with probed-cell pruning") {
     val exact = SimilarityQueries.cosineTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = AnnIvf.annTopK(spark, dir, nlist = 8, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // one execution, two assertions: only the centroid model is
+    // memoized, so a second annTopK call re-runs the full distributed
+    // probe/re-rank job for nothing
+    val rows = AnnIvf.annTopK(spark, dir, nlist = 8, nprobe = 4).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall too low: $recall")
     // ranked output must be exactly re-ranked by cosine
-    AnnIvf.annTopK(spark, dir, nlist = 8, nprobe = 4).collect()
-      .groupBy(_.getLong(0)).foreach { case (_, rs) =>
-        val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
-        assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
-      }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
   }
 }

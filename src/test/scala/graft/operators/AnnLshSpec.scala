@@ -19,13 +19,24 @@ class AnnLshSpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall too low: $recall")
 
-    // candidate reduction: bucketing must prune most of the corpus
-    val total = graft.Tables.embeddings(spark, dir).count() - 10
-    val scoredPerQuery = AnnLsh
-      .sigTable(spark, dir, tables = 16, bits = 6)
-      .filter(org.apache.spark.sql.functions.col("vec_id") >= 10)
-      .count().toDouble / 16 // rows per table ≈ corpus size
-    assert(scoredPerQuery <= total.toDouble)
+    // candidate reduction: bucketing must prune most of the corpus.
+    // Measured on the ACTUAL candidate pair set (distinct (qid, cid)
+    // sharing >= 1 bucket) against the 10·(N−10) brute-force pair
+    // count — an earlier form divided sigTable's row count by the
+    // table count, which is identically the corpus size and could
+    // never fail, even with every vector in one bucket.
+    import org.apache.spark.sql.functions.col
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val sig = AnnLsh.sigTable(spark, dir, tables = 16, bits = 6)
+    val candidatePairs = sig.filter(col("vec_id") >= 10)
+      .withColumnRenamed("vec_id", "cid")
+      .join(sig.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid"),
+        Seq("table", "bucket"))
+      .select(col("qid"), col("cid")).distinct().count()
+    val bruteForcePairs = 10.0 * (n - 10)
+    assert(candidatePairs < bruteForcePairs * 0.8,
+      s"LSH scored $candidatePairs of ${bruteForcePairs.toLong} " +
+        "brute-force pairs — bucketing is not pruning")
   }
 
   /** The multi-probe claim: with a QUARTER of the index (4 tables vs
@@ -86,11 +97,17 @@ class AnnLshSpec extends AnyFunSuite {
     val broadcastPairs = AnnLsh.nearDupLsh(spark, dir, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(broadcastPairs.nonEmpty)
-    spark.conf.set("spark.graft.neardup.broadcastMaxBytes", "1")
-    try {
+    // the comparison below must compare NON-EMPTY sets, or a fixture
+    // drift leaving every cosine under 0.45 would "verify" a broken
+    // shuffle branch against the empty set
+    assert(broadcastPairs.exists(_._3 >= 0.45),
+      "fixture has no pairs above the fallback threshold — the " +
+        "shuffle-branch comparison would be vacuous")
+    graft.SparkTestUtil.withConf(spark,
+        "spark.graft.neardup.broadcastMaxBytes", "1") {
       val shufflePairs = AnnLsh.nearDupLsh(spark, dir, threshold = 0.45)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(shufflePairs === broadcastPairs.filter(_._3 >= 0.45))
-    } finally spark.conf.unset("spark.graft.neardup.broadcastMaxBytes")
+    }
   }
 }

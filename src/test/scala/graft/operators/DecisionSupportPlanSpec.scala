@@ -1,8 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -21,24 +19,18 @@ class DecisionSupportPlanSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def noBroadcast[A](f: => A): A = {
-    val key = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "-1")
-    try f finally spark.conf.set(key, prev)
-  }
+  private def noBroadcast[A](f: => A): A =
+    graft.SparkTestUtil.withConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold", "-1")(f)
 
-  /** All parquet scans in the EXECUTED plan, descending into AQE
-    * query stages; a ReusedExchange subtree is shared work, not a
-    * second scan. */
-  private def scanPaths(p: SparkPlan): Seq[String] = p match {
-    case a: AdaptiveSparkPlanExec => scanPaths(a.executedPlan)
-    case q: QueryStageExec => scanPaths(q.plan)
-    case _: ReusedExchangeExec => Seq.empty
-    case f: FileSourceScanExec =>
-      f.relation.location.rootPaths.map(_.toString)
-    case other => other.children.flatMap(scanPaths)
-  }
+  /** All parquet scans in the EXECUTED plan — the shared walker
+    * (graft.SparkTestUtil.walkPlan) already stops at a reused
+    * exchange, so collecting scan nodes over it counts shared work
+    * once. */
+  private def scanPaths(p: SparkPlan): Seq[String] =
+    graft.SparkTestUtil.walkPlan(p).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
 
   private def lineitemScans(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect()

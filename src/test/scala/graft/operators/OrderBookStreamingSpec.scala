@@ -68,9 +68,7 @@ class OrderBookStreamingSpec extends AnyFunSuite {
     assert(batchTrades.nonEmpty, "fixture produced no trades")
 
     val (k, v) = graft.streaming.TransformWithStateOps.RocksDbProvider
-    val previous = spark.conf.getOption(k)
-    spark.conf.set(k, v)
-    try {
+    graft.SparkTestUtil.withConf(spark, k, v) {
       val stream = graft.streaming.TransformWithStateOps.orderBook(
         OrderReplaySource.readStream(spark, dir))
       val q = stream.writeStream.format("memory").queryName("ob_tws")
@@ -81,9 +79,6 @@ class OrderBookStreamingSpec extends AnyFunSuite {
           .collect().sortBy(t => (t.secCode, t.tsHHMMSS, t.buyNo, t.sellNo))
         assert(twsTrades.toSeq === batchTrades.toSeq)
       } finally q.stop()
-    } finally previous match {
-      case Some(p) => spark.conf.set(k, p)
-      case None => spark.conf.unset(k)
     }
   }
 

@@ -15,15 +15,8 @@ class PrunedModelPathsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def withConf[T](key: String, value: String)(body: => T): T = {
-    val previous = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally previous match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withConf[T](key: String, value: String)(body: => T): T =
+    graft.SparkTestUtil.withConf(spark, key, value)(body)
 
   private def shuffleJoinCount(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect() // materialize the AQE final plan

@@ -57,9 +57,7 @@ class SkewToolsSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    graft.SparkTestUtil.withConfs(spark, confs) {
       // hot key 0 dominates the probe; one build row per key keeps the
       // join output collectable
       val probe = spark.range(200000)
@@ -74,9 +72,6 @@ class SkewToolsSpec extends AnyFunSuite {
       assert(plan.contains("SortMergeJoin"), plan.take(2000))
       assert(plan.toLowerCase.contains("skew"), // skew=true / AQEShuffleRead
         "AQE did not mark any skewed partition:\n" + plan.take(3000))
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

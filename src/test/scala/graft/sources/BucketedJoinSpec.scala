@@ -28,20 +28,30 @@ class BucketedJoinSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // DECIMAL sum: l_quantity is DOUBLE and the two plans aggregate
+      // rows in different orders — an FP sum could differ in the last
+      // ulp and flake an exact row comparison
       val j = BucketedTables.table(spark, "li_b")
         .join(BucketedTables.table(spark, "o_b"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).as("q"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
-      // same answer as the unbucketed join
+      // FULL rows vs the unbucketed join, not just the group count: a
+      // bucketed-read bug that duplicates or misroutes rows within
+      // the right orderkey groups (e.g. a bucket file read twice)
+      // keeps the cardinality identical while inflating every sum
       val want = Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).as("q"))
-      assert(j.count() === want.count())
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      val got = j.collect().map(r => (r.getLong(0), r.getDecimal(1)))
+        .sortBy(_._1).toSeq
+      val exp = want.collect().map(r => (r.getLong(0), r.getDecimal(1)))
+        .sortBy(_._1).toSeq
+      assert(got === exp)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -64,9 +64,7 @@ class OrderBookWarmStartSpec extends AnyFunSuite {
 
     // ...and warm-start a stream over ONLY the suffix from it
     val (k, v) = TransformWithStateOps.RocksDbProvider
-    val previous = spark.conf.getOption(k)
-    spark.conf.set(k, v)
-    try {
+    graft.SparkTestUtil.withConf(spark, k, v) {
       val stream = TransformWithStateOps.orderBookWarm(
         OrderReplaySource.readStream(spark, postDir), loaded)
       val q = stream.writeStream.format("memory").queryName("ob_warm")
@@ -78,9 +76,6 @@ class OrderBookWarmStartSpec extends AnyFunSuite {
         assert((prefixTrades ++ warmTrades).sortBy(sortKey).toSeq ===
           fullTrades.toSeq)
       } finally q.stop()
-    } finally previous match {
-      case Some(p) => spark.conf.set(k, p)
-      case None => spark.conf.unset(k)
     }
   }
 }

@@ -13,9 +13,7 @@ class TransformWithStateSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val (k, v) = TransformWithStateOps.RocksDbProvider
-    val previous = spark.conf.getOption(k)
-    spark.conf.set(k, v)
-    try {
+    graft.SparkTestUtil.withConf(spark, k, v) {
       val in = MemoryStream[KeyedTuple]
       val q = TransformWithStateOps.runningCount(in.toDS())
         .writeStream.format("memory").queryName("tws_rc")
@@ -29,9 +27,6 @@ class TransformWithStateSpec extends AnyFunSuite {
           .groupBy(_.key).map { case (key, vs) => key -> vs.map(_.value).max }
         assert(last === Map("a" -> 3L, "b" -> 1L))
       } finally q.stop()
-    } finally previous match {
-      case Some(p) => spark.conf.set(k, p)
-      case None => spark.conf.unset(k)
     }
   }
 }
