@@ -140,10 +140,18 @@ object RelationalQueries {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Left-anti join: customers with no orders. */
+  /** Left-anti join: customers who never placed a 1-URGENT order.
+    * The anti side is filtered (not the whole orders table) because the
+    * synthetic fixture gives every customer at least one order — an
+    * unfiltered anti-join returns 0 rows at every SF, which makes the
+    * oracle hash-match vacuous (an empty set matches an empty set no
+    * matter how broken the predicate is). The urgent-order subset
+    * leaves a real surviving population (~13% of customers) at every
+    * SF while still exercising genuine anti-join planning. */
   def joinAnti(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -151,7 +159,9 @@ object RelationalQueries {
 
   val joinAntiSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   /** Full-outer join orders↔lineitem orderkeys, classifying matches —

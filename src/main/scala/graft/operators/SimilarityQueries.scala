@@ -119,12 +119,21 @@ object SimilarityQueries {
       |  FROM top GROUP BY qid, label)
       |WHERE rn = 1 ORDER BY qid""".stripMargin
 
-  /** Embedding near-duplicate pairs: cosine ≥ 0.9 over all pairs.
+  /** Embedding near-duplicate pairs: cosine ≥ 0.45 over all pairs.
+    *
+    * The threshold is 0.45, not the 0.9 a production near-dup corpus
+    * would use, because the synthetic embedding fixture is near-random
+    * (max pairwise cosine ≈ 0.51 at sf0.01) — at 0.9 the query returns
+    * 0 rows at every SF and the oracle hash-match is vacuous (an empty
+    * result matches an empty result even with a broken predicate).
+    * 0.45 leaves 7/14/144 surviving pairs at sf0.001/0.01/0.1, so the
+    * gate actually certifies the dot product, the norm, and the
+    * comparison. The LSH sibling ([[graft.operators.AnnLsh.nearDupLsh]])
+    * made the same move (its default is 0.4) for the same reason.
     *
     * DELIBERATELY O(n²) — this is the exact/oracle form for query-set-
-    * sized inputs and the ground truth the LSH sibling
-    * ([[graft.operators.AnnLsh.nearDupLsh]]) is checked against. It
-    * REFUSES corpus-scale inputs: above
+    * sized inputs and the ground truth the LSH sibling is checked
+    * against. It REFUSES corpus-scale inputs: above
     * `spark.graft.bruteforce.maxRows` (default 20k ≈ 2·10⁸ candidate
     * pairs) it throws and points at the bucketed scale path instead of
     * silently planning an all-pairs join over a corpus. */
@@ -144,7 +153,7 @@ object SimilarityQueries {
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         dotProduct(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
-      .filter(col("cos") >= 0.9)
+      .filter(col("cos") >= 0.45)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))
   }
@@ -159,7 +168,7 @@ object SimilarityQueries {
       |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
       |WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
       |    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), (x, y) -> x + y))
-      |     * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (x, y) -> x + y))) >= 0.9
+      |     * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (x, y) -> x + y))) >= 0.45
       |ORDER BY id1, id2""".stripMargin
 
   /** Per-label corpus stats: count + norm extremes (order-independent
