@@ -17,8 +17,12 @@ import graft.Tables
   * executor-side, decodes it back, and emits the DECODED dimensions,
   * channel count, and per-channel means — the oracle checks the full
   * encode→decode round-trip because the expected values follow from
-  * the same doc_id formulas. Codecs the JDK lacks (audio/video) keep
-  * the deterministic md5 surrogate ([[decodeStub]]); swapping it for a
+  * the same doc_id formulas. Audio payloads get the same treatment
+  * via `javax.sound.sampled` (WAV/AIFF/AU parse also ships in the
+  * base JDK): a deterministic 16-bit PCM WAV per audio row, decoded
+  * back to sample rate / channel count / frame count / mean absolute
+  * amplitude. Codecs the JDK genuinely lacks (video) keep the
+  * deterministic md5 surrogate ([[decodeStub]]); swapping it for a
   * JNI/FFI decoder keeps the whole pipeline unchanged.
   *
   * Scale notes: payloads dominate row size, so the pipeline
@@ -96,12 +100,14 @@ object MediaPipeline {
     }
   }
 
-  /** Decoded-image feature row: dimensions, channel count, and
-    * per-channel means come from the REAL decode; audio rows (no JDK
-    * codec) carry the −1 sentinel and the surrogate digest. */
+  /** Decoded media feature row: the populated columns depend on the
+    * modality — image rows carry REAL-decoded dimensions, channel
+    * count, and per-channel means (audio fields −1); audio rows carry
+    * REAL-decoded sample rate, frame count, and mean |amplitude|
+    * (image fields −1). `channels` is decoded for both. */
   case class MediaDecoded(media_id: Long, kind: String, width: Int,
       height: Int, channels: Int, mean_r: Int, mean_g: Int, mean_b: Int,
-      digest: String)
+      sample_rate: Int, n_frames: Long, mean_amp: Int, digest: String)
 
   /** Deterministic solid-color PNG: dimensions and fill color are pure
     * functions of the id, so an oracle can predict what a CORRECT
@@ -157,9 +163,81 @@ object MediaPipeline {
     }
   }
 
+  /** Deterministic mono 16-bit PCM WAV: sample rate, frame count, and
+    * every sample value are pure functions of the id, so an oracle can
+    * predict what a CORRECT decode must recover without being able to
+    * parse WAV itself (the exact analogue of [[encodePng]]). 16-bit
+    * PCM survives the encode→decode round trip bit-exactly. */
+  private[operators] def encodeWav(id: Long): Array[Byte] = {
+    val rate = wavRate(id)
+    val n = wavFrames(id)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false) // 16-bit signed mono little-endian
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = wavSample(id, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private[operators] def wavRate(id: Long): Int =
+    (8000 + (id % 5) * 2000).toInt
+  private[operators] def wavFrames(id: Long): Int = (64 + id % 101).toInt
+  private[operators] def wavSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 7) % 65536 - 32768).toInt
+
+  /** Real audio decode via the JDK's `javax.sound.sampled`: sample
+    * rate, channel count, frame count, and the mean absolute sample
+    * amplitude (integer division — exact). Handles any 16-bit signed
+    * PCM stream either endianness, any channel count; returns None
+    * when no installed reader claims the payload or the sample format
+    * is not 16-bit PCM. */
+  private[operators] def decodeAudio(
+      payload: Array[Byte]): Option[(Int, Int, Long, Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val enc = f.getEncoding
+        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16 || nFrames <= 0) None
+        else {
+          val bytes = ais.readAllBytes()
+          val big = f.isBigEndian
+          val nSamples = bytes.length / 2
+          var sumAbs = 0L
+          var i = 0
+          while (i < nSamples) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1) & 0xff
+            val v = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            sumAbs += math.abs(v.toLong)
+            i += 1
+          }
+          Some((f.getSampleRate.toInt, f.getChannels, nFrames,
+            (sumAbs / nSamples).toInt))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Media table with REAL image payloads: image rows carry a PNG
     * encoded executor-side (the metadata width/height record the true
-    * dimensions); audio rows keep the opaque text-byte surrogate. */
+    * dimensions); audio rows a WAV (the metadata sample_rate records
+    * the true rate). */
   def imageTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -169,16 +247,16 @@ object MediaPipeline {
         if (lang == "en")
           MediaRecord(id, "image", encodePng(id),
             (8 + id % 9).toInt, (8 + id % 7).toInt, 0)
-        else MediaRecord(id, "audio", text.getBytes("UTF-8"), 0, 0, 16000)
+        else MediaRecord(id, "audio", encodeWav(id), 0, 0, wavRate(id))
       }
   }
 
-  /** Oracle-checked query: REAL PNG decode for image rows — the
-    * emitted width/height/channels/means and the digest of their
-    * canonical string come from [[decodeImage]] parsing actual PNG
-    * bytes, and the oracle recomputes the expected values from the
-    * encoding formulas (an encode→decode round-trip check). Audio rows
-    * take the md5 surrogate path. */
+  /** Oracle-checked query: REAL decode for BOTH modalities — image
+    * rows via [[decodeImage]] parsing actual PNG bytes, audio rows via
+    * [[decodeAudio]] parsing actual WAV bytes. The emitted fields and
+    * the digest of their canonical string come from the decode, and
+    * the oracle recomputes the expected values from the encoding
+    * formulas (an encode→decode round-trip check on both paths). */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -190,35 +268,64 @@ object MediaPipeline {
               val canon = s"${w}x${h}x$mr,$mg,$mb"
               val hex = digestMd5.digest(canon.getBytes("UTF-8"))
                 .map("%02x".format(_)).mkString
-              MediaDecoded(m.media_id, m.kind, w, h, ch, mr, mg, mb, hex)
+              MediaDecoded(m.media_id, m.kind, w, h, ch, mr, mg, mb,
+                -1, -1L, -1, hex)
             case None =>
               MediaDecoded(m.media_id, "undecodable", -1, -1, -1, -1, -1,
-                -1, decodeStub(m.payload)._1)
+                -1, -1, -1L, -1, decodeStub(m.payload)._1)
           }
         } else {
-          MediaDecoded(m.media_id, m.kind, -1, -1, -1, -1, -1, -1,
-            decodeStub(m.payload)._1)
+          decodeAudio(m.payload) match {
+            case Some((rate, ch, nFrames, meanAmp)) =>
+              val canon = s"$rate:$ch:$nFrames:$meanAmp"
+              val hex = digestMd5.digest(canon.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              MediaDecoded(m.media_id, m.kind, -1, -1, ch, -1, -1, -1,
+                rate, nFrames, meanAmp, hex)
+            case None =>
+              MediaDecoded(m.media_id, "undecodable", -1, -1, -1, -1, -1,
+                -1, -1, -1L, -1, decodeStub(m.payload)._1)
+          }
         }
       }
     }.toDF().orderBy(col("media_id"))
   }
 
+  /** The audio expectations re-derive what a correct WAV decode must
+    * recover from the [[encodeWav]] formulas: rate/frames directly,
+    * mean |amplitude| as the integer mean of |((id*31 + i*7) mod
+    * 65536) − 32768| over the n generated samples (DuckDB `//` on the
+    * non-negative sum equals Scala's truncating Long division). */
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE WHEN lang = 'en' THEN 'image' ELSE 'audio' END AS kind,
       |  CASE WHEN lang = 'en' THEN CAST(8 + doc_id % 9 AS INT) ELSE -1 END AS width,
       |  CASE WHEN lang = 'en' THEN CAST(8 + doc_id % 7 AS INT) ELSE -1 END AS height,
-      |  CASE WHEN lang = 'en' THEN 3 ELSE -1 END AS channels,
+      |  CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS channels,
       |  CASE WHEN lang = 'en' THEN CAST((doc_id * 31) % 256 AS INT) ELSE -1 END AS mean_r,
       |  CASE WHEN lang = 'en' THEN CAST((doc_id * 17) % 256 AS INT) ELSE -1 END AS mean_g,
       |  CASE WHEN lang = 'en' THEN CAST((doc_id * 7) % 256 AS INT) ELSE -1 END AS mean_b,
+      |  CASE WHEN lang = 'en' THEN -1
+      |    ELSE CAST(8000 + (doc_id % 5) * 2000 AS INT) END AS sample_rate,
+      |  CASE WHEN lang = 'en' THEN CAST(-1 AS BIGINT)
+      |    ELSE CAST(64 + doc_id % 101 AS BIGINT) END AS n_frames,
+      |  CASE WHEN lang = 'en' THEN -1
+      |    ELSE CAST(list_reduce(list_transform(range(0, 64 + doc_id % 101),
+      |        i -> abs((doc_id * 31 + i * 7) % 65536 - 32768)),
+      |        (a, b) -> a + b) // (64 + doc_id % 101) AS INT) END AS mean_amp,
       |  CASE WHEN lang = 'en' THEN md5(
       |      CAST(8 + doc_id % 9 AS VARCHAR) || 'x' ||
       |      CAST(8 + doc_id % 7 AS VARCHAR) || 'x' ||
       |      CAST((doc_id * 31) % 256 AS VARCHAR) || ',' ||
       |      CAST((doc_id * 17) % 256 AS VARCHAR) || ',' ||
       |      CAST((doc_id * 7) % 256 AS VARCHAR))
-      |    ELSE md5(text) END AS digest
+      |    ELSE md5(
+      |      CAST(8000 + (doc_id % 5) * 2000 AS VARCHAR) || ':1:' ||
+      |      CAST(64 + doc_id % 101 AS VARCHAR) || ':' ||
+      |      CAST(list_reduce(list_transform(range(0, 64 + doc_id % 101),
+      |          i -> abs((doc_id * 31 + i * 7) % 65536 - 32768)),
+      |          (a, b) -> a + b) // (64 + doc_id % 101) AS VARCHAR))
+      |    END AS digest
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** One sampled frame of a payload: the video/audio batch shape is

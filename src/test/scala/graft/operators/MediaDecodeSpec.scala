@@ -30,6 +30,33 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaPipeline.decodeImage(Array.emptyByteArray).isEmpty)
   }
 
+  test("encodeWav -> decodeAudio round-trips rate, frames, amplitude") {
+    for (id <- Seq(0L, 1L, 17L, 4999L, 100000000042L)) {
+      val wav = MediaPipeline.encodeWav(id)
+      // a real WAV, not a surrogate: RIFF....WAVE container magic
+      assert(wav(0) === 'R'.toByte && wav(1) === 'I'.toByte &&
+        wav(2) === 'F'.toByte && wav(3) === 'F'.toByte, s"RIFF for id=$id")
+      assert(wav(8) === 'W'.toByte && wav(9) === 'A'.toByte &&
+        wav(10) === 'V'.toByte && wav(11) === 'E'.toByte)
+      val Some((rate, ch, n, amp)) = MediaPipeline.decodeAudio(wav)
+      assert(rate === MediaPipeline.wavRate(id), s"rate for id=$id")
+      assert(ch === 1)
+      assert(n === MediaPipeline.wavFrames(id).toLong, s"frames for id=$id")
+      val frames = MediaPipeline.wavFrames(id)
+      val expAmp = ((0 until frames)
+        .map(i => math.abs(MediaPipeline.wavSample(id, i).toLong))
+        .sum / frames).toInt
+      assert(amp === expAmp, s"mean_amp for id=$id")
+    }
+  }
+
+  test("decodeAudio refuses non-audio and non-16-bit-PCM payloads") {
+    assert(MediaPipeline.decodeAudio("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(MediaPipeline.decodeAudio(Array.emptyByteArray).isEmpty)
+    // a PNG is not an audio stream either
+    assert(MediaPipeline.decodeAudio(MediaPipeline.encodePng(7L)).isEmpty)
+  }
+
   /** The generic per-partition feature-extraction stage (the batch
     * shape a real codec/embedder plugs into): one narrow feature row
     * per payload, deterministic digest = md5 of the payload bytes,
