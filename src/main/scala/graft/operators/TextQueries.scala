@@ -465,33 +465,42 @@ object TextQueries {
       // bigram stream, no scoring-side shuffle at all. The per-doc
       // sum is the same order-free integer sum as the exact form, so
       // pruned == exact whenever K covers the corpus (spec-pinned).
-      // The unigram table feeds THREE consumers (the lp join, the
-      // backoff model's TakeOrdered, the vocab count) and the
-      // tokenized corpus three scans (bigram counts, unigram counts,
-      // the scoring pass) — persist BOTH. persist() registers the
-      // very plans `uni`/`big`/`vocab` above are built from, so the
-      // shared definitions serve the exact branch un-cached and this
-      // branch cached, with no duplicated frame definitions to drift.
+      //
+      // All three model tables (bigram lp, unigram backoff, vocab
+      // size) come back in ONE tagged-union collect — one driver job
+      // instead of three, and the unigram aggregation exchange inside
+      // it is planned once and wired to all three consumers (the lp
+      // join, the backoff TakeOrdered, the vocab count) by Spark's
+      // ReuseExchange. docs is persisted only for that job's two
+      // tokenized-corpus branches and released immediately after:
+      // the scoring pass reads the corpus exactly ONCE downstream,
+      // and caching a single further read buys nothing — the lazy
+      // re-tokenize costs less than the r10 shape's eager
+      // localCheckpoint write + read of the score frame.
       docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bigTop = big.orderBy(col("c2").desc, col("g")).limit(topK)
       val lpTop = broadcast(bigTop).join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(broadcast(vocab))
-        .select(col("g"),
+        .select(lit("b").as("t"), col("g").as("k"),
           floor(lit(1000000.0) *
             log((col("c2").cast("double") + 0.5) /
               (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
-            .as("lp_scaled"))
-      val lpModel = lpTop.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val uniModel = uni.orderBy(col("c1").desc, col("w")).limit(topK)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val vTotal = vocab.head().getLong(0)
-      uni.unpersist(blocking = false)
+            .as("x"))
+      val uniTop = uni.orderBy(col("c1").desc, col("w")).limit(topK)
+        .select(lit("u").as("t"), col("w").as("k"), col("c1").as("x"))
+      val vRow = vocab.select(lit("v").as("t"), lit("").as("k"),
+        col("v").as("x"))
+      val model = lpTop.unionAll(uniTop).unionAll(vRow).collect()
+      docs.unpersist(blocking = false)
+      val lpModel = model.iterator.filter(_.getString(0) == "b")
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      val uniModel = model.iterator.filter(_.getString(0) == "u")
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      val vTotal = model.find(_.getString(0) == "v").get.getLong(2)
       val lpB = s.sparkContext.broadcast(lpModel)
       val uniB = s.sparkContext.broadcast(uniModel)
       import s.implicits._
-      val scored = docs.select(col("doc_id"), col("toks"))
+      docs.select(col("doc_id"), col("toks"))
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val lp = lpB.value
@@ -517,14 +526,7 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "n_bigrams", "avg_logp")
-        // materialize the per-doc scores (tiny — 3 columns, one row per
-        // doc) EAGERLY while the tokenized-corpus cache is still live,
-        // then release it: the operator is already eager (the model
-        // collect above), and a lazy return would re-tokenize the
-        // corpus on the caller's action after the unpersist below
-        .localCheckpoint()
-      docs.unpersist(blocking = false)
-      scored.orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))
     } else {
       val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(broadcast(vocab))
@@ -627,28 +629,42 @@ object TextQueries {
       // words take the zero-count backoff weight) — no token
       // re-explosion, no scoring-side shuffle. Integer sums, so
       // pruned == exact whenever K covers the vocab (spec-pinned).
-      // the tokenized corpus feeds FOUR actions (weight-table collect,
-      // totals, prior, the scoring pass) — persist it so the tokenize
-      // runs once, not once per action. persist() registers the very
-      // plan `toks`/`counts`/`totals`/`prior` above are built from, so
-      // the shared definitions serve the exact branch un-cached and
-      // this branch cached, with no duplicated frames to drift.
+      //
+      // The whole model (K weight rows, the three corpus totals, the
+      // prior) comes back in ONE tagged-union collect — one driver job
+      // instead of three, with the word-count aggregation exchange
+      // planned once and reused across the weight-table and totals
+      // branches. docs is persisted only for that job and released
+      // immediately: the scoring pass reads the corpus exactly ONCE
+      // downstream, so the lazy re-tokenize beats the r10 shape's
+      // localCheckpoint write + read (same reasoning as the pruned-LM
+      // path above).
       docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wTop = counts
         .orderBy((col("c_t") + col("c_o")).desc, col("w")).limit(topK)
         .crossJoin(broadcast(totals))
-        .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
-      val wModel = wTop.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val t = totals.head()
-      val (nt, no, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+        .select(lit("w").as("t"), col("w").as("k"),
+          weight(col("c_t"), col("c_o")).as("x"))
+      val totRows = totals.select(lit("t").as("t"), lit("").as("k"),
+          col("nt").as("x"))
+        .unionAll(totals.select(lit("o"), lit(""), col("no")))
+        .unionAll(totals.select(lit("v"), lit(""), col("v")))
+      val priorRow = prior.select(lit("p").as("t"), lit("").as("k"),
+        col("prior_scaled").as("x"))
+      val model = wTop.unionAll(totRows).unionAll(priorRow).collect()
+      docs.unpersist(blocking = false)
+      val wModel = model.iterator.filter(_.getString(0) == "w")
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      def scalar(tag: String): Long =
+        model.find(_.getString(0) == tag).get.getLong(2)
+      val (nt, no, v) = (scalar("t"), scalar("o"), scalar("v"))
       val backoff = math.floor(1000000.0 *
         (math.log(1.0 / (nt + v).toDouble) -
           math.log(1.0 / (no + v).toDouble))).toLong
-      val priorScaled = prior.head().getLong(0)
+      val priorScaled = scalar("p")
       val wB = s.sparkContext.broadcast(wModel)
       import s.implicits._
-      val scored = docs.select(col("doc_id"), col("toks"))
+      docs.select(col("doc_id"), col("toks"))
         .as[(Long, Seq[String])]
         .mapPartitions { it =>
           val wm = wB.value
@@ -664,11 +680,7 @@ object TextQueries {
           }
         }
         .toDF("doc_id", "n_tokens", "log_odds", "pred_target")
-        // eager materialization while the corpus cache is live — same
-        // contract as the pruned-LM path above
-        .localCheckpoint()
-      docs.unpersist(blocking = false)
-      scored.orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))
     } else {
       val w = counts.crossJoin(broadcast(totals))
         .select(col("w"), weight(col("c_t"), col("c_o")).as("w_scaled"))
