@@ -272,12 +272,24 @@ object SketchQueries {
     * them locally for the EXACT order statistic — the classic
     * distributed-selection refinement, no global sort anywhere.
     *
+    * Phase 2 is SKEW-PROOF: instead of ranking the target bucket's
+    * raw rows (a duplicate-heavy distribution can land its entire
+    * mass in one bucket → a single-task sort of ~n rows), it (a)
+    * re-histograms the target bucket into ≤4096 equal sub-slices and
+    * picks the one holding the local rank, then (b) aggregates that
+    * sub-slice BY VALUE — duplicates collapse in a scalable groupBy
+    * shuffle — and walks the cumulative counts over the ≤`width/4096`
+    * DISTINCT values to read off the exact order statistic. No
+    * per-row window anywhere: the all-equal pathological bucket
+    * becomes a single (value, count) row.
+    *
     * Determinism: prices snap to cents via round() (DuckDB's
     * double→BIGINT cast rounds where Spark's truncates — round()
     * first makes both exact); all bucket math is integer (`div`).
-    * The two unpartitioned windows run over ≤ 4096 histogram rows
-    * and ≤ 3 bucket populations respectively — deliberate bounded
-    * single-task frames, not corpus-wide sorts. */
+    * The unpartitioned/q-partitioned windows run over ≤ 4096
+    * histogram rows, ≤ 4096 sub-histogram rows, and ≤ sub-slice-width
+    * distinct values respectively — deliberate bounded frames, not
+    * corpus-wide sorts. */
   def quantileSelect(s: SparkSession, dir: String): DataFrame = {
     val cents = Tables.lineitem(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
@@ -303,14 +315,42 @@ object SketchQueries {
       .agg(min(col("bucket")).as("bucket"))
       .join(cum.select(col("bucket"), col("prev"), col("lo"),
         col("width")), "bucket")
-      .selectExpr("q", "r", "bucket", "prev",
+      .selectExpr("q", "r", "bucket", "prev", "lo", "width",
         "CAST(lo + bucket * width + width div 2 AS DOUBLE) / 100.0" +
           " AS est_price")
-    val rankW = Window.partitionBy(col("q")).orderBy(col("c"))
-    bucketed.select(col("c"), col("bucket"))
+    // refinement round: sub-histogram the target buckets (k1 = local
+    // rank within the bucket; w2 ≥ 1 slices the bucket into ≤QB
+    // equal-width sub-slices)
+    val subRows = bucketed.select(col("c"), col("bucket"))
       .join(broadcast(targets), "bucket")
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") === col("r") - col("prev"))
+      .selectExpr("q", "c", "r", "prev", "est_price",
+        s"(c - (bucket * width + lo)) div ((width - 1) div $QB + 1) AS sb")
+    val cumW2 = Window.partitionBy(col("q")).orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum2 = subRows.groupBy(col("q"), col("sb"))
+      .agg(count(lit(1)).as("cnt2"), max(col("r")).as("r"),
+        max(col("prev")).as("prev"), max(col("est_price")).as("est_price"))
+      .withColumn("cum2", sum(col("cnt2")).over(cumW2))
+      .withColumn("prev2", col("cum2") - col("cnt2"))
+    val subTargets = cum2.filter(col("cum2") >= col("r") - col("prev"))
+      .groupBy(col("q")).agg(min(col("sb")).as("sb"))
+      .join(cum2, Seq("q", "sb"))
+      // k2 = rank within the chosen sub-slice
+      .select(col("q"), col("sb"), col("r"), col("est_price"),
+        (col("r") - col("prev") - col("prev2")).as("k2"))
+    // final pass: aggregate the chosen sub-slice BY VALUE — duplicate
+    // mass collapses in the groupBy shuffle; the window walks distinct
+    // values only
+    val cumW3 = Window.partitionBy(col("q")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    subRows.select(col("q"), col("sb"), col("c"))
+      .join(broadcast(subTargets), Seq("q", "sb"))
+      .groupBy(col("q"), col("c"))
+      .agg(count(lit(1)).as("cv"), max(col("r")).as("r"),
+        max(col("k2")).as("k2"), max(col("est_price")).as("est_price"))
+      .withColumn("cum3", sum(col("cv")).over(cumW3))
+      .filter(col("cum3") >= col("k2") &&
+        col("cum3") - col("cv") < col("k2"))
       .select(col("q"), col("r").as("rank_k"), col("est_price"),
         (col("c").cast("double") / 100.0).as("exact_price"))
       .orderBy(col("q"))
