@@ -153,102 +153,163 @@ object DynamicRules {
     * windows evict once the max event time seen passes their end plus
     * `lateSlackMinutes`, and rules no longer ACTIVE drop their
     * windows at the next batch. Each batch's alerts append through
-    * `sink` with the [[evaluate]] output schema. */
+    * `sink` with the [[evaluate]] output schema.
+    *
+    * Delivery contract: foreachBatch is at-least-once, so a batch can
+    * be RE-DELIVERED under the same batchId. Accumulation is
+    * idempotent against that: each batch's partials are STAGED
+    * without touching the accumulator, alerts are evaluated over the
+    * merged view and sunk, and only then is the batch committed
+    * (state merged + batchId recorded) — a re-delivery of a committed
+    * batch is skipped outright, and a failure anywhere before the
+    * commit leaves the accumulator untouched so the retry recomputes
+    * from scratch. The sink itself is therefore at-least-once (a
+    * crash between sink and commit replays the batch's alerts), which
+    * matches the reference's at-least-once ControlMessage pipeline.
+    *
+    * Restart contract: the accumulator is driver-memory state scoped
+    * to THIS StreamingQuery run — a restart from checkpoint starts
+    * with empty windows, i.e. windows spanning the restart under-count
+    * until they seal (the reference keeps this in managed keyed state
+    * and survives restarts; a Spark-native equivalent would move the
+    * accumulation into transformWithState, at the cost of the
+    * per-batch dynamic rule re-read this operator exists to
+    * demonstrate). Bounded-state eviction is unaffected. */
   def streaming(events: DataFrame, currentRules: () => Seq[Rule],
       sink: (DataFrame, Long) => Unit, lateSlackMinutes: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch(batchHandler(currentRules, sink, lateSlackMinutes))
+      .start()
+
+  /** The foreachBatch body, factored out so the at-least-once
+    * re-delivery contract is directly testable (a spec can call it
+    * twice with the same batchId on a static frame). One handler
+    * instance = one query run's window-accumulator state. */
+  private[operators] def batchHandler(currentRules: () => Seq[Rule],
+      sink: (DataFrame, Long) => Unit, lateSlackMinutes: Int = 0)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit = {
     // (ruleId, winStartSec, key) -> (sum, cnt, min, max, winEndSec);
     // confined to the streaming thread (foreachBatch is sequential)
     val state = scala.collection.mutable.HashMap
       .empty[(Int, Long, String), Array[java.math.BigDecimal]]
     val winEnd = scala.collection.mutable.HashMap.empty[(Int, Long, String), Long]
     var maxTsSec = Long.MinValue
+    var lastCommittedBatchId = -1L
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm")
-      .withZone(java.time.ZoneOffset.UTC)
-    events.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val rules = currentRules().filter(_.ruleState == "ACTIVE")
-        val active = rules.map(_.ruleId).toSet
-        state.keySet.filterNot(k => active(k._1)).toSeq.foreach { k =>
-          state.remove(k); winEnd.remove(k)
-        }
-        if (rules.nonEmpty && !batch.isEmpty) {
-          val df = batch.toDF()
-          val touched = Seq.newBuilder[(Rule, (Int, Long, String))]
-          rules.foreach { r =>
-            val keyCols = r.groupingKeyNames.map(col)
-            val winStart = unix_timestamp(
-              window(col("ts"), s"${r.windowMinutes} minutes")
-                .getField("start"))
-            val d = col(r.aggregateFieldName).cast(dec)
-            df.groupBy(winStart.as("ws"),
-                concat_ws("|", keyCols.map(_.cast("string")): _*).as("key"))
-              .agg(sum(d).as("s"), count(lit(1)).as("c"),
-                min(d).as("mn"), max(d).as("mx"))
-              .collect()
-              .foreach { row =>
-                val k = (r.ruleId, row.getLong(0), row.getString(1))
-                val s = row.getDecimal(2); val c = row.getLong(3)
-                val mn = row.getDecimal(4); val mx = row.getDecimal(5)
-                val acc = state.getOrElseUpdate(k, Array(
-                  java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO,
-                  mn, mx))
-                acc(0) = acc(0).add(s)
-                acc(1) = acc(1).add(java.math.BigDecimal.valueOf(c))
-                if (mn.compareTo(acc(2)) < 0) acc(2) = mn
-                if (mx.compareTo(acc(3)) > 0) acc(3) = mx
-                winEnd(k) = row.getLong(0) + r.windowMinutes * 60L
-                touched += ((r, k))
-              }
-          }
-          maxTsSec = math.max(maxTsSec,
-            df.agg(max(unix_timestamp(col("ts")))).head().getLong(0))
-          val alerts = touched.result().distinct.flatMap { case (r, k) =>
-            val acc = state(k)
-            val value = r.aggregatorFunctionType match {
-              case "SUM" => acc(0).doubleValue
-              case "AVG" => acc(0).doubleValue / acc(1).longValue
-              case "MIN" => acc(2).doubleValue
-              case "MAX" => acc(3).doubleValue
-              case other => throw new IllegalArgumentException(s"agg $other")
-            }
-            val lim = r.limit.toDouble
-            val fires = r.limitOperatorType match {
-              case "=" => value == lim
-              case "!=" => value != lim
-              case ">" => value > lim
-              case "<" => value < lim
-              case ">=" => value >= lim
-              case "<=" => value <= lim
-              case other => throw new IllegalArgumentException(s"op $other")
-            }
-            if (fires)
-              Some(Row(k._1.toLong,
-                fmt.format(java.time.Instant.ofEpochSecond(k._2)),
-                k._3, value))
-            else None
-          }
-          // seal: a window whose end (+ slack) is behind the max event
-          // time seen can no longer be touched — drop its accumulator
-          val sealBefore = maxTsSec - lateSlackMinutes * 60L
-          winEnd.filter(_._2 <= sealBefore).keys.toSeq.foreach { k =>
+      .withZone(java.time.ZoneOffset.UTC);
+    { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // foreachBatch is at-least-once: a committed batch can come
+        // around again under the same batchId — re-merging its
+        // partials would inflate SUM/COUNT and fire spurious alerts
+        if (batchId > lastCommittedBatchId) {
+          val rules = currentRules().filter(_.ruleState == "ACTIVE")
+          val active = rules.map(_.ruleId).toSet
+          state.keySet.filterNot(k => active(k._1)).toSeq.foreach { k =>
             state.remove(k); winEnd.remove(k)
           }
-          if (alerts.nonEmpty) {
-            val s = df.sparkSession
-            sink(s.createDataFrame(
-              s.sparkContext.parallelize(alerts, 1),
-              StructType(Seq(
-                StructField("rule_id", LongType),
-                StructField("win_start", StringType),
-                StructField("key", StringType),
-                StructField("value", DoubleType)))), batchId)
+          if (rules.nonEmpty && !batch.isEmpty) {
+            val df = batch.toDF()
+            // STAGE: this batch's per-(rule, window, key) partials —
+            // no accumulator mutation yet, so a failure anywhere below
+            // leaves state exactly as the retry expects it
+            val staged = scala.collection.mutable.LinkedHashMap
+              .empty[(Int, Long, String), Array[java.math.BigDecimal]]
+            val stagedEnd = scala.collection.mutable.HashMap
+              .empty[(Int, Long, String), Long]
+            val touched = Seq.newBuilder[(Rule, (Int, Long, String))]
+            rules.foreach { r =>
+              val keyCols = r.groupingKeyNames.map(col)
+              val winStart = unix_timestamp(
+                window(col("ts"), s"${r.windowMinutes} minutes")
+                  .getField("start"))
+              val d = col(r.aggregateFieldName).cast(dec)
+              df.groupBy(winStart.as("ws"),
+                  concat_ws("|", keyCols.map(_.cast("string")): _*).as("key"))
+                .agg(sum(d).as("s"), count(lit(1)).as("c"),
+                  min(d).as("mn"), max(d).as("mx"))
+                .collect()
+                .foreach { row =>
+                  val k = (r.ruleId, row.getLong(0), row.getString(1))
+                  staged(k) = Array(row.getDecimal(2),
+                    java.math.BigDecimal.valueOf(row.getLong(3)),
+                    row.getDecimal(4), row.getDecimal(5))
+                  stagedEnd(k) = row.getLong(0) + r.windowMinutes * 60L
+                  touched += ((r, k))
+                }
+            }
+            val batchMaxTs =
+              df.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+            // evaluate over the MERGED view (committed state ⊕ staged)
+            val alerts = touched.result().distinct.flatMap { case (r, k) =>
+              val sg = staged(k)
+              val acc = state.get(k)
+              val sumAll = acc.map(_(0).add(sg(0))).getOrElse(sg(0))
+              val cntAll = acc.map(_(1).add(sg(1))).getOrElse(sg(1))
+              val mnAll = acc.filter(_(2).compareTo(sg(2)) < 0)
+                .map(_(2)).getOrElse(sg(2))
+              val mxAll = acc.filter(_(3).compareTo(sg(3)) > 0)
+                .map(_(3)).getOrElse(sg(3))
+              val value = r.aggregatorFunctionType match {
+                case "SUM" => sumAll.doubleValue
+                case "AVG" => sumAll.doubleValue / cntAll.longValue
+                case "MIN" => mnAll.doubleValue
+                case "MAX" => mxAll.doubleValue
+                case other => throw new IllegalArgumentException(s"agg $other")
+              }
+              val lim = r.limit.toDouble
+              val fires = r.limitOperatorType match {
+                case "=" => value == lim
+                case "!=" => value != lim
+                case ">" => value > lim
+                case "<" => value < lim
+                case ">=" => value >= lim
+                case "<=" => value <= lim
+                case other => throw new IllegalArgumentException(s"op $other")
+              }
+              if (fires)
+                Some(Row(k._1.toLong,
+                  fmt.format(java.time.Instant.ofEpochSecond(k._2)),
+                  k._3, value))
+              else None
+            }
+            if (alerts.nonEmpty) {
+              val s = df.sparkSession
+              sink(s.createDataFrame(
+                s.sparkContext.parallelize(alerts, 1),
+                StructType(Seq(
+                  StructField("rule_id", LongType),
+                  StructField("win_start", StringType),
+                  StructField("key", StringType),
+                  StructField("value", DoubleType)))), batchId)
+            }
+            // COMMIT: merge staged partials, advance the watermark,
+            // seal windows, record the batch — all after the sink, so
+            // a sink failure replays the batch (at-least-once alerts)
+            // instead of double-merging its partials
+            staged.foreach { case (k, sg) =>
+              val acc = state.getOrElseUpdate(k, Array(
+                java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO,
+                sg(2), sg(3)))
+              acc(0) = acc(0).add(sg(0))
+              acc(1) = acc(1).add(sg(1))
+              if (sg(2).compareTo(acc(2)) < 0) acc(2) = sg(2)
+              if (sg(3).compareTo(acc(3)) > 0) acc(3) = sg(3)
+            }
+            stagedEnd.foreach { case (k, e) => winEnd(k) = e }
+            maxTsSec = math.max(maxTsSec, batchMaxTs)
+            // seal: a window whose end (+ slack) is behind the max
+            // event time seen can no longer be touched
+            val sealBefore = maxTsSec - lateSlackMinutes * 60L
+            winEnd.filter(_._2 <= sealBefore).keys.toSeq.foreach { k =>
+              state.remove(k); winEnd.remove(k)
+            }
           }
+          lastCommittedBatchId = batchId
         }
       }
-      .start()
   }
 
   /** Oracle. Window starts via floor(epoch) (a bare ::BIGINT cast

@@ -63,6 +63,44 @@ class DynamicRulesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("re-delivered batchId is skipped; failed sink replays cleanly") {
+    // foreachBatch is at-least-once: the handler must (a) not
+    // double-merge a batch re-delivered under a committed batchId,
+    // and (b) leave the accumulator untouched when the sink throws,
+    // so the retry recomputes identical alerts instead of inflating
+    import org.apache.spark.sql.types._
+    val rules: Seq[Rule] = Seq(
+      Rule(1, "ACTIVE", Seq("user_id"), "value", "SUM", ">",
+        BigDecimal(700), 60))
+    val alerts = new ConcurrentLinkedQueue[Row]()
+    @volatile var failSink = false
+    val handle = DynamicRules.batchHandler(() => rules, (df, _) => {
+      if (failSink) throw new RuntimeException("sink down")
+      df.collect().foreach(alerts.add)
+    })
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def batch(sec: Long, v: Double) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(new Timestamp(sec * 1000), 1L, v)),
+        schema)
+
+    handle(batch(100, 400.0), 0L) // partial: no alert
+    handle(batch(100, 400.0), 0L) // RE-DELIVERY of batch 0: must skip
+    assert(alerts.isEmpty,
+      "re-delivered batch inflated the accumulator to 800 and fired")
+
+    // sink failure mid-batch: accumulator must stay at 400
+    failSink = true
+    intercept[RuntimeException](handle(batch(200, 400.0), 1L))
+    failSink = false
+    handle(batch(200, 400.0), 1L) // retry of batch 1
+    val fired = alerts.asScala.toList
+    assert(fired.map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+      === List((1L, "1", 800.0)),
+      s"expected exactly one 800.0 alert after the retry, got $fired")
+  }
+
   test("windows accumulate across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
