@@ -35,6 +35,12 @@ object Controller {
     * rules (ties follow sortBy's stable keygroup order in both). */
   private[controlplane] def greedyPack(weight: Int => Double,
       maxParallelism: Int, p: Int): (Vector[Int], Double) = {
+    // p == 0 is only coherent when there is nothing to assign — with
+    // keygroups present the assignment loop would index loads(0) of an
+    // empty array anyway, so reject it loudly at entry (callers always
+    // pass p >= 1)
+    require(p > 0 || maxParallelism == 0,
+      s"greedyPack: cannot pack $maxParallelism keygroups onto 0 tasks")
     val loads = new Array[Double](p)
     val assign = new Array[Int](maxParallelism)
     (0 until maxParallelism).sortBy(kg => -weight(kg)).foreach { kg =>

@@ -26,16 +26,39 @@ object KeygroupRouter {
     * the same way) clamps onto the last partition instead of crashing
     * the shuffle; a keygroup OUTSIDE the assignment's range stays a
     * loud error (that is a maxParallelism mismatch between route()
-    * and the assignment, a wiring bug no clamp should hide). */
+    * and the assignment, a wiring bug no clamp should hide).
+    *
+    * Clamping is crash-free but NOT silent: the clamp redirects ANY
+    * over-range value to the last partition, so a genuinely mis-built
+    * assignment would skew every excess keygroup onto one partition —
+    * each occurrence bumps `clampCount` (a named accumulator when
+    * wired through [[route]], visible in the UI/status APIs) and the
+    * first occurrence per task logs a warning naming the offending
+    * keygroup, so a PERSISTENT mis-sized assignment is visible
+    * instead of masquerading as a legitimate post-scale-in plan. */
   final class AssignedKeygroupPartitioner(
-      assignment: Array[Int], override val numPartitions: Int)
+      assignment: Array[Int], override val numPartitions: Int,
+      clampCount: Option[org.apache.spark.util.LongAccumulator] = None)
     extends Partitioner {
+    @transient private var warned = false
     override def getPartition(key: Any): Int = key match {
       case kg: Int =>
         require(kg >= 0 && kg < assignment.length,
           s"keygroup $kg outside assignment range ${assignment.length} " +
             "(maxParallelism mismatch between route() and the assignment)")
-        math.min(assignment(kg), numPartitions - 1)
+        val p = assignment(kg)
+        if (p >= numPartitions) {
+          clampCount.foreach(_.add(1L))
+          if (!warned) {
+            warned = true
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"keygroup $kg assigned to partition $p >= numPartitions " +
+                s"$numPartitions - clamping to ${numPartitions - 1} " +
+                "(expected only transiently after a scale-in; persistent " +
+                "clamping means a mis-built assignment)")
+          }
+          numPartitions - 1
+        } else p
       case other => throw new IllegalArgumentException(s"not a keygroup: $other")
     }
   }
@@ -57,7 +80,9 @@ object KeygroupRouter {
       assignment: Vector[Int], numPartitions: Int,
       maxParallelism: Int = 128): Dataset[T] = {
     val spark = ds.sparkSession
-    val part = new AssignedKeygroupPartitioner(assignment.toArray, numPartitions)
+    val part = new AssignedKeygroupPartitioner(assignment.toArray,
+      numPartitions,
+      Some(spark.sparkContext.longAccumulator("graft.keygroup.clamps")))
     val routed = ds.rdd
       .keyBy(t => keygroup(keyOf(t), maxParallelism))
       .partitionBy(part)

@@ -22,6 +22,23 @@ class KeygroupRouterSpec extends AnyFunSuite {
     assert(routed.count() === 1000)
   }
 
+  test("over-range assignment clamps crash-free AND counts each clamp") {
+    // stale post-scale-in plans clamp silently-but-visibly: the
+    // partitioner must keep the shuffle alive (last partition) while
+    // the accumulator records every clamp so a PERSISTENTLY mis-built
+    // assignment can't hide behind the scale-in tolerance
+    val acc = spark.sparkContext.longAccumulator("test.clamps")
+    val part = new KeygroupRouter.AssignedKeygroupPartitioner(
+      Array(0, 5, 1, 7), numPartitions = 2, clampCount = Some(acc))
+    assert(part.getPartition(0) === 0) // in range: untouched, uncounted
+    assert(part.getPartition(1) === 1) // 5 >= 2 -> clamp
+    assert(part.getPartition(2) === 1) // in range (== last partition)
+    assert(part.getPartition(3) === 1) // 7 >= 2 -> clamp
+    assert(acc.value === 2L, "only genuine clamps may count")
+    // outside the assignment range stays a loud error
+    intercept[IllegalArgumentException](part.getPartition(4))
+  }
+
   test("round-robin remap balances keygroups (PerformanceEvaluator policy)") {
     val rr = KeygroupRouter.roundRobin(128, 4)
     assert(rr.toSet === Set(0, 1, 2, 3))

@@ -9,13 +9,23 @@ class BucketedLayoutSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Pin the bucket count: the production default tracks the host's
+    * parallelism, and on a many-core box the sf0.001 fixture's small
+    * key space can leave a bucket EMPTY — an empty bucket writes no
+    * file and the one-file-per-bucket assertion would flake. A fixed
+    * small count keeps every bucket populated on any host (and the
+    * memo key includes the count, so all three tests share one
+    * materialization). */
+  private def pinned[T](body: => T): T =
+    graft.SparkTestUtil.withConf(spark, "spark.graft.buckets", "8")(body)
+
   // plan properties (exchange-free join/agg, partition pruning) are
   // pinned by BucketedJoinSpec over BucketedTables directly; this
   // suite covers what the query wiring adds on top: the memoized
   // per-(session, dir) copies, result equality, and the
   // one-file-per-bucket write contract.
 
-  test("forced-SMJ join over the memoized copies stays exchange-free") {
+  test("forced-SMJ join over the memoized copies stays exchange-free") { pinned {
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -35,9 +45,9 @@ class BucketedLayoutSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
-  }
+  } }
 
-  test("bucketed rollup equals the raw-parquet rollup") {
+  test("bucketed rollup equals the raw-parquet rollup") { pinned {
     val viaBuckets = BucketedLayout.bucketedJoin(spark, dir).collect()
     val dec = "decimal(18,2)"
     val raw = Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
@@ -50,9 +60,9 @@ class BucketedLayoutSpec extends AnyFunSuite {
       .orderBy(col("o_orderpriority"))
       .collect()
     assert(viaBuckets.toSeq === raw.toSeq)
-  }
+  } }
 
-  test("each bucket is a single file per side") {
+  test("each bucket is a single file per side") { pinned {
     // the repartition-before-write contract: N tasks x B buckets must
     // not explode into N*B files (the small-file trap bucketing is
     // notorious for at scale)
@@ -66,5 +76,5 @@ class BucketedLayoutSpec extends AnyFunSuite {
       assert(files.length === n,
         s"$t: ${files.length} data files for $n buckets")
     }
-  }
+  } }
 }
