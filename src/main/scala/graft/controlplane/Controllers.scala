@@ -232,6 +232,17 @@ final class StreamSwitchController(operator: String,
 
   private val rates = new Array[Double](maxParallelism)
   private var settling = 0
+  // Calibrated per-task service rate: the constructor's
+  // `serviceRatePerTask` is an operator-provided ballpark, and sizing
+  // the SCALE-IN target from a ballpark overshoots (the r10 drain went
+  // 22→3 off μ=5000 and needed two corrective scale-outs back to 5).
+  // On clean windows where the bottleneck task is under genuine
+  // pressure (estimated util ≥ targetUtilization — the same condition
+  // that fires the migrate/scale-out branch, so the task was busy for
+  // effectively the whole batch), its OBSERVED processing rate
+  // (its rows / batch duration) is a direct capacity sample; EMA'd
+  // here and preferred over the static μ wherever a pack is sized.
+  private var muMeasured = -1.0
   // hysteresis for the shrink direction: scale-in releases resources
   // and costs a restart to regret, so it must not fire on ONE low
   // window (a transient EMA dip mid-load measured 0.49 for a single
@@ -302,6 +313,23 @@ final class StreamSwitchController(operator: String,
     lastMaxUtil = maxUtil
     val totalRate = rates.sum
 
+    // capacity calibration: on a pressured window the bottleneck task
+    // runs effectively the whole batch, so its observed rows/duration
+    // is a per-task service-rate sample (idle windows would only
+    // measure demand, not capacity — skip them)
+    if (maxUtil > targetUtilization) {
+      val rowsPerTask = new Array[Long](par)
+      desc.keygroupAssignment.zipWithIndex.foreach { case (t, g) =>
+        rowsPerTask(math.min(t, par - 1)) +=
+          p.rowsPerKeygroup.getOrElse(g, 0L)
+      }
+      val obs = rowsPerTask.max * 1000.0 / p.durationMs
+      if (obs > 0)
+        muMeasured =
+          if (muMeasured <= 0) obs
+          else emaAlpha * obs + (1 - emaAlpha) * muMeasured
+    }
+
     if (maxUtil > targetUtilization) {
       lowTicks = 0
       val (migrated, migratedMax) = packByRate(par)
@@ -328,8 +356,20 @@ final class StreamSwitchController(operator: String,
           f"$name@batch${p.batchId} scale-out $par->$p2 maxUtil=$maxUtil%.2f"))
       } else None
     } else {
+      // the SHRINK direction sizes against min(static, measured): an
+      // OPTIMISTIC static μ is what scale-in regrets (the r10 drain
+      // sized 22→3 off μ=5000 when measured capacity supported only 5,
+      // forcing two corrective restarts) — the measured rate caps it.
+      // The min (rather than the measured rate outright) keeps the
+      // shrink consistent with the scale-out branch's static-μ
+      // pressure gate: on a box FASTER than the ballpark, sizing the
+      // shrink by measured capacity parks the operator where the
+      // static model immediately re-triggers scale-out (a live A/B of
+      // the uncapped form oscillated 22→8→22 mid-load), so a shrink
+      // must remain feasible under BOTH models
+      val muIn = if (muMeasured > 0) math.min(mu, muMeasured) else mu
       val lowMean =
-        par > 1 && totalRate / (mu * (par - 1)) < scaleInUtilization
+        par > 1 && totalRate / (muIn * (par - 1)) < scaleInUtilization
       // consecutive means CONSECUTIVE: a window back inside the healthy
       // band restarts the streak
       lowTicks = if (lowMean) lowTicks + 1 else 0
@@ -346,13 +386,13 @@ final class StreamSwitchController(operator: String,
         // costs a restart each and left a drained 26-task run still at
         // 22 when the window closed.
         var p2 = math.max(1,
-          math.ceil(totalRate / (mu * targetUtilization)).toInt)
+          math.ceil(totalRate / (muIn * targetUtilization)).toInt)
         var packed = packByRate(p2)
-        while (packed._2 / mu > targetUtilization && p2 < par - 1) {
+        while (packed._2 / muIn > targetUtilization && p2 < par - 1) {
           p2 += 1
           packed = packByRate(p2)
         }
-        if (p2 < par && packed._2 / mu <= targetUtilization) {
+        if (p2 < par && packed._2 / muIn <= targetUtilization) {
           lowTicks = 0
           ex.assignResources(operator, p2)
           ex.assignWorkload(operator, packed._1)
