@@ -50,6 +50,38 @@ object MediaPipeline {
   private lazy val imageIoNoCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  // AudioSystem.getAudioInputStream/write fetch their SPI providers
+  // through JDK13Services.getProviders — a `static synchronized`
+  // registry lookup PER CALL. Under 32 task threads that lock convoy
+  // made the per-op wall cost 3× the single-threaded cost (measured
+  // 321 µs vs 105 µs; 130 s for the sf10 audio rows). The provider
+  // instances themselves (WaveFileReader/Writer) are stateless, so
+  // resolve them ONCE per JVM via ServiceLoader — the same SPI set
+  // AudioSystem consults — and call them directly.
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val rs = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+    // The soft-synth MIDI reader costs ~170 µs per REJECTION (it spins
+    // up sequencer machinery before refusing) while the sampled-audio
+    // readers reject on a 4-byte magic in ~1 µs — and ServiceLoader
+    // order tries MIDI before WAVE. Probe the cheap readers first.
+    val (midi, sampled) = rs.partition(_.getClass.getName.contains("Midi"))
+    sampled ++ midi
+  }
+
+  // corpus payloads are format-homogeneous, so the reader that decoded
+  // the last row almost always decodes the next — probe it first and
+  // fall back to the ordered scan on a miss
+  @volatile private var lastGoodReader: javax.sound.sampled.spi.AudioFileReader = null
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toSeq
+  }
+
   /** Opaque media payload + typed metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int)
@@ -184,8 +216,12 @@ object MediaPipeline {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None => // registry fallback (never on a stock JDK)
+        javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
     bos.toByteArray
   }
 
@@ -201,11 +237,36 @@ object MediaPipeline {
     * PCM stream either endianness, any channel count; returns None
     * when no installed reader claims the payload or the sample format
     * is not 16-bit PCM. */
+  private def openAudio(
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val memo = lastGoodReader
+    if (memo != null) {
+      try return memo.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => // scan
+      }
+    }
+    audioReaders.foreach { r =>
+      if (r ne memo) {
+        try {
+          val ais = r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          lastGoodReader = r
+          return ais
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => // next
+        }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed reader claims the payload")
+  }
+
   private[operators] def decodeAudio(
       payload: Array[Byte]): Option[(Int, Int, Long, Int)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = openAudio(payload)
       try {
         val f = ais.getFormat
         val nFrames = ais.getFrameLength
