@@ -291,67 +291,87 @@ object SketchQueries {
     * distinct values respectively — deliberate bounded frames, not
     * corpus-wide sorts. */
   def quantileSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quantiles = Seq(0.5, 0.95, 0.99)
     val cents = Tables.lineitem(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
-    val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
-      count(lit(1)).as("n"))
-    val bucketed = cents.crossJoin(broadcast(bounds))
-      .selectExpr("c", "n", "lo", s"(hi - lo) div $QB + 1 AS width")
-      .selectExpr("c", "n", "lo", "width", "(c - lo) div width AS bucket")
-    val hist = bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"),
-        max(col("lo")).as("lo"), max(col("width")).as("width"))
-    val cumW = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("prev", col("cum") - col("cnt"))
-    val qs = s.range(1).select(
-      explode(array(lit(0.5), lit(0.95), lit(0.99))).as("q"))
-    val targets = qs.crossJoin(cum)
-      .withColumn("r", ceil(col("q") * col("n")).cast("long"))
-      .filter(col("cum") >= col("r"))
-      .groupBy(col("q"), col("r"))
-      .agg(min(col("bucket")).as("bucket"))
-      .join(cum.select(col("bucket"), col("prev"), col("lo"),
-        col("width")), "bucket")
-      .selectExpr("q", "r", "bucket", "prev", "lo", "width",
-        "CAST(lo + bucket * width + width div 2 AS DOUBLE) / 100.0" +
-          " AS est_price")
-    // refinement round: sub-histogram the target buckets (k1 = local
-    // rank within the bucket; w2 ≥ 1 slices the bucket into ≤QB
-    // equal-width sub-slices)
-    val subRows = bucketed.select(col("c"), col("bucket"))
-      .join(broadcast(targets), "bucket")
-      .selectExpr("q", "c", "r", "prev", "est_price",
-        s"(c - (bucket * width + lo)) div ((width - 1) div $QB + 1) AS sb")
-    val cumW2 = Window.partitionBy(col("q")).orderBy(col("sb"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum2 = subRows.groupBy(col("q"), col("sb"))
-      .agg(count(lit(1)).as("cnt2"), max(col("r")).as("r"),
-        max(col("prev")).as("prev"), max(col("est_price")).as("est_price"))
-      .withColumn("cum2", sum(col("cnt2")).over(cumW2))
-      .withColumn("prev2", col("cum2") - col("cnt2"))
-    val subTargets = cum2.filter(col("cum2") >= col("r") - col("prev"))
-      .groupBy(col("q")).agg(min(col("sb")).as("sb"))
-      .join(cum2, Seq("q", "sb"))
-      // k2 = rank within the chosen sub-slice
-      .select(col("q"), col("sb"), col("r"), col("est_price"),
-        (col("r") - col("prev") - col("prev2")).as("k2"))
-    // final pass: aggregate the chosen sub-slice BY VALUE — duplicate
-    // mass collapses in the groupBy shuffle; the window walks distinct
-    // values only
+    // The per-phase CONTROL state (bounds; the ≤4096-row histogram;
+    // the ≤4096-row sub-histogram) is collected to the driver and fed
+    // back as literals: an earlier all-in-one-plan form re-derived the
+    // tiny targets frame inside every consumer and Catalyst expanded
+    // the tree into 25 lineitem scans. Driver-held control tables are
+    // the same pattern as the pruned text models — K-bounded state,
+    // while every row-scale aggregation stays a distributed shuffle.
+    // Job 1: bounds.
+    val b = cents.agg(min(col("c")), max(col("c")), count(lit(1))).head()
+    if (b.isNullAt(0))
+      return Seq.empty[(Double, Long, Double, Double)]
+        .toDF("q", "rank_k", "est_price", "exact_price")
+    val (lo, hi, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val width = (hi - lo) / QB + 1
+    // Job 2: the fixed equi-width histogram (≤4096 rows collected).
+    val hist = cents
+      .select(expr(s"(c - $lo) div $width").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // driver: locate each target rank's bucket via cumulative counts
+    case class Target(q: Double, r: Long, bucket: Long, k1: Long,
+        est: Double)
+    val cumB = hist.scanLeft(0L)(_ + _._2).tail
+    val targets = quantiles.map { q =>
+      val r = math.ceil(q * n).toLong
+      val i = cumB.indexWhere(_ >= r)
+      val (bucket, _) = hist(i)
+      val prev = cumB(i) - hist(i)._2
+      Target(q, r, bucket, r - prev,
+        (lo + bucket * width + width / 2).toDouble / 100.0)
+    }
+    val w2 = (width - 1) / QB + 1
+    val targetBuckets = targets.map(_.bucket).distinct
+    // Job 3: aggregate the target buckets' rows BY VALUE — duplicate
+    // mass collapses in this scalable shuffle (the all-equal
+    // pathological bucket becomes ONE row) — and sub-slice each value.
+    // Cached: the sub-histogram collect and the final rank both read it.
+    val byValue = cents
+      .withColumn("bucket", expr(s"(c - $lo) div $width"))
+      .filter(col("bucket").isin(targetBuckets: _*))
+      .withColumn("sb", expr(s"(c - $lo - bucket * $width) div $w2"))
+      .groupBy(col("bucket"), col("sb"), col("c"))
+      .agg(count(lit(1)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Job 4: sub-histogram (≤4096 rows per target bucket collected) —
+    // the refinement round that bounds the final rank window by the
+    // sub-slice's value range instead of the bucket's row count.
+    val subHist = byValue.groupBy(col("bucket"), col("sb"))
+      .agg(sum(col("cv")).as("cnt2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1._1)
+      .view.mapValues(_.map { case ((_, sb), c) => sb -> c }.sortBy(_._1))
+      .toMap
+    case class SubTarget(q: Double, r: Long, bucket: Long, sb: Long,
+        k2: Long, est: Double)
+    val subTargets = targets.map { t =>
+      val slices = subHist(t.bucket)
+      val cumS = slices.scanLeft(0L)(_ + _._2).tail
+      val i = cumS.indexWhere(_ >= t.k1)
+      SubTarget(t.q, t.r, t.bucket, slices(i)._1, t.k1 - (cumS(i) - slices(i)._2),
+        t.est)
+    }
+    // Job 5 (reads the cached value table): walk the chosen sub-slice's
+    // DISTINCT values by cumulative count — ≤ w2 rows per q-partition
+    // regardless of row count, so no per-row ranking anywhere.
+    val stDf = subTargets
+      .map(t => (t.q, t.r, t.bucket, t.sb, t.k2, t.est))
+      .toDF("q", "rank_k", "bucket", "sb", "k2", "est_price")
     val cumW3 = Window.partitionBy(col("q")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    subRows.select(col("q"), col("sb"), col("c"))
-      .join(broadcast(subTargets), Seq("q", "sb"))
-      .groupBy(col("q"), col("c"))
-      .agg(count(lit(1)).as("cv"), max(col("r")).as("r"),
-        max(col("k2")).as("k2"), max(col("est_price")).as("est_price"))
+    byValue.join(broadcast(stDf), Seq("bucket", "sb"))
       .withColumn("cum3", sum(col("cv")).over(cumW3))
       .filter(col("cum3") >= col("k2") &&
         col("cum3") - col("cv") < col("k2"))
-      .select(col("q"), col("r").as("rank_k"), col("est_price"),
+      .select(col("q"), col("rank_k"), col("est_price"),
         (col("c").cast("double") / 100.0).as("exact_price"))
       .orderBy(col("q"))
   }
