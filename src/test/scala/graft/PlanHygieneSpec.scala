@@ -61,10 +61,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     * mean the one-row side wasn't broadcast). */
   private val singleRowBroadcasts = Set("q15_top_supplier",
     "q22_idle_balance", "q11_important_stock", "t_mixture_rebalance",
-    "t_dsir_weights", "t_lm_perplexity", "t_quality_classifier",
-    // bounds row + 3-quantile × 4096-bucket histogram probes — both
-    // nested-loop sides are fixed-size regardless of corpus
-    "t_quantile_select")
+    "t_dsir_weights", "t_lm_perplexity", "t_quality_classifier")
+  // t_quantile_select left THIS allowlist in r11: its control tables
+  // moved driver-side, so the returned plan is a plain broadcast
+  // hash join against the literal sub-target frame — the strict
+  // no-nested-loop assertion applies to it again.
 
   test("no query plan degrades to an unintended cross product") {
     SparkEntry.queries.keys
