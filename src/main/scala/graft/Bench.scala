@@ -92,28 +92,27 @@ object Bench {
         "layout_bucketed_join_warm" -> ((s, d) =>
           graft.sources.BucketedLayout.bucketedJoin(s, d)))
 
-    // Queries whose CONSTRUCTION performs real model/materialization
-    // work: the CC family materializes the shared cluster-label table
-    // (DedupQueries.simhashClusters memo), and the pruned corpus-model
-    // scorers build + collect their K-bounded model tables. Two bench
-    // rules keep that honest: (1) they are never warmed at the bench
-    // SF — the work stays inside the timed sweep (for the CC memo,
-    // charged to the family's first query; the other two reuse it, the
-    // sweep semantics the sharing is FOR); (2) with repeats > 1 they
-    // report the FIRST repeat, not the min — a later CC repeat hits
-    // the memo and would report only the parquet-read tail.
-    // NOTE the EXACT text-scorer forms (t_lm_perplexity,
-    // t_quality_classifier) are deliberately NOT here: they recompute
-    // their corpus model inside every repeat (no collect, no memo, no
-    // scratch table), so min-over-repeats hides nothing — only their
-    // _pruned twins collect model state at construction. Listing the
-    // exact forms here (as earlier rounds did) just reported one-time
-    // JIT as if it were query cost (sf10: 9.3 s first repeat vs 6.4 s
-    // steady-state for the classifier).
+    // Queries whose CONSTRUCTION performs real MEMOIZED
+    // model/materialization work: the CC family materializes the
+    // shared cluster-label table (DedupQueries.simhashClusters memo).
+    // Two bench rules keep that honest: (1) they are never warmed at
+    // the bench SF — the work stays inside the timed sweep (for the CC
+    // memo, charged to the family's first query; the other two reuse
+    // it, the sweep semantics the sharing is FOR); (2) with repeats >
+    // 1 they report the FIRST repeat, not the min — a later CC repeat
+    // hits the memo and would report only the parquet-read tail.
+    // NOTE the text-scorer forms (t_lm_perplexity /
+    // t_quality_classifier AND their _pruned twins) are deliberately
+    // NOT here: all four rebuild their corpus model inside every
+    // repeat (the pruned twins re-collect the K-bounded model each
+    // construction — no memo, no scratch table), so min-over-repeats
+    // hides nothing. Listing them here just reported one-time JIT as
+    // if it were query cost (r10 measured the classifier at 9.3 s
+    // first repeat vs 6.4 s steady-state for exactly that reason; the
+    // pruned twins were de-listed in r11 on the same argument).
     val heavyConstruction =
       Set("dedup_clusters", "dedup_simhash_pairs", "pipeline_keep",
         "pipeline_keep_best",
-        "t_lm_perplexity_pruned", "t_quality_classifier_pruned",
         // constructing this one MATERIALIZES the bucketed fact-table
         // copies (the write-side cost the co-location lever trades
         // for) — it must be paid inside the first timed repeat, not

@@ -492,40 +492,38 @@ object TextQueries {
         col("v").as("x"))
       val model = lpTop.unionAll(uniTop).unionAll(vRow).collect()
       docs.unpersist(blocking = false)
-      val lpModel = model.iterator.filter(_.getString(0) == "b")
-        .map(r => r.getString(1) -> r.getLong(2)).toMap
-      val uniModel = model.iterator.filter(_.getString(0) == "u")
-        .map(r => r.getString(1) -> r.getLong(2)).toMap
       val vTotal = model.find(_.getString(0) == "v").get.getLong(2)
-      val lpB = s.sparkContext.broadcast(lpModel)
-      val uniB = s.sparkContext.broadcast(uniModel)
       import s.implicits._
-      docs.select(col("doc_id"), col("toks"))
-        .as[(Long, Seq[String])]
-        .mapPartitions { it =>
-          val lp = lpB.value
-          val un = uniB.value
-          it.flatMap { case (id, toks) =>
-            var i = 0
-            var n = 0L
-            var sum = 0L
-            while (i < toks.length - 1) {
-              val g = toks(i) + " " + toks(i + 1)
-              sum += (lp.get(g) match {
-                case Some(x) => x
-                case None =>
-                  val c1 = un.getOrElse(toks(i), 0L)
-                  math.floor(1000000.0 * math.log(
-                    0.5 / (c1.toDouble + 0.5 * vTotal.toDouble))).toLong
-              })
-              n += 1
-              i += 1
-            }
-            if (n == 0) None
-            else Some((id, n, sum.toDouble / (n.toDouble * 1000000.0)))
-          }
-        }
-        .toDF("doc_id", "n_bigrams", "avg_logp")
+      // The K-bounded model rows go back in as LITERAL local relations
+      // (not the plans that produced them — re-deriving those in the
+      // scoring query exploded the tree) and the scoring pass is pure
+      // builtin SQL: bigram explode → two BROADCAST joins (model hit,
+      // unigram backoff) → per-doc integer sum, all whole-stage
+      // codegen, no scoring-side shuffle before the final per-doc
+      // aggregation. (An earlier typed-mapPartitions form deserialized
+      // every token array into Scala objects — the lambda tax was the
+      // pruned path's whole deficit vs the exact form.)
+      val lpDf = model.iterator.filter(_.getString(0) == "b")
+        .map(r => (r.getString(1), r.getLong(2))).toSeq.toDF("g", "lp")
+      val uniDf = model.iterator.filter(_.getString(0) == "u")
+        .map(r => (r.getString(1), r.getLong(2))).toSeq.toDF("w1", "c1t")
+      // tail-bigram backoff: floor(1e6·ln(0.5 / (c1 + 0.5·V))) — same
+      // java.lang.Math.log/floor the driver form computed, evaluated
+      // by codegen per tail row
+      bg.withColumn("w1", substring_index(col("g"), " ", 1))
+        .join(broadcast(lpDf), Seq("g"), "left")
+        .join(broadcast(uniDf), Seq("w1"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lp"),
+            floor(lit(1000000.0) *
+              log(lit(0.5) /
+                (coalesce(col("c1t"), lit(0L)).cast("double") +
+                  lit(0.5) * vTotal.toDouble)))).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_lp").cast("double") /
+            (col("n_bigrams").cast("double") * 1000000.0)).as("avg_logp"))
         .orderBy(col("doc_id"))
     } else {
       val lp = big.join(uni.withColumnRenamed("w", "w1"), "w1")
@@ -653,8 +651,6 @@ object TextQueries {
         col("prior_scaled").as("x"))
       val model = wTop.unionAll(totRows).unionAll(priorRow).collect()
       docs.unpersist(blocking = false)
-      val wModel = model.iterator.filter(_.getString(0) == "w")
-        .map(r => r.getString(1) -> r.getLong(2)).toMap
       def scalar(tag: String): Long =
         model.find(_.getString(0) == tag).get.getLong(2)
       val (nt, no, v) = (scalar("t"), scalar("o"), scalar("v"))
@@ -662,24 +658,24 @@ object TextQueries {
         (math.log(1.0 / (nt + v).toDouble) -
           math.log(1.0 / (no + v).toDouble))).toLong
       val priorScaled = scalar("p")
-      val wB = s.sparkContext.broadcast(wModel)
       import s.implicits._
-      docs.select(col("doc_id"), col("toks"))
-        .as[(Long, Seq[String])]
-        .mapPartitions { it =>
-          val wm = wB.value
-          it.flatMap { case (id, toks) =>
-            if (toks.isEmpty) None
-            else {
-              var sum = 0L
-              val n = toks.length.toLong
-              toks.foreach(w => sum += wm.getOrElse(w, backoff))
-              val odds = (sum + priorScaled).toDouble / 1000000.0
-              Some((id, n, odds, odds > 0.0))
-            }
-          }
-        }
-        .toDF("doc_id", "n_tokens", "log_odds", "pred_target")
+      // LITERAL local relation + pure-builtin scoring (broadcast hash
+      // join, per-doc integer sum, whole-stage codegen) — same move as
+      // the pruned-LM path above, for the same reason: the typed
+      // mapPartitions form paid a token-array deserialization per doc
+      // that erased the pruned model's advantage
+      val wDf = model.iterator.filter(_.getString(0) == "w")
+        .map(r => (r.getString(1), r.getLong(2))).toSeq.toDF("w", "ws")
+      toks.select(col("doc_id"), col("w"))
+        .join(broadcast(wDf), Seq("w"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ws"), lit(backoff)).as("ws"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("ws")).as("sw"))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("sw") + priorScaled).cast("double") / 1000000.0)
+            .as("log_odds"))
+        .withColumn("pred_target", col("log_odds") > 0.0)
         .orderBy(col("doc_id"))
     } else {
       val w = counts.crossJoin(broadcast(totals))
