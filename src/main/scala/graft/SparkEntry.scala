@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AnnIvf, AnnLsh, AsofJoin, BehaviorQueries,
   BpeTrainer, CurationQueries, DataloaderQueries, DecisionSupportQueries,
-  DedupQueries, DynamicRules, EventQueries, MediaPipeline,
-  RelationalQueries, SemDedup, SimilarityQueries, SketchQueries,
-  SubqueryQueries, TextQueries}
+  DedupQueries, DynamicRules, EntityResolution, EventQueries,
+  GraphQueries, MediaPipeline, RelationalQueries, SemDedup,
+  SimilarityQueries, SketchQueries, SubqueryQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,7 @@ object SparkEntry {
       DecisionSupportQueries.queries, BehaviorQueries.queries,
       SketchQueries.queries, CurationQueries.queries,
       SemDedup.queries, BpeTrainer.queries, DataloaderQueries.queries,
+      EntityResolution.queries, GraphQueries.queries,
       graft.sources.BucketedLayout.queries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -56,6 +57,7 @@ object SparkEntry {
       DecisionSupportQueries.oracles, BehaviorQueries.oracles,
       SketchQueries.oracles, CurationQueries.oracles,
       SemDedup.oracles, BpeTrainer.oracles, DataloaderQueries.oracles,
+      EntityResolution.oracles, GraphQueries.oracles,
       graft.sources.BucketedLayout.oracles)
     val merged = mods.reduce(_ ++ _)
     require(merged.size == mods.map(_.size).sum,

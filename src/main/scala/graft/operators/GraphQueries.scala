@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the order graph: PageRank on the
+  * customer–supplier bipartite graph (an edge per distinct
+  * customer/supplier trading pair, both directions, so rank flows both
+  * ways and no node dangles).
+  *
+  * Cross-engine exactness (the [[TextQueries.lmPerplexity]] contract,
+  * extended to an ITERATIVE computation): ranks live on a fixed-point
+  * BIGINT grid (1e6 = rank 1.0). Each iteration is
+  *   r'(v) = 150000 + (85 * sum over in-edges of (r(u) div deg(u))) div 100
+  * — integer division and an order-free integer sum only, so three
+  * chained iterations stay bit-identical between Spark and the
+  * oracle's three unrolled CTEs, where chained double rounding would
+  * drift. Truncating (div) vs flooring (//) division agree because
+  * every operand is non-negative.
+  *
+  * Scale: the classic DataFrame-Pregel shape. Edges and out-degrees
+  * join ONCE outside the loop into a (src, dst, d) table that is
+  * repartitioned on src and persisted — each iteration then joins only
+  * the (id, r) rank frame against it on that same key (one shuffle of
+  * the small rank frame per iteration; the big edge table never moves
+  * again) and aggregates on dst (partial aggregation map-side). Skewed
+  * high-degree nodes are a sum on the dst side — AQE splits those
+  * reducers. GraphX was considered and declined: RDD-based, no
+  * Catalyst, and the whole loop here stays in whole-stage codegen.
+  */
+object GraphQueries {
+
+  private val Damp = 85L   // damping * 100
+  private val Base = 150000L // (1 - damping) on the 1e6 grid
+  private val SuppOffset = 1000000L // node-id space: suppliers shifted
+
+  def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + SuppOffset).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, d): built once, partitioned on the loop's join key,
+    // persisted — the only thing that moves per iteration is the rank
+    // frame
+    val adj = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, adj("src") === ranks("id"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
+        .select(col("dst").as("id"), col("r"))
+    }
+    val out = ranks
+      .select(col("id").as("node_id"), col("r").as("rank_scaled"))
+      .orderBy(col("node_id"))
+    // materialize before unpersist would be ideal, but the bench/verify
+    // harness counts/writes immediately; keep adj pinned for this plan
+    // (bench unpersists all RDDs between queries)
+    out
+  }
+
+  private def rankCte(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT e.dst AS id,
+       |    CAST($Base + ($Damp * SUM($prev.r // deg.d)) // 100 AS BIGINT) AS r
+       |  FROM e JOIN deg USING (src) JOIN $prev ON $prev.id = e.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  val pageRankSql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, p AS dst FROM pairs
+       |      UNION ALL SELECT p AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${rankCte("r0", "r1")},
+       |${rankCte("r1", "r2")},
+       |${rankCte("r2", "r3")}
+       |SELECT id AS node_id, r AS rank_scaled FROM r3 ORDER BY node_id"""
+      .stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, d) => pageRank(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql)
+}
