@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIvf, AnnLsh, AsofJoin, BehaviorQueries,
+import graft.operators.{AnnIvf, AnnLsh, AnnPq, AsofJoin, BehaviorQueries,
   BpeTrainer, CurationQueries, DataloaderQueries, DecisionSupportQueries,
   DedupQueries, DynamicRules, EntityResolution, EventQueries,
   GraphQueries, MediaPipeline, RelationalQueries, SemDedup,
@@ -30,7 +30,7 @@ object SparkEntry {
       DecisionSupportQueries.queries, BehaviorQueries.queries,
       SketchQueries.queries, CurationQueries.queries,
       SemDedup.queries, BpeTrainer.queries, DataloaderQueries.queries,
-      EntityResolution.queries, GraphQueries.queries,
+      EntityResolution.queries, GraphQueries.queries, AnnPq.queries,
       graft.sources.BucketedLayout.queries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -57,7 +57,7 @@ object SparkEntry {
       DecisionSupportQueries.oracles, BehaviorQueries.oracles,
       SketchQueries.oracles, CurationQueries.oracles,
       SemDedup.oracles, BpeTrainer.oracles, DataloaderQueries.oracles,
-      EntityResolution.oracles, GraphQueries.oracles,
+      EntityResolution.oracles, GraphQueries.oracles, AnnPq.oracles,
       graft.sources.BucketedLayout.oracles)
     val merged = mods.reduce(_ ++ _)
     require(merged.size == mods.map(_.size).sum,

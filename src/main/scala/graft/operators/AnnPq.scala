@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Product quantization with asymmetric-distance (ADC) top-k — the
+  * third leg of the quantized-ANN family next to SQ8 (per-dimension
+  * scalar codes, [[SimilarityQueries.sq8TopK]]) and IVF (coarse
+  * partition pruning, [[AnnIvf]]). PQ splits each 64-dim vector into
+  * M=8 subspaces of 8 dims, learns a K=16-entry codebook per
+  * subspace, and stores each vector as 8 code bytes (64x smaller than
+  * the float vector). A query is NOT quantized: it precomputes a
+  * 128-entry lookup table of exact distances to every codebook entry,
+  * and a candidate's approximate distance is the sum of 8 table reads
+  * — the classic ADC search loop (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Cross-engine exactness: coordinates snap to the 1e4 fixed-point
+  * BIGINT grid FIRST (the [[SimilarityQueries.kmeansStep]] contract),
+  * so codebook assignment (integer argmin, ties to the lower code),
+  * the LUT, and the ADC sums are all exact integer arithmetic — no FP
+  * anywhere. The codebook is the iters=0 quantizer (sub-vectors of
+  * the K lowest-vec_id corpus vectors), the same SQL-replayable
+  * training choice as [[AnnIvf]].
+  *
+  * Scale: the codebook collect is K=16 rows behind a pushed-down
+  * vec_id filter (construction-memoized per table version). Encoding
+  * is one corpus scan fanned to M sub-rows joined against the
+  * 128-row broadcast codebook — linear, whole-stage codegen via the
+  * [[VectorExpressions.quantL2Sq]] kernel. The stored index is the
+  * 8-entry code array per vector. Search reads ONLY that index: the
+  * bounded query-LUT frame broadcasts, and each (candidate, query)
+  * pair is a single [[VectorExpressions.sumLookup]] kernel call — at
+  * 100 TB the scan side is 8 longs per vector instead of 64 floats,
+  * which is the whole point of PQ. */
+object AnnPq {
+
+  private val M = 8        // subspaces
+  private val SubDim = 8   // dims per subspace (64-dim embeddings)
+  private val K = 16       // codebook entries per subspace
+  private val NQueries = 10
+  private val TopK = 5
+
+  /** Quantized codebook rows (code id, subspace, sub-vector on the 1e4
+    * integer grid) — driver-built from the K lowest-vec_id vectors. */
+  private def codebook(s: SparkSession, dir: String): Seq[(Int, Int, Seq[Long])] =
+    Tables.memoizedAtConstruction(s, dir, "embeddings", s"pqcb-$M-$K") {
+      Tables.embeddings(s, dir).filter(col("vec_id") < K)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+        .collect()
+        .flatMap { r =>
+          val k = r.getLong(0).toInt
+          val v = r.getSeq[Float](1)
+            .map(f => math.floor(f.toDouble * 10000).toLong)
+          (0 until M).map(m =>
+            (k, m, v.slice(m * SubDim, (m + 1) * SubDim): Seq[Long]))
+        }.toSeq
+    }
+
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cbDf = broadcast(codebook(s, dir).toDF("k", "cm", "cv"))
+    // corpus on the integer grid, fanned to (vec_id, m, sub-vector)
+    val sub = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+        .as("v"))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("m"),
+        col("v"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(v, m * $SubDim + 1, $SubDim)").as("sv"))
+    // encode candidates: integer argmin over the 16 codes per subspace
+    // (min over a (d2, k) struct = ties to the lower code id), then
+    // pack the 8 codes into ONE array offset-indexed as m*K + code —
+    // the stored PQ index
+    val enc = sub.filter(col("vec_id") >= NQueries)
+      .join(cbDf, col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("k"),
+        VectorExpressions.quantL2Sq(col("sv"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+    val codes = enc.groupBy(col("vec_id"))
+      .agg(expr(s"transform(sort_array(collect_list(struct(m, code))), " +
+        s"t -> CAST(t.m * $K + t.code AS BIGINT))").as("codes"))
+    // per-query ADC lookup table: exact distance from the query's
+    // sub-vector to every codebook entry, flattened in m*K + k order
+    // (the same offsets the code array carries)
+    val lut = sub.filter(col("vec_id") < NQueries)
+      .join(cbDf, col("m") === col("cm"))
+      .select(col("vec_id").as("qid"), col("m"), col("k"),
+        VectorExpressions.quantL2Sq(col("sv"), col("cv")).as("d2"))
+      .groupBy(col("qid"))
+      .agg(expr("transform(sort_array(collect_list(struct(m, k, d2))), " +
+        "t -> t.d2)").as("lut"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_d2"), col("cid"))
+    codes.crossJoin(broadcast(lut))
+      .select(col("qid"), col("vec_id").as("cid"),
+        VectorExpressions.sumLookup(col("codes"), col("lut")).as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("cid"), col("adc_d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val subD2 =
+    "list_reduce(list_transform(range(1, 9), " +
+      "i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), (a, b) -> a + b)"
+
+  val pqAdcTopKSql: String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m, v[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
+       |  FROM qv, range(0, $M) t(m)),
+       |cb AS (
+       |  SELECT vec_id AS k, m AS cm, sv AS cv FROM sub WHERE vec_id < $K),
+       |enc AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT s.vec_id, s.m, cb.k,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $subD2, cb.k) AS rk
+       |    FROM sub s JOIN cb ON s.m = cb.cm
+       |    WHERE s.vec_id >= $NQueries)
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS qid, s.m, cb.k, $subD2 AS d2
+       |  FROM sub s JOIN cb ON s.m = cb.cm
+       |  WHERE s.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT l.qid, e.vec_id AS cid, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.k
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, adc_d2 FROM (
+       |  SELECT qid, cid, adc_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rank
+       |  FROM adc)
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_adc_topk" -> (pqAdcTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_pq_adc_topk" -> pqAdcTopKSql)
+}

@@ -52,7 +52,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     * scale path is the LSH variant). */
   private val intentionalCrossJoins = Set("sim_cosine_topk",
     "sim_knn_label", "sim_embedding_near_dup", "sim_ann_lsh",
-    "sim_ann_ivf", "sim_sq8_topk")
+    "sim_ann_ivf", "sim_sq8_topk",
+    // ADC scores every candidate's 8-byte code array against the 10
+    // bounded broadcast query LUTs — the scan side is the PQ index,
+    // not the vectors; the nested loop's build side is 10 rows
+    "sim_pq_adc_topk")
 
   /** Scalar-subquery queries broadcast a ONE-ROW aggregate into the
     * filter (`rev = max(rev)`, `bal·n > Σbal`) — the nested loop runs
