@@ -8,21 +8,26 @@ import graft.Tables
 /** Entity-resolution fuzzy join: match a "dirty" name registry against
   * the clean one within Levenshtein distance 1, WITHOUT a cross join.
   *
-  * Blocking is the FastSS deletion-neighborhood scheme (Bocek et al.,
-  * "Fast Similarity Search in Large Dictionaries", 2007): each side
-  * emits the string itself plus every single-character deletion as
-  * blocking signatures, candidates are the equi-join on the signature,
-  * and an exact `levenshtein` confirms. Completeness for distance <= 1
-  * is the scheme's classic argument:
-  *   - equal strings share the identity signature;
-  *   - one substitution at position i: both sides' delete-at-i
-  *     signatures are equal;
-  *   - one insertion/deletion: deleting the inserted character on the
-  *     longer side yields exactly the shorter side's identity
-  *     signature.
-  * Collisions admit pairs up to distance 2 (delete+insert), so the
-  * confirm filter is required, and bucket sizes stay tiny — a bucket
-  * holds only strings identical after one deletion.
+  * Blocking refines the FastSS deletion-neighborhood scheme (Bocek et
+  * al., "Fast Similarity Search in Large Dictionaries", 2007) into
+  * three CANDIDATE-EXACT equi-join families. Plain FastSS joins each
+  * side's {identity + deletions} signature set against the other's,
+  * which is complete for lev ≤ 1 but admits every distance-2
+  * delete-one/insert-one collision — on low-entropy keys (zero-padded
+  * digit blocks) those false candidates outnumber true pairs by an
+  * order of magnitude and dominate the runtime. Splitting by edit type
+  * removes them:
+  *   1. substitution/equality — masked-position signatures: two
+  *      equal-length strings share one iff Hamming distance ≤ 1
+  *      (which for equal lengths IS lev ≤ 1: a single insert or
+  *      delete cannot preserve length);
+  *   2. insertion (clean longer) — dirty identity × clean deletions:
+  *      a collision literally exhibits the one-deletion edit;
+  *   3. insertion (dirty longer) — dirty deletions × clean identity.
+  * Every collision in every family is a true lev ≤ 1 pair, so the
+  * `levenshtein` confirm is an assertion rather than a filter, and the
+  * join output is proportional to the RESULT size, not to a
+  * candidate superset.
   *
   * The dirty side is derived deterministically in the query itself
   * (the [[TextQueries.piiScrub]] planted-fixture pattern): every third
@@ -57,34 +62,79 @@ object EntityResolution {
       |  substring(c_name, CAST(11 + c_custkey % 9 AS INT))
       |ELSE c_name END""".stripMargin
 
-  /** Identity + all single-deletion signatures of a string column —
-    * the FastSS k=1 neighborhood. array_distinct because deleting
-    * either of two equal adjacent characters yields the same string. */
+  /** Masked-position signatures: the string with character i replaced
+    * by an out-of-alphabet sentinel ( — names never contain it).
+    * Two equal-length strings share a masked signature iff they agree
+    * everywhere outside the masked position, i.e. iff their Hamming
+    * distance is ≤ 1 — so for the substitution family the blocking is
+    * CANDIDATE-EXACT: every collision is a true lev ≤ 1 pair, and a
+    * substitution pair collides exactly once (at its differing
+    * position). The sentinel's position encodes i, so no tag column
+    * is needed. */
+  private def maskedSigs(c: String): Column = expr(
+    s"""transform(sequence(1, length($c)),
+       |  i -> concat(substring($c, 1, i - 1), char(1), substring($c, i + 1)))"""
+      .stripMargin)
+
+  /** All single-deletion variants of a string column — matched against
+    * the OTHER side's identity string only (never deletion×deletion,
+    * whose collisions are the distance-2 false-candidate class that
+    * plain FastSS pays a confirm pass to discard). array_distinct
+    * because deleting either of two equal adjacent characters yields
+    * the same string. */
   private def deletionSigs(c: String): Column = expr(
-    s"""array_distinct(concat(array($c),
-       |  transform(sequence(1, length($c)),
-       |    i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"""
+    s"""array_distinct(transform(sequence(1, length($c)),
+       |  i -> concat(substring($c, 1, i - 1), substring($c, i + 1))))"""
       .stripMargin)
 
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
-    val dirty = base.select(col("c_custkey").as("src_id"),
-      expr(dirtyNameSql).as("dname"))
-    val clean = base.select(col("c_custkey").as("match_id"),
-      col("c_name").as("cname"))
-    val dsig = dirty.select(col("src_id"), col("dname"),
-      explode(deletionSigs("dname")).as("sig"))
-    val csig = clean.select(col("match_id"), col("cname"),
-      explode(deletionSigs("cname")).as("sig"))
-    dsig.join(csig, "sig")
-      // a pair collides once per shared signature (equal strings share
-      // them all) — dedup BEFORE the confirm so levenshtein runs once
-      // per candidate pair
-      .select(col("src_id"), col("match_id"), col("dname"), col("cname"))
-      .distinct()
-      .filter(levenshtein(col("dname"), col("cname")) <= 1)
+    fuzzyPairs(
+      base.select(col("c_custkey").as("src_id"),
+        expr(dirtyNameSql).as("dname")),
+      base.select(col("c_custkey").as("match_id"),
+        col("c_name").as("cname")))
+  }
+
+  /** The reusable operator core: all (src_id, match_id) pairs with
+    * levenshtein(dname, cname) ≤ 1, on any two registries. */
+  def fuzzyPairs(dirty: DataFrame, clean: DataFrame): DataFrame = {
+    // Three candidate families, together complete for lev ≤ 1 and each
+    // (near-)free of false candidates — a plain FastSS deletion-
+    // neighborhood join admits distance-2 collisions (delete i on one
+    // side, insert j on the other) whose volume dwarfs the true pairs:
+    //   1. substitution + equality: masked-position equi-join (exact —
+    //      collisions ARE Hamming ≤ 1 pairs; equal strings collide at
+    //      every mask, deduped below);
+    //   2. clean = dirty + one insertion: dirty identity × clean
+    //      deletions;
+    //   3. dirty = clean + one insertion: dirty deletions × clean
+    //      identity.
+    val pair = (l: DataFrame, r: DataFrame) =>
+      l.join(r, "sig").select(col("src_id"), col("match_id"),
+        col("dname"), col("cname"))
+    val j1 = pair(
+      dirty.select(col("src_id"), col("dname"),
+        explode(maskedSigs("dname")).as("sig")),
+      clean.select(col("match_id"), col("cname"),
+        explode(maskedSigs("cname")).as("sig")))
+    val j2 = pair(
+      dirty.select(col("src_id"), col("dname"), col("dname").as("sig")),
+      clean.select(col("match_id"), col("cname"),
+        explode(deletionSigs("cname")).as("sig")))
+    val j3 = pair(
+      dirty.select(col("src_id"), col("dname"),
+        explode(deletionSigs("dname")).as("sig")),
+      clean.select(col("match_id"), col("cname"), col("cname").as("sig")))
+    // the confirm is a correctness assertion more than a filter here
+    // (families are candidate-exact); it runs map-side on the narrow
+    // union before the dedup exchange
+    j1.unionAll(j2).unionAll(j3)
       .select(col("src_id"), col("match_id"),
-        levenshtein(col("dname"), col("cname")).cast("long").as("dist"),
+        levenshtein(col("dname"), col("cname")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
+      .select(col("src_id"), col("match_id"), col("dist"),
         (col("src_id") === col("match_id")).as("same_entity"))
       .orderBy(col("src_id"), col("match_id"))
   }

@@ -47,13 +47,17 @@ object GraphQueries {
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // (src, dst, d): built once, partitioned on the loop's join key,
-    // persisted — the only thing that moves per iteration is the rank
-    // frame
+    // (src, dst, d): built once, persisted — the edges⋈deg output is
+    // already clustered on src (the loop's join key; an explicit
+    // repartition here would be a redundant second exchange), so the
+    // only thing that moves per iteration is the rank frame
     val adj = edges.join(deg, "src")
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    // initial ranks read the CACHED adjacency (node set = sources of
+    // the symmetric edge list) rather than re-deriving the
+    // orders⋈lineitem→distinct pipeline a second time via deg
+    var ranks = adj.select(col("src").as("id")).distinct()
+      .withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("id"))
         .select(col("dst"), expr("r div d").as("contrib"))

