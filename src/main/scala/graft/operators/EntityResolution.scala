@@ -62,30 +62,41 @@ object EntityResolution {
       |  substring(c_name, CAST(11 + c_custkey % 9 AS INT))
       |ELSE c_name END""".stripMargin
 
-  /** Masked-position signatures: the string with character i replaced
-    * by an out-of-alphabet sentinel ( — names never contain it).
-    * Two equal-length strings share a masked signature iff they agree
-    * everywhere outside the masked position, i.e. iff their Hamming
-    * distance is ≤ 1 — so for the substitution family the blocking is
-    * CANDIDATE-EXACT: every collision is a true lev ≤ 1 pair, and a
-    * substitution pair collides exactly once (at its differing
-    * position). The sentinel's position encodes i, so no tag column
-    * is needed. */
-  private def maskedSigs(c: String): Column = expr(
-    s"""transform(sequence(1, length($c)),
-       |  i -> concat(substring($c, 1, i - 1), char(1), substring($c, i + 1)))"""
-      .stripMargin)
-
-  /** All single-deletion variants of a string column — matched against
-    * the OTHER side's identity string only (never deletion×deletion,
-    * whose collisions are the distance-2 false-candidate class that
-    * plain FastSS pays a confirm pass to discard). array_distinct
-    * because deleting either of two equal adjacent characters yields
-    * the same string. */
-  private def deletionSigs(c: String): Column = expr(
-    s"""array_distinct(transform(sequence(1, length($c)),
-       |  i -> concat(substring($c, 1, i - 1), substring($c, i + 1))))"""
-      .stripMargin)
+  /** The full signature set of one side, tag-partitioned so ONE
+    * equi-join realizes exactly the three candidate families and
+    * nothing else:
+    *   - `m:` masked-position signatures (character i replaced by the
+    *     out-of-alphabet sentinel \\u0001 — names never contain it).
+    *     Two equal-length strings share one iff they agree everywhere
+    *     outside the masked position, i.e. iff Hamming distance <= 1 —
+    *     candidate-exact for the substitution/equality family, and the
+    *     sentinel's position encodes i so a substitution pair collides
+    *     exactly once.
+    *   - `a:` the DIRTY side's identity against the CLEAN side's
+    *     deletions — a collision exhibits the one-insertion edit
+    *     (clean longer).
+    *   - `b:` the DIRTY side's deletions against the CLEAN side's
+    *     identity (dirty longer).
+    * Deletion x deletion never meets (its tags differ), which is
+    * precisely the distance-2 delete-one/insert-one false-candidate
+    * class plain FastSS pays a confirm pass to discard. array_distinct
+    * collapses equal-adjacent-character deletion duplicates within a
+    * row. One signature array per row means ONE registry scan, ONE
+    * explode, and ONE shuffled equi-join realize all three families
+    * (the unioned three-join form paid triple scans and exchanges). */
+  private def taggedSigs(c: String, dirtySide: Boolean): Column = {
+    val identityTag = if (dirtySide) "a:" else "b:"
+    val deletionTag = if (dirtySide) "b:" else "a:"
+    expr(
+      s"""array_distinct(concat(
+         |  array(concat('$identityTag', $c)),
+         |  transform(sequence(1, length($c)),
+         |    i -> concat('m:', substring($c, 1, i - 1), char(1),
+         |                substring($c, i + 1))),
+         |  transform(sequence(1, length($c)),
+         |    i -> concat('$deletionTag', substring($c, 1, i - 1),
+         |                substring($c, i + 1)))))""".stripMargin)
+  }
 
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
@@ -99,37 +110,17 @@ object EntityResolution {
   /** The reusable operator core: all (src_id, match_id) pairs with
     * levenshtein(dname, cname) ≤ 1, on any two registries. */
   def fuzzyPairs(dirty: DataFrame, clean: DataFrame): DataFrame = {
-    // Three candidate families, together complete for lev ≤ 1 and each
-    // (near-)free of false candidates — a plain FastSS deletion-
-    // neighborhood join admits distance-2 collisions (delete i on one
-    // side, insert j on the other) whose volume dwarfs the true pairs:
-    //   1. substitution + equality: masked-position equi-join (exact —
-    //      collisions ARE Hamming ≤ 1 pairs; equal strings collide at
-    //      every mask, deduped below);
-    //   2. clean = dirty + one insertion: dirty identity × clean
-    //      deletions;
-    //   3. dirty = clean + one insertion: dirty deletions × clean
-    //      identity.
-    val pair = (l: DataFrame, r: DataFrame) =>
-      l.join(r, "sig").select(col("src_id"), col("match_id"),
-        col("dname"), col("cname"))
-    val j1 = pair(
-      dirty.select(col("src_id"), col("dname"),
-        explode(maskedSigs("dname")).as("sig")),
-      clean.select(col("match_id"), col("cname"),
-        explode(maskedSigs("cname")).as("sig")))
-    val j2 = pair(
-      dirty.select(col("src_id"), col("dname"), col("dname").as("sig")),
-      clean.select(col("match_id"), col("cname"),
-        explode(deletionSigs("cname")).as("sig")))
-    val j3 = pair(
-      dirty.select(col("src_id"), col("dname"),
-        explode(deletionSigs("dname")).as("sig")),
-      clean.select(col("match_id"), col("cname"), col("cname").as("sig")))
-    // the confirm is a correctness assertion more than a filter here
-    // (families are candidate-exact); it runs map-side on the narrow
-    // union before the dedup exchange
-    j1.unionAll(j2).unionAll(j3)
+    // one tagged-signature equi-join covers substitution/equality
+    // (m: x m:), clean-longer insertion (a: identity x a: deletions),
+    // and dirty-longer insertion (b: deletions x b: identity) — see
+    // taggedSigs; every collision is a true lev <= 1 pair, so the
+    // confirm below is a correctness assertion more than a filter and
+    // join output is proportional to the RESULT size
+    val dsig = dirty.select(col("src_id"), col("dname"),
+      explode(taggedSigs("dname", dirtySide = true)).as("sig"))
+    val csig = clean.select(col("match_id"), col("cname"),
+      explode(taggedSigs("cname", dirtySide = false)).as("sig"))
+    dsig.join(csig, "sig")
       .select(col("src_id"), col("match_id"),
         levenshtein(col("dname"), col("cname")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
