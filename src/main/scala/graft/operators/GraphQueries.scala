@@ -53,12 +53,17 @@ object GraphQueries {
     // only thing that moves per iteration is the rank frame
     val adj = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // initial ranks read the CACHED adjacency (node set = sources of
-    // the symmetric edge list) rather than re-deriving the
-    // orders⋈lineitem→distinct pipeline a second time via deg
-    var ranks = adj.select(col("src").as("id")).distinct()
-      .withColumn("r", lit(1000000L))
-    for (_ <- 1 to iters) {
+    // iteration 1 unrolled: the initial vector is the CONSTANT 1e6, so
+    // r1 comes straight off the cached adjacency (contrib = 1e6 div
+    // deg(src)) with no rank join and no initial-node-set distinct —
+    // two shuffles saved vs joining a materialized r0
+    require(iters >= 1, "pageRank needs at least one iteration")
+    var ranks = adj
+      .select(col("dst"), expr("1000000 div d").as("contrib"))
+      .groupBy(col("dst"))
+      .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
+      .select(col("dst").as("id"), col("r"))
+    for (_ <- 2 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("id"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy(col("dst"))

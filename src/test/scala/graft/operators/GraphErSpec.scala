@@ -87,6 +87,54 @@ class GraphErSpec extends AnyFunSuite {
       Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("best match is the argmin of the exhaustive pair set") {
+    import spark.implicits._
+    val got = EntityResolution.bestMatch(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // reference: argmin (dist, match_id) over the full-pairs form,
+    // which itself is pinned to the exhaustive definition above
+    val exp = EntityResolution.fuzzyMatch(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .groupBy(_._1).map { case (src, rows) =>
+        rows.minBy(r => (r._3, r._2))
+      }.toSeq.sortBy(_._1)
+    assert(got === exp)
+    // corrupted rows whose bumped name lands on a live key must
+    // resolve to THAT entity (dist 0 beats the own-name dist 1)
+    assert(got.exists { case (_, _, d, same) => d == 0 && !same })
+  }
+
+  test("best match factorizes duplicate names to the lowest holder id") {
+    import spark.implicits._
+    // clean registry holds "abc" under ids 50 and 7, "abd" under 3 —
+    // a dist-0 match must beat the lower-id dist-1 match, and within
+    // dist 0 the LOWEST holder id must win (the v2 record-level argmin
+    // semantics the factorized form must preserve)
+    val dirty = Seq((1L, "abc"), (2L, "abe"), (3L, "zzz"))
+      .toDF("src_id", "dname")
+    val clean = Seq((50L, "abc"), (7L, "abc"), (3L, "abd"))
+      .toDF("match_id", "cname")
+    val got = EntityResolution.bestMatchOn(dirty, clean)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // src 1: dist-0 "abc" → holder min(50, 7) = 7 (not dist-1 id 3)
+    // src 2 "abe": dist-1 matches "abc"(min 7) and "abd"(3) → id 3
+    // src 3: no match → absent
+    assert(got === Set((1L, 7L, 0L, false), (2L, 3L, 1L, false)))
+  }
+
+  test("full-pairs form refuses corpus-scale registries (designed skip)") {
+    graft.SparkTestUtil.withConf(spark, "spark.graft.er.maxRows", "10") {
+      val e = intercept[graft.model.DesignedSkip] {
+        EntityResolution.fuzzyMatch(spark, dir)
+      }
+      assert(e.getMessage.contains("er_best_match"), e.getMessage)
+    }
+    // best match has no cap — it must construct at any registry size
+    graft.SparkTestUtil.withConf(spark, "spark.graft.er.maxRows", "10") {
+      EntityResolution.bestMatch(spark, dir).queryExecution.analyzed
+    }
+  }
+
   test("fuzzy match plan is a blocked equi-join, not a cross product") {
     val p = EntityResolution.fuzzyMatch(spark, dir)
       .queryExecution.executedPlan.toString
