@@ -314,6 +314,94 @@ object VectorImpl {
   }
 }
 
+/** Static kernel behind [[PqEncode]]. */
+object PqImpl {
+  /** Product-quantization encode: quantize the vector to the 1e4
+    * fixed-point grid (floor(toDouble·10⁴), exactly the
+    * transform-to-BIGINT Column pipeline it replaces), then per
+    * subspace pick the codebook entry with the smallest integer
+    * squared L2 (ties to the lower code id) and emit the flat ADC
+    * offset m·K + code. Codebook layout: cb[((m·K + k)·subDim) + d].
+    * One tight per-row loop in place of an 8-way explode, a 128-row
+    * broadcast join, and two aggregations per vector. */
+  def encode(v: ArrayData, cb: Array[Long], m: Int, k: Int, subDim: Int,
+      isFloat: Boolean): ArrayData = {
+    val q = new Array[Long](m * subDim)
+    val n = math.min(v.numElements(), m * subDim)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      q(i) = math.floor(x * 10000.0).toLong
+      i += 1
+    }
+    val out = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0L
+      var bestD = Long.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val base = (mi * k + ki) * subDim
+        var d2 = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = q(mi * subDim + d) - cb(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = ki.toLong }
+        ki += 1
+      }
+      out(mi) = mi.toLong * k + best
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** PQ encode against a flattened codebook literal —
+  * [[PqImpl.encode]]. The codebook is a Seq for structural equality
+  * (the [[Sq8Dequant]] canonicalization note). */
+case class PqEncode(child: Expression, codebook: Seq[Long],
+    m: Int, k: Int, subDim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val cbA = codebook.toArray
+  private def isFloat = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        DoubleType | org.apache.spark.sql.types.FloatType, _)
+        if codebook.length == m * k * subDim =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case org.apache.spark.sql.types.ArrayType(
+        DoubleType | org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName codebook length ${codebook.length} != m*k*subDim")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got " +
+            other.simpleString)
+    }
+  override def nullSafeEval(v: Any): Any =
+    PqImpl.encode(v.asInstanceOf[ArrayData], cbA, m, k, subDim, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", cbA, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqImpl.encode(" +
+        s"$c, $cbRef, $m, $k, $subDim, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 /** SQ8 quantize→dequantize against per-dimension [min, max] literals —
   * [[VectorImpl.sq8Dequant]]. Ranges are Seqs (not Arrays) so case-class
   * equality — and with it expression canonicalization — stays
@@ -382,4 +470,12 @@ object VectorExpressions {
   def sq8Dequant(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
     GraftSqlBridge.column(Sq8Dequant(
       GraftSqlBridge.expression(v), mins, maxs))
+
+  /** Column form: PQ encode of an ARRAY<FLOAT|DOUBLE> column against a
+    * flattened codebook literal (cb[((m·K + k)·subDim) + d]) — emits
+    * the M flat ADC offsets m·K + code as ARRAY<BIGINT>. */
+  def pqEncode(v: Column, codebook: Seq[Long], m: Int, k: Int,
+      subDim: Int): Column =
+    GraftSqlBridge.column(PqEncode(
+      GraftSqlBridge.expression(v), codebook, m, k, subDim))
 }

@@ -63,9 +63,29 @@ object AnnPq {
 
   def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cbDf = broadcast(codebook(s, dir).toDF("k", "cm", "cv"))
-    // corpus on the integer grid, fanned to (vec_id, m, sub-vector)
+    val cb = codebook(s, dir)
+    // encode candidates in ONE codegen'd per-row kernel pass
+    // ([[graft.functions.PqEncode]]): quantize + per-subspace integer
+    // argmin (ties to the lower code) + offset packing, all inside the
+    // scan projection. The first form fanned every vector to M
+    // sub-rows, joined the 128-row broadcast codebook (16x more), and
+    // paid TWO aggregations to reassemble the code array — 26M
+    // intermediate rows at the 200k-vector scale set for what is a
+    // per-row loop over 1024 ints.
+    val flat = new Array[Long](M * K * SubDim)
+    cb.foreach { case (k, m, v) =>
+      v.zipWithIndex.foreach { case (x, d) => flat((m * K + k) * SubDim + d) = x }
+    }
+    val codes = Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= NQueries)
+      .select(col("vec_id"),
+        VectorExpressions.pqEncode(col("embedding"), flat.toSeq, M, K, SubDim)
+          .as("codes"))
+    val cbDf = broadcast(cb.toDF("k", "cm", "cv"))
+    // the 10 query rows keep the explode shape (bounded): quantized
+    // sub-vectors against the broadcast codebook
     val sub = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NQueries)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
         .as("v"))
@@ -73,24 +93,10 @@ object AnnPq {
         col("v"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(v, m * $SubDim + 1, $SubDim)").as("sv"))
-    // encode candidates: integer argmin over the 16 codes per subspace
-    // (min over a (d2, k) struct = ties to the lower code id), then
-    // pack the 8 codes into ONE array offset-indexed as m*K + code —
-    // the stored PQ index
-    val enc = sub.filter(col("vec_id") >= NQueries)
-      .join(cbDf, col("m") === col("cm"))
-      .select(col("vec_id"), col("m"), col("k"),
-        VectorExpressions.quantL2Sq(col("sv"), col("cv")).as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("k"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.k").as("code"))
-    val codes = enc.groupBy(col("vec_id"))
-      .agg(expr(s"transform(sort_array(collect_list(struct(m, code))), " +
-        s"t -> CAST(t.m * $K + t.code AS BIGINT))").as("codes"))
     // per-query ADC lookup table: exact distance from the query's
     // sub-vector to every codebook entry, flattened in m*K + k order
     // (the same offsets the code array carries)
-    val lut = sub.filter(col("vec_id") < NQueries)
+    val lut = sub
       .join(cbDf, col("m") === col("cm"))
       .select(col("vec_id").as("qid"), col("m"), col("k"),
         VectorExpressions.quantL2Sq(col("sv"), col("cv")).as("d2"))
