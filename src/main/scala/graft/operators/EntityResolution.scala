@@ -180,7 +180,8 @@ object EntityResolution {
       explode(taggedSigs("cname", dirtySide = false)).as("sig"))
     val nameBest = dsig.join(csig, "sig")
       .select(col("dname"),
-        (levenshtein(col("dname"), col("cname")).cast("long") * PackBase +
+        (graft.functions.HashExpressions
+          .boundedLev1(col("dname"), col("cname")) * PackBase +
           col("mid")).as("k"))
       .filter(col("k") < lit(2L * PackBase)) // dist <= 1
       .groupBy(col("dname"))
@@ -206,9 +207,14 @@ object EntityResolution {
       explode(taggedSigs("dname", dirtySide = true)).as("sig"))
     val csig = clean.select(col("match_id"), col("cname"),
       explode(taggedSigs("cname", dirtySide = false)).as("sig"))
+    // bounded_lev1 (native kernel, O(n) with an exact-DP fallback)
+    // instead of levenshtein(): the full DP costs ~2.7 µs/pair and the
+    // confirm runs once per collision — it was the dominant stage of
+    // both er operators (~180 s of the old sf1 wall)
     dsig.join(csig, "sig")
       .select(col("src_id"), col("match_id"),
-        levenshtein(col("dname"), col("cname")).cast("long").as("dist"))
+        graft.functions.HashExpressions
+          .boundedLev1(col("dname"), col("cname")).as("dist"))
       .filter(col("dist") <= 1)
       .distinct()
       .select(col("src_id"), col("match_id"), col("dist"),

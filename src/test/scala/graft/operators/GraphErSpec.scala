@@ -135,6 +135,50 @@ class GraphErSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded_lev1 equals min(levenshtein, 2) on adversarial strings") {
+    import org.apache.spark.sql.functions.{col, least, levenshtein, lit}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abXY01€ß日😀" // multi-byte + astral chars
+    def randStr(): String =
+      (0 until rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    def mutate(s: String): String =
+      if (s.isEmpty) "a"
+      else rnd.nextInt(3) match {
+        case 0 => // substitution
+          val i = rnd.nextInt(s.length)
+          s.substring(0, i) + alphabet(rnd.nextInt(alphabet.length)) +
+            s.substring(i + 1)
+        case 1 => // insertion
+          val i = rnd.nextInt(s.length + 1)
+          s.substring(0, i) + alphabet(rnd.nextInt(alphabet.length)) +
+            s.substring(i)
+        case _ => // deletion
+          val i = rnd.nextInt(s.length)
+          s.substring(0, i) + s.substring(i + 1)
+      }
+    val pairs = (1 to 400).map { _ =>
+      val a = randStr()
+      val b = rnd.nextInt(4) match {
+        case 0 => a
+        case 1 => mutate(a)
+        case 2 => mutate(mutate(a))
+        case _ => randStr()
+      }
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+    val bad = df.select(
+        graft.functions.HashExpressions.boundedLev1(col("a"), col("b"))
+          .as("fast"),
+        least(levenshtein(col("a"), col("b")).cast("long"), lit(2L))
+          .as("exact"),
+        col("a"), col("b"))
+      .filter(col("fast") =!= col("exact")).collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+
   test("fuzzy match plan is a blocked equi-join, not a cross product") {
     val p = EntityResolution.fuzzyMatch(spark, dir)
       .queryExecution.executedPlan.toString
