@@ -63,8 +63,29 @@ object GraphQueries {
       .groupBy(col("dst"))
       .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
       .select(col("dst").as("id"), col("r"))
+    // Per-iteration join shape: the rank frame has exactly one row per
+    // node, and the node count is bounded above by |customer| +
+    // |supplier| — both known from cheap memoized metadata counts. When
+    // that bound fits a broadcast (spark.graft.pagerank.broadcastNodesMax,
+    // default 20M ≈ 320 MB of (id, r) rows), hint it: a shuffled join
+    // would re-SORT the 100M-row cached adjacency EVERY iteration,
+    // while the broadcast probe streams it in place and only the
+    // per-iteration aggregation shuffles (partial-aggregated, one row
+    // per node). Past the bound — a graph whose node set outgrows the
+    // driver — the hint drops away and the shuffled join is the
+    // correct plan.
+    val nodeBound =
+      Tables.memoizedAtConstruction(s, dir, "customer", "count") {
+        Tables.customer(s, dir).count()
+      } + Tables.memoizedAtConstruction(s, dir, "supplier", "count") {
+        Tables.supplier(s, dir).count()
+      }
+    val bcastMax = s.conf
+      .get("spark.graft.pagerank.broadcastNodesMax", "20000000").toLong
+    val hint: DataFrame => DataFrame =
+      if (nodeBound <= bcastMax) broadcast(_) else identity
     for (_ <- 2 to iters) {
-      ranks = adj.join(ranks, adj("src") === ranks("id"))
+      ranks = adj.join(hint(ranks), adj("src") === ranks("id"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
