@@ -131,7 +131,10 @@ object Bench {
         // broadcast) is construction-memoized per table version —
         // the first repeat pays the training, later ones must not
         // hide it
-        "sim_ann_ivf")
+        "sim_ann_ivf",
+        // the pagerank adjacency (orders⋈lineitem→distinct, persisted)
+        // is construction-memoized per table version — same rule
+        "graph_pagerank")
 
     // Warm-up sweep (untimed): construct every query once against the
     // bench dir — this performs the construction-time memo scans (LSH

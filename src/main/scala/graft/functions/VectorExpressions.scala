@@ -326,8 +326,15 @@ object PqImpl {
     * broadcast join, and two aggregations per vector. */
   def encode(v: ArrayData, cb: Array[Long], m: Int, k: Int, subDim: Int,
       isFloat: Boolean): ArrayData = {
-    val q = new Array[Long](m * subDim)
-    val n = math.min(v.numElements(), m * subDim)
+    // a short vector must FAIL, not zero-pad: silently encoding the
+    // missing subspaces against an all-zero sub-vector produces wrong
+    // codes that only surface as an unexplained oracle mismatch (the
+    // SQL side's short-list slice NULLs out instead)
+    val n = m * subDim
+    require(v.numElements() == n,
+      s"pq_encode expects $n-dim vectors (m=$m x subDim=$subDim), " +
+        s"got ${v.numElements()}")
+    val q = new Array[Long](n)
     var i = 0
     while (i < n) {
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)

@@ -29,9 +29,10 @@ import graft.functions.VectorExpressions
   *
   * Scale: the codebook collect is K=16 rows behind a pushed-down
   * vec_id filter (construction-memoized per table version). Encoding
-  * is one corpus scan fanned to M sub-rows joined against the
-  * 128-row broadcast codebook — linear, whole-stage codegen via the
-  * [[VectorExpressions.quantL2Sq]] kernel. The stored index is the
+  * is ONE codegen kernel pass inside the corpus scan projection
+  * ([[VectorExpressions.pqEncode]]: quantize + per-subspace integer
+  * argmin + offset packing) — it parallelizes purely by scan splits,
+  * with no fan-out, no join, no aggregation. The stored index is the
   * 8-entry code array per vector. Search reads ONLY that index: the
   * bounded query-LUT frame broadcasts, and each (candidate, query)
   * pair is a single [[VectorExpressions.sumLookup]] kernel call — at

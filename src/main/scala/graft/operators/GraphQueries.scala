@@ -32,27 +32,43 @@ import graft.Tables
   */
 object GraphQueries {
 
-  private val Damp = 85L   // damping * 100
-  private val Base = 150000L // (1 - damping) on the 1e6 grid
-  private val SuppOffset = 1000000L // node-id space: suppliers shifted
+  private[graft] val Damp = 85L   // damping * 100
+  private[graft] val Base = 150000L // (1 - damping) on the 1e6 grid
+  // node-id space: suppliers shifted ABOVE any plausible custkey.
+  // 2^40 ≈ 1.1e12 clears standard TPC-H custkeys (150k·SF — 1.5e10 at
+  // SF 100k) while keeping rank·id packing far from BIGINT overflow;
+  // an earlier 1e6 offset aliased customers ≥ 1,000,001 onto supplier
+  // nodes at SF ≥ 7, silently merging entities (the oracle used the
+  // same constant, so the gate could not see it)
+  private[graft] val SuppOffset = 1L << 40
+
+  /** The persisted (src, dst, d) adjacency — already clustered on src
+    * (the loop's join key; an explicit repartition would be a
+    * redundant second exchange). Construction-MEMOIZED per (session,
+    * table versions): repeated constructions share ONE cache entry
+    * instead of leaking a fresh edge-scale persist per call (the
+    * [[DedupQueries]] cluster-table convention; in Bench this puts
+    * graph_pagerank in the heavyConstruction first-repeat set). */
+  private[graft] def adjacency(s: SparkSession, dir: String): DataFrame =
+    Tables.memoizedAtConstruction(s, dir, "orders",
+        s"pagerank-adj-${Tables.tableStamp(s, dir, "lineitem")}") {
+      val pairs = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + SuppOffset).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      edges.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val pairs = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"),
-        (col("l_suppkey") + SuppOffset).as("p"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // (src, dst, d): built once, persisted — the edges⋈deg output is
-    // already clustered on src (the loop's join key; an explicit
-    // repartition here would be a redundant second exchange), so the
-    // only thing that moves per iteration is the rank frame
-    val adj = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = adjacency(s, dir)
     // iteration 1 unrolled: the initial vector is the CONSTANT 1e6, so
     // r1 comes straight off the cached adjacency (contrib = 1e6 div
     // deg(src)) with no rank join and no initial-node-set distinct —

@@ -67,9 +67,14 @@ object ProfileEr {
     timed("join + length diff (no lev)")(println("  n=" +
       joined.filter(abs(length(col("dname")) - length(col("cname"))) <= 1)
         .count()))
+    // the production confirm kernel (bounded_lev1), not the builtin
+    // DP — this stage must time what the operators actually run
     val survivors = joined.select(col("src_id"), col("match_id"),
-      levenshtein(col("dname"), col("cname")).as("d")).filter(col("d") <= 1)
-    timed("survivor rows (join + lev)")(println("  n=" + survivors.count()))
+      graft.functions.HashExpressions
+        .boundedLev1(col("dname"), col("cname")).as("d"))
+      .filter(col("d") <= 1)
+    timed("survivor rows (join + bounded_lev1)")(
+      println("  n=" + survivors.count()))
     timed("best-match agg")(println("  n=" +
       survivors.groupBy(col("src_id")).agg(min(col("match_id"))).count()))
     spark.stop()

@@ -21,31 +21,34 @@ object ProfileGraph {
       println(f"[graph-probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    import graft.operators.GraphQueries
+    // diagnostic sub-shapes (join-only, +distinct) are probe-local;
+    // everything at operator granularity goes through the operator's
+    // own hooks (adjacency memo, Damp/Base/SuppOffset constants) so a
+    // change to the production shape cannot desync this profiler
     val joined = graft.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(graft.Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + GraphQueries.SuppOffset).as("p"))
     timed("join only (no distinct)")(println("  n=" + joined.count()))
-    val pairs = joined.distinct()
-    timed("join + distinct")(println("  n=" + pairs.count()))
-    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val adj = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    timed("adjacency materialize")(println("  n=" + adj.count()))
+    timed("join + distinct")(println("  n=" + joined.distinct().count()))
+    val adj = GraphQueries.adjacency(spark, dir)
+    timed("adjacency materialize (operator hook)")(
+      println("  n=" + adj.count()))
+    val (damp, base) = (GraphQueries.Damp, GraphQueries.Base)
     var ranks = adj
       .select(col("dst"), expr("1000000 div d").as("contrib"))
       .groupBy(col("dst"))
-      .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+      .agg((lit(base) + expr(s"($damp * sum(contrib)) div 100")).as("r"))
       .select(col("dst").as("id"), col("r"))
     timed("iteration 1 (off cache)")(println("  n=" + ranks.count()))
     val r2 = adj.join(broadcast(ranks), adj("src") === ranks("id"))
       .select(col("dst"), expr("r div d").as("contrib"))
       .groupBy(col("dst"))
-      .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+      .agg((lit(base) + expr(s"($damp * sum(contrib)) div 100")).as("r"))
       .select(col("dst").as("id"), col("r"))
     timed("iteration 2 (broadcast)")(println("  n=" + r2.count()))
     timed("full operator")(println(

@@ -13,6 +13,15 @@ class GraphErSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("fuzzy match equals the exhaustive cross-join definition") {
     import spark.implicits._
     val blocked = EntityResolution.fuzzyMatch(spark, dir)
@@ -28,19 +37,11 @@ class GraphErSpec extends AnyFunSuite {
         n.substring(0, p) + ('0' + ((n.charAt(p) - '0' + 1) % 10)).toChar +
           n.substring(p + 1)
       } else n
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
-        if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
     val expected = (for {
       (dk, dn0) <- names.iterator
       dn = corrupt(dk, dn0)
       (ck, cn) <- names.iterator
-      dist = lev(dn, cn) if dist <= 1
+      dist = levRef(dn, cn) if dist <= 1
     } yield (dk, ck, dist.toLong, dk == ck)).toSet
     assert(blocked === expected)
     // the fixture must exercise every interesting class: distance-1
@@ -69,20 +70,40 @@ class GraphErSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L)))
   }
 
-  test("fuzzy blocking is candidate-exact: join output equals result size") {
+  test("fuzzy blocking is candidate-exact: raw join output IS the answer") {
     import spark.implicits._
-    // every collision in the three families must be a true lev<=1 pair
-    // — count candidates by rerunning the families WITHOUT the confirm
-    // (dist 2 names planted: "ab" vs "ba" swap, "xy" vs "yx")
+    // the claim under test is about the CANDIDATE stream, so rerun the
+    // tagged-signature join WITHOUT the levenshtein confirm (via the
+    // operator's probe hooks) and assert every raw collision is a true
+    // lev<=1 pair — a regression reintroducing the deletion×deletion
+    // distance-2 class ("ab"~"ba", "xy"~"yx" swaps planted) would
+    // surface HERE, where the confirmed-output assertion alone could
+    // never see it
     val left = Seq((1L, "abcd"), (2L, "abXd"), (3L, "ab"), (4L, "xy"))
       .toDF("src_id", "dname")
     val right = Seq((10L, "abcd"), (11L, "aYcd"), (12L, "ba"), (13L, "yx"))
       .toDF("match_id", "cname")
+    val raw = left
+      .select(col("src_id"), col("dname"),
+        explode(EntityResolution.taggedSigsForProbe("dname", dirtySide = true))
+          .as("sig"))
+      .join(right.select(col("match_id"), col("cname"),
+        explode(EntityResolution.taggedSigsForProbe("cname", dirtySide = false))
+          .as("sig")), "sig")
+      .select(col("src_id"), col("match_id"), col("dname"), col("cname"))
+      .as[(Long, Long, String, String)].collect()
+    // candidate exactness: NO raw collision exceeds distance 1
+    raw.foreach { case (s, m, dn, cn) =>
+      assert(levRef(dn, cn) <= 1, s"false candidate ($s, $m): '$dn' ~ '$cn'")
+    }
+    // and a substitution pair collides EXACTLY once (at its differing
+    // position) — multiplicity is part of the cost claim
+    assert(raw.count { case (s, m, _, _) => (s, m) == ((2L, 10L)) } === 1)
+    // completeness: the raw pair set already equals the final answer
     val out = EntityResolution.fuzzyPairs(left, right)
       .as[(Long, Long, Long, Boolean)].collect()
-    // "ab"~"ba" and "xy"~"yx" are lev 2 (swaps): must NOT match
-    assert(!out.exists { case (s, m, _, _) => (s, m) == ((3L, 12L)) })
-    assert(!out.exists { case (s, m, _, _) => (s, m) == ((4L, 13L)) })
+    assert(raw.map(t => (t._1, t._2)).toSet ===
+      out.map(t => (t._1, t._2)).toSet)
     assert(out.map(t => (t._1, t._2)).toSet ===
       Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
@@ -197,7 +218,8 @@ class GraphErSpec extends AnyFunSuite {
         .select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey")).as[(Long, Long)]
-      .collect().map { case (c, s) => (c, s + 1000000L) }.distinct
+      .collect()
+      .map { case (c, s) => (c, s + GraphQueries.SuppOffset) }.distinct
     val edges = pairs.flatMap { case (c, p) => Seq((c, p), (p, c)) }
     val deg = edges.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
     var r = deg.keys.map(_ -> 1000000L).toMap
