@@ -233,6 +233,40 @@ object EntityResolution {
        |WHERE levenshtein(dname, cname) <= 1
        |ORDER BY src_id, match_id""".stripMargin
 
+  /** Streaming twin of [[bestMatch]]: resolve a STREAM of dirty
+    * records against the clean registry. The name-level model
+    * (distinct dirty-name → packed best (dist, holder id)) is built in
+    * batch — it is bounded by the registry's name space, the same
+    * model-table discipline as the pruned text scorers — and the
+    * stream side is ONE stateless broadcast hash join per micro-batch:
+    * no stream-side shuffle, no state store, append mode. The online
+    * shape of record linkage: the match model refreshes out of band,
+    * arriving records resolve at wire speed. */
+  def bestMatchStream(stream: DataFrame, s: SparkSession, dir: String)
+      : DataFrame = {
+    val (dirty, clean) = registries(s, dir)
+    val cleanNames = clean.groupBy(col("cname"))
+      .agg(min(col("match_id")).as("mid"))
+    val dirtyNames = dirty.select(col("dname")).distinct()
+    val dsig = dirtyNames.select(col("dname"),
+      explode(taggedSigs("dname", dirtySide = true)).as("sig"))
+    val csig = cleanNames.select(col("cname"), col("mid"),
+      explode(taggedSigs("cname", dirtySide = false)).as("sig"))
+    val nameBest = dsig.join(csig, "sig")
+      .select(col("dname"),
+        (graft.functions.HashExpressions
+          .boundedLev1(col("dname"), col("cname")) * PackBase +
+          col("mid")).as("k"))
+      .filter(col("k") < lit(2L * PackBase))
+      .groupBy(col("dname"))
+      .agg(min(col("k")).as("k"))
+    stream.join(broadcast(nameBest), Seq("dname"))
+      .select(col("src_id"),
+        (col("k") % PackBase).as("match_id"),
+        expr(s"k div ${PackBase}").as("dist"),
+        (col("src_id") === col("k") % PackBase).as("same_entity"))
+  }
+
   val bestMatchSql: String =
     s"""WITH dirty AS (
        |  SELECT c_custkey AS src_id, $dirtyNameSql AS dname FROM customer),

@@ -156,6 +156,38 @@ class GraphErSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming best match == batch twin (stateless broadcast resolve)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // replay the dirty registry as a stream; every micro-batch resolves
+    // against the batch-built name model with NO stream-side state
+    val dirtyRows = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      .collect()
+    def corrupt(k: Long, n: String): String =
+      if (k % 3 == 0) {
+        val p = (k % 9).toInt + 9
+        n.substring(0, p) + ('0' + ((n.charAt(p) - '0' + 1) % 10)).toChar +
+          n.substring(p + 1)
+      } else n
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(dirtyRows.map { case (k, n) => (k, corrupt(k, n)) }.toSeq)
+    val out = EntityResolution.bestMatchStream(
+      mem.toDF().toDF("src_id", "dname"), spark, dir)
+    val q = out.writeStream.format("memory").queryName("twin_er_best")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("twin_er_best")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val want = EntityResolution.bestMatch(spark, dir)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bounded_lev1 equals min(levenshtein, 2) on adversarial strings") {
     import org.apache.spark.sql.functions.{col, least, levenshtein, lit}
     import spark.implicits._
