@@ -134,7 +134,14 @@ object Bench {
         "sim_ann_ivf",
         // the pagerank adjacency (orders⋈lineitem→distinct, persisted)
         // is construction-memoized per table version — same rule
-        "graph_pagerank")
+        "graph_pagerank",
+        // quantileSelect's CONSTRUCTION runs its driver-side control
+        // jobs (bounds + histogram + sub-histogram — 3 corpus scans);
+        // not memoized (each repeat honestly rebuilds), but the
+        // warm-up sweep must not execute corpus-scale work it only
+        // means to plan, and min-over-repeats hides nothing since
+        // every repeat pays the identical build
+        "t_quantile_select")
 
     // Warm-up sweep (untimed): construct every query once against the
     // bench dir — this performs the construction-time memo scans (LSH
@@ -195,7 +202,15 @@ object Bench {
         graft.sources.BucketedLayout.ensureBucketed(spark, sfDir)
         System.err.println("[bench] warm-only filter: bucketed copies " +
           "materialized untimed so the _warm row stays a read-path measure")
-      } catch { case _: Throwable => }
+      } catch { case e: Throwable =>
+        // swallowing this silently would let the first TIMED "warm"
+        // repeat quietly perform the full bucketed write — the exact
+        // mislabeling this guard exists to prevent — so the failure
+        // must at least be visible next to the artifact
+        System.err.println("[bench] WARNING: warm-only bucketed " +
+          s"materialization failed ($e) — the _warm row's first repeat " +
+          "will include the one-time write")
+      }
     }
 
     val results = (SparkEntry.queries ++ extraQueries).toSeq.sortBy(_._1)

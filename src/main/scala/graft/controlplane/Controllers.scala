@@ -241,7 +241,9 @@ final class StreamSwitchController(operator: String,
   // that fires the migrate/scale-out branch, so the task was busy for
   // effectively the whole batch), its OBSERVED processing rate
   // (its rows / batch duration) is a direct capacity sample; EMA'd
-  // here and preferred over the static μ wherever a pack is sized.
+  // here and applied to the SHRINK direction only (min with the
+  // static μ) — grow-side sizing stays on the static model, see the
+  // pressured branch's comment for the transient A/B that decided it.
   private var muMeasured = -1.0
   // hysteresis for the shrink direction: scale-in releases resources
   // and costs a restart to regret, so it must not fire on ONE low
@@ -305,33 +307,47 @@ final class StreamSwitchController(operator: String,
     val desc = ex.getPlan.operators(operator)
     val par = desc.parallelism
     val mu = serviceRatePerTask
+    // one fold builds BOTH per-task views: EMA rates (the decision
+    // model) and this batch's raw rows (the calibration input) — a
+    // second copy of this walk drifted once already in review
     val lambda = new Array[Double](par)
+    val rowsPerTask = new Array[Long](par)
     desc.keygroupAssignment.zipWithIndex.foreach { case (t, g) =>
-      lambda(math.min(t, par - 1)) += rates(g)
+      val task = math.min(t, par - 1)
+      lambda(task) += rates(g)
+      rowsPerTask(task) += p.rowsPerKeygroup.getOrElse(g, 0L)
     }
     val maxUtil = lambda.max / mu
     lastMaxUtil = maxUtil
     val totalRate = rates.sum
 
-    // capacity calibration: on a pressured window the bottleneck task
-    // runs effectively the whole batch, so its observed rows/duration
-    // is a per-task service-rate sample (idle windows would only
-    // measure demand, not capacity — skip them)
     if (maxUtil > targetUtilization) {
-      val rowsPerTask = new Array[Long](par)
-      desc.keygroupAssignment.zipWithIndex.foreach { case (t, g) =>
-        rowsPerTask(math.min(t, par - 1)) +=
-          p.rowsPerKeygroup.getOrElse(g, 0L)
-      }
+      // capacity calibration: on a pressured window the bottleneck
+      // task runs effectively the whole batch, so its observed
+      // rows/duration is a per-task service-rate sample. TWO gates:
+      // the EMA pressure above, and THIS batch's own arrival share —
+      // right after a load drop the EMA still reads pressured but the
+      // batch is demand-limited, and folding its rows/duration into
+      // muMeasured would poison the capacity estimate with a demand
+      // sample that (with no pressured windows following) never
+      // corrects. perRow is the batch's instantaneous per-row input
+      // rate, so rowsPerTask.max·perRow is the bottleneck task's
+      // instantaneous OFFERED rate — a valid capacity sample needs
+      // that offered rate to itself exceed the utilization target.
+      val instPressured = rowsPerTask.max * perRow / mu > targetUtilization
       val obs = rowsPerTask.max * 1000.0 / p.durationMs
-      if (obs > 0)
+      if (instPressured && obs > 0)
         muMeasured =
           if (muMeasured <= 0) obs
           else emaAlpha * obs + (1 - emaAlpha) * muMeasured
-    }
-
-    if (maxUtil > targetUtilization) {
       lowTicks = 0
+      // GROW-side decisions deliberately stay on the static μ: a live
+      // A/B that sized scale-out with min(static, measured) amplified
+      // the load→drain boundary transient (the backlog batch drags
+      // muMeasured down right when maxUtil spikes, and the two
+      // multiply: 22→32 overshoot with no drain left in the window) —
+      // over-provisioning is what the SHRINK pass corrects cheaply,
+      // so only that direction uses the calibrated capacity
       val (migrated, migratedMax) = packByRate(par)
       if (migratedMax / mu <= targetUtilization) {
         ex.assignWorkload(operator, migrated)

@@ -72,6 +72,24 @@ object KeygroupRouter {
     ((h % maxParallelism) + maxParallelism) % maxParallelism
   }
 
+  // ONE clamp accumulator per SparkContext, shared by every route()
+  // call: a fresh accumulator per call fragments the count across
+  // reroutes (a persistently mis-built assignment shows as many small
+  // per-stage counts instead of one growing counter — defeating the
+  // visibility the counter exists for) and leaves callers nothing to
+  // read. Keyed by context identity so a stopped-and-recreated session
+  // gets a fresh counter.
+  private val clampAccumulators = scala.collection.concurrent.TrieMap
+    .empty[Int, org.apache.spark.util.LongAccumulator]
+
+  /** The session-wide clamp counter ([[AssignedKeygroupPartitioner]]'s
+    * over-range redirects) — exposed so controllers/tests can read the
+    * cumulative count programmatically. */
+  def clampCounter(
+      sc: org.apache.spark.SparkContext): org.apache.spark.util.LongAccumulator =
+    clampAccumulators.getOrElseUpdate(System.identityHashCode(sc),
+      sc.longAccumulator("graft.keygroup.clamps"))
+
   /** Re-route a keyed dataset so each keygroup lands on its assigned
     * partition. Returns the routed dataset (same rows, controlled
     * placement). */
@@ -82,7 +100,7 @@ object KeygroupRouter {
     val spark = ds.sparkSession
     val part = new AssignedKeygroupPartitioner(assignment.toArray,
       numPartitions,
-      Some(spark.sparkContext.longAccumulator("graft.keygroup.clamps")))
+      Some(clampCounter(spark.sparkContext)))
     val routed = ds.rdd
       .keyBy(t => keygroup(keyOf(t), maxParallelism))
       .partitionBy(part)
