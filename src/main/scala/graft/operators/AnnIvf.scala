@@ -79,7 +79,6 @@ object AnnIvf {
     * driver entry uses `iters = 0`. */
   def annTopK(s: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
 
     // one shared definition of the double-cast + sequential-fold norm
@@ -117,16 +116,15 @@ object AnnIvf {
         nearestN(bc.value, v, nprobe).map(cell => (id, v, n, cell)) }
       .toDF("qid", "qv", "qn", "cell")
 
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    cands.join(queries, "cell")
-      .withColumn("cos",
-        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("cid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    // nprobe pruning bounds the candidates, and the finish is the
+    // bounded TopK aggregate anyway — even a skewed cell never feeds a
+    // corpus-sized window partition
+    val scored = cands.join(queries, "cell")
+      .select(col("qid"), col("cid"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"))
+    graft.functions.TopK.perQueryTopK(scored, col("cos"), k,
+      desc = true, scoreName = "cos")
   }
 
   /** Driver entry: iters = 0 so the quantizer (rank-spaced sample

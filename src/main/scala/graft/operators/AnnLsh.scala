@@ -95,29 +95,26 @@ object AnnLsh {
     * Verify join orientation: the candidate set is occupancy-bounded
     * (queries × tables × occupancy — INDEPENDENT of corpus size), so
     * broadcast it and stream the corpus-side vector table through the
-    * hash join — the corpus never shuffles; the only exchange left is
-    * the window's partition-by-qid over matched candidates. Relying
-    * on AQE to discover this at runtime works at bench scale but is
+    * hash join — the corpus never shuffles; the top-k finish is the
+    * bounded [[graft.functions.TopK]] aggregate shared with the
+    * cosine/SQ8/IVF/PQ forms, so no window partition ever holds more
+    * than the matched candidates of one map task. Relying on AQE to
+    * discover the broadcast at runtime works at bench scale but is
     * not guaranteed once the candidate stats pass the adaptive
     * threshold at 100 TB. */
   private def rerank(s: SparkSession, dir: String, ids: DataFrame,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vec = vecTable(s, dir)
     val qv = vec.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val cv = vec.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    cv.join(broadcast(ids.join(broadcast(qv), "qid")), "cid")
-      .withColumn("cos",
-        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("cid"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
+    val scored = cv.join(broadcast(ids.join(broadcast(qv), "qid")), "cid")
+      .select(col("qid"), col("cid"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"))
+    graft.functions.TopK.perQueryTopK(scored, col("cos"), k,
+      desc = true, scoreName = "cos")
   }
 
   /** Approximate top-k: candidates sharing ≥1 LSH bucket with the

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -65,6 +64,14 @@ object AnnPq {
   def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cb = codebook(s, dir)
+    // the LUT flatten below is POSITIONAL (offset m*K + k): a fixture
+    // missing any vec_id < K would silently shift every slot while the
+    // encoder argmins against zero-filled codebook entries — fail fast
+    // instead of surfacing as an oracle hash mismatch
+    require(cb.size == M * K,
+      s"PQ codebook needs all $K training vectors (vec_id 0..${K - 1}) " +
+        s"present: got ${cb.size} of ${M * K} (code, subspace) rows — " +
+        "the embeddings fixture is missing low vec_ids")
     // encode candidates in ONE codegen'd per-row kernel pass
     // ([[graft.functions.PqEncode]]): quantize + per-subspace integer
     // argmin (ties to the lower code) + offset packing, all inside the
@@ -104,14 +111,19 @@ object AnnPq {
       .groupBy(col("qid"))
       .agg(expr("transform(sort_array(collect_list(struct(m, k, d2))), " +
         "t -> t.d2)").as("lut"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_d2"), col("cid"))
-    codes.crossJoin(broadcast(lut))
+    // bounded top-k finish (graft.functions.TopK): partition-local
+    // size-k buffers, a tasks × |queries| × k shuffle — the ADC sums
+    // are integers ≤ 8·8·(2e4)² ≈ 2.6e10 ≪ 2^53, so the double
+    // round-trip through the aggregate is exact and the BIGINT output
+    // column survives the cast back
+    val scored = codes.crossJoin(broadcast(lut))
       .select(col("qid"), col("vec_id").as("cid"),
         VectorExpressions.sumLookup(col("codes"), col("lut")).as("adc_d2"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("cid"), col("adc_d2"))
+    graft.functions.TopK
+      .perQueryTopK(scored, col("adc_d2"), TopK, desc = false,
+        scoreName = "adc_d2_d")
+      .select(col("qid"), col("rank"), col("cid"),
+        col("adc_d2_d").cast("long").as("adc_d2"))
       .orderBy(col("qid"), col("rank"))
   }
 

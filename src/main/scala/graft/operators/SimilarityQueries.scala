@@ -30,24 +30,22 @@ object SimilarityQueries {
       .withColumn("norm", l2Norm(col("v")))
 
   /** Brute-force cosine top-5 neighbors for each query vector
-    * (vec_id < 10) among the rest of the corpus. */
+    * (vec_id < 10) among the rest of the corpus. The top-k finish is
+    * the bounded [[graft.functions.TopK]] aggregate (partition-local
+    * size-k buffers, tasks × k shuffle rows per query), not a global
+    * per-qid window — scoring stays one broadcast pass over the
+    * candidates and nothing downstream sees a corpus-sized partition. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = withNorm(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val cands = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val scored = cands.join(broadcast(queries))
-      .withColumn("cos",
-        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
-        col("cos"))
-      .orderBy(col("qid"), col("rank"))
+      .select(col("qid"), col("cid"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    graft.functions.TopK.perQueryTopK(scored, col("cos"), 5,
+      desc = true, scoreName = "cos")
   }
 
   val cosineTopKSql: String =
@@ -82,12 +80,17 @@ object SimilarityQueries {
     val cands = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("norm").as("cn"), col("label"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy((dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).desc,
-        col("cid"))
+    // neighbor selection through the bounded TopK aggregate (the label
+    // rides in the payload slot), never a corpus-scale window; the
+    // remaining vote window below runs over ≤ |queries| × k rows
     val top = cands.join(broadcast(queries))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .select(col("qid"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"),
+        col("cid"), col("label"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(5, desc = true)(
+        col("cos"), col("cid"), col("label")).as("top"))
+      .select(col("qid"), explode(col("top.payload")).as("label"))
     val wv = Window.partitionBy(col("qid"))
       .orderBy(col("votes").desc, col("label"))
     top.groupBy(col("qid"), col("label"))
@@ -335,7 +338,6 @@ object SimilarityQueries {
     * Dequantized dot products use the same sequential-fold kernel as
     * [[cosineTopK]] — bit-identical across engines. */
   def sq8TopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stats: (Array[Double], Array[Double]) =
       Tables.memoizedAtConstruction(s, dir, "embeddings", "sq8stats") {
         val rows = Tables.embeddings(s, dir)
@@ -362,15 +364,12 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val cands = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("qcos").desc, col("cid"))
-    cands.join(broadcast(queries))
-      .withColumn("qcos",
-        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("cid"), col("qcos"))
-      .orderBy(col("qid"), col("rank"))
+    val scored = cands.join(broadcast(queries))
+      .select(col("qid"), col("cid"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("qcos"))
+    graft.functions.TopK.perQueryTopK(scored, col("qcos"), 5,
+      desc = true, scoreName = "qcos")
   }
 
   val sq8TopKSql: String =

@@ -206,6 +206,36 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning(c"), p)
   }
 
+  /** The ANN/similarity top-k family must finish through the bounded
+    * TopK aggregate (partition-local size-k buffers, tasks × k shuffle
+    * rows), never a `row_number over Window.partitionBy(qid)` that
+    * funnels every scored candidate into ≤ |queries| tasks — the one
+    * O(corpus)-per-task stage the r11 verdict flagged on the 100 TB
+    * ANN path. */
+  test("ann top-k finishes are bounded aggregates, not corpus windows") {
+    val pureTopK = Seq("sim_cosine_topk", "sim_sq8_topk", "sim_ann_ivf",
+      "sim_ann_lsh", "sim_ann_multiprobe", "sim_pq_adc_topk")
+    pureTopK.foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      assert(!p.contains("Window"),
+        s"$name ranks through a global window:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name lacks the bounded TopK aggregate:\n$p")
+    }
+    // knnLabel keeps one window (the majority vote), but every window
+    // must sit ABOVE the bounded aggregate — its input is ≤ queries × k
+    // vote rows, never the scored candidate stream
+    val kdf = SparkEntry.queries("sim_knn_label")(spark, dir)
+    val nodes = SparkTestUtil.walkPlan(kdf.queryExecution.executedPlan)
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty, "knn vote window disappeared — update this test")
+    windows.foreach { w =>
+      assert(SparkTestUtil.walkPlan(w).exists(
+        _.nodeName.contains("ObjectHashAggregate")),
+        s"knn window not fed by the bounded aggregate:\n$w")
+    }
+  }
+
   test("filter pushdown applies to the events replay path too") {
     val p = plan(EventQueries.e2Filter(spark, dir))
     assert(p.contains("PushedFilters: ["), p)
