@@ -147,7 +147,8 @@ object ReconfigBench {
     * per-tick maxUtil samples, converged). */
   private def streamSwitchPhase(spark: SparkSession, phaseRate: Int,
       nKeys: Int, initialP: Int, seconds: Int, tickSec: Int,
-      stableTicks: Int): (Int, List[String], List[Double], Boolean) = {
+      stableTicks: Int, seedMu: Double = -1.0)
+      : (Int, List[String], List[Double], Boolean, Double) = {
     import spark.implicits._
     val checkpointRoot =
       java.nio.file.Files.createTempDirectory("reconfig-ss").toString
@@ -167,7 +168,8 @@ object ReconfigBench {
     val collector = new Metrics.ProgressCollector
     spark.streams.addListener(collector)
     val controller = new StreamSwitchController(rq.OperatorName,
-      serviceRatePerTask = 5000.0, maxParallelism = mp, maxTasks = 32)
+      serviceRatePerTask = 5000.0, maxParallelism = mp, maxTasks = 32,
+      initialMuMeasured = seedMu)
     val loop = new ControlLoop(rq, controller, collector)
     val t0 = System.nanoTime()
     rq.start()
@@ -210,7 +212,8 @@ object ReconfigBench {
     rq.stop()
     spark.streams.removeListener(collector)
     val finalP = rq.getPlan.operators(rq.OperatorName).parallelism
-    (finalP, loop.reports.map(_.reason), utils.result(), converged)
+    (finalP, loop.reports.map(_.reason), utils.result(), converged,
+      controller.muCalibrated)
   }
 
   /** The CLOSED StreamSwitch loop, demonstrated to CONVERGENCE in both
@@ -223,12 +226,16 @@ object ReconfigBench {
   private def runStreamSwitch(spark: SparkSession, rate: Int, nKeys: Int,
       seconds: Int, tickSec: Int): String = {
     val t0 = System.nanoTime()
-    val (loadP, loadDecisions, loadUtils, loadConverged) =
+    val (loadP, loadDecisions, loadUtils, loadConverged, loadMu) =
       streamSwitchPhase(spark, rate, nKeys, initialP = 8,
         seconds = seconds, tickSec = tickSec, stableTicks = 3)
-    val (drainP, drainDecisions, drainUtils, drainConverged) =
+    // the drain controller takes over the SAME operator the load phase
+    // calibrated — seed its capacity estimate so the first scale-in
+    // sizes from measured capacity, not the static ballpark
+    val (drainP, drainDecisions, drainUtils, drainConverged, _) =
       streamSwitchPhase(spark, rate / 4, nKeys, initialP = loadP,
-        seconds = seconds, tickSec = tickSec, stableTicks = 3)
+        seconds = seconds, tickSec = tickSec, stableTicks = 3,
+        seedMu = loadMu)
     def arr(xs: List[String]) =
       xs.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
     def nums(xs: List[Double]) =

@@ -202,13 +202,24 @@ final class FraudDetectionController(operator: String,
   *
   * Decision each interval (one action, like the reference's
   * migration_interval-gated loop):
-  *  1. if max u_t > targetUtilization: try migration — greedy repack
-  *     of keygroups by rate onto the current task count; apply it if
-  *     the packed bottleneck meets the target, otherwise scale OUT by
-  *     one task (with the repacked assignment for the new count);
+  *  1. if max u_t > targetUtilization on `scaleOutConsecutive` clean
+  *     windows in a row (or on ONE window past `severeOverloadUtil` —
+  *     the operator is actually falling behind): try migration —
+  *     greedy repack of keygroups by rate onto the current task count;
+  *     apply it if the packed bottleneck meets the target, otherwise
+  *     scale OUT to the smallest feasible parallelism;
   *  2. else if the load would fit p−1 tasks under
-  *     scaleInUtilization: scale IN by one task;
+  *     scaleInUtilization on `scaleInConsecutive` windows: scale IN to
+  *     the smallest parallelism feasible at the HYSTERESIS MIDPOINT
+  *     (see the shrink branch);
   *  3. else: no action.
+  *
+  * Both directions are streak-gated because every action costs a
+  * stop/restart: one transient window must never buy a restart in
+  * either direction. The asymmetry (grow 2, shrink 3, and a severe
+  * bypass only for grow) reflects the asymmetric regret — an
+  * under-provisioned operator accumulates backlog, an over-provisioned
+  * one just idles.
   *
   * Steady-state sampling: a reconfiguration restarts the query, and
   * the first post-restart batch replays the backlog that accumulated
@@ -226,7 +237,10 @@ final class StreamSwitchController(operator: String,
     maxParallelism: Int = 128,
     maxTasks: Int = 32,
     settleBatches: Int = 1,
-    scaleInConsecutive: Int = 3)
+    scaleInConsecutive: Int = 3,
+    initialMuMeasured: Double = -1.0,
+    scaleOutConsecutive: Int = 2,
+    severeOverloadUtil: Double = 1.1)
   extends Controller {
   val name = "stream-switch"
 
@@ -244,13 +258,41 @@ final class StreamSwitchController(operator: String,
   // here and applied to the SHRINK direction only (min with the
   // static μ) — grow-side sizing stays on the static model, see the
   // pressured branch's comment for the transient A/B that decided it.
-  private var muMeasured = -1.0
+  // A controller taking over an operator whose capacity was already
+  // calibrated (a new control loop after a deploy, the drain phase of
+  // a two-phase run) seeds from `initialMuMeasured` instead of waiting
+  // for a pressured window that a SHRINK-bound workload may never
+  // produce before the shrink decision — the r11 drain sized its first
+  // scale-in off the static ballpark because the fresh controller had
+  // no sample yet, landed one short, and needed a corrective step.
+  private var muMeasured = initialMuMeasured
+
+  /** The current calibrated per-task service-rate estimate (−1 before
+    * any pressured-window sample): hand this to a successor
+    * controller's `initialMuMeasured` so capacity knowledge survives
+    * controller hand-offs. */
+  def muCalibrated: Double = muMeasured
   // hysteresis for the shrink direction: scale-in releases resources
   // and costs a restart to regret, so it must not fire on ONE low
   // window (a transient EMA dip mid-load measured 0.49 for a single
   // tick and shrank 22→14, which the very next windows reversed) —
   // require `scaleInConsecutive` clean qualifying windows in a row
   private var lowTicks = 0
+  // offered-rate sample accumulated over the CURRENT low streak: the
+  // shrink must size against the true offered rate, and no single
+  // window measures it honestly (queued triggers, catch-up pairs) —
+  // Σrows over the streak's wall span does
+  private var streakRows = 0L
+  private var streakDurMs = 0L
+  private var streakStartWall = -1L
+  // the GROW direction gets the same one-window-buys-no-restart
+  // treatment (the r12 drain run sat healthy at 0.73–0.77 after its
+  // shrink until ONE transient 1.05 window bought a corrective
+  // restart): moderate pressure must hold for `scaleOutConsecutive`
+  // clean windows — but genuine overload (EMA bottleneck past
+  // `severeOverloadUtil`, i.e. the task is falling behind and backlog
+  // is compounding) still acts on the first window
+  private var highTicks = 0
   /** True while post-action catch-up batches are being discarded —
     * `lastMaxUtil` is STALE (pre-action) during this window, so
     * convergence detectors must not count it as evidence. */
@@ -290,12 +332,19 @@ final class StreamSwitchController(operator: String,
     // demand, and an EMA of it walks the policy far past the fixpoint
     // (a live 60k ev/s run sized to p=30 where 15 was optimal).
     // inputRowsPerSecond can be Infinity (two triggers starting inside
-    // the same millisecond divide by a 0.0 interval) — one non-finite
-    // sample would poison the EMA permanently (α·x + (1−α)·Inf = Inf),
-    // so fall back to the duration estimate unless the rate is a
-    // finite positive number
+    // the same millisecond divide by a 0.0 interval) — AND, short of
+    // infinity, arbitrarily absurd for the same reason: a queued
+    // trigger firing 11 ms after its predecessor reported 5.4M "rows/s"
+    // on a 60k source, which one EMA fold turned into maxUtil 34 and an
+    // instant 16→32 scale-out. True arrival can exceed processing only
+    // while backlog grows, and never by orders of magnitude across one
+    // window — so accept the reported rate only within 4× of this
+    // window's own processing rate, else fall back to the duration
+    // estimate.
+    val procRate = batchRows * 1000.0 / p.durationMs
     val perRow =
-      if (p.inputRowsPerSecond > 0 && !p.inputRowsPerSecond.isInfinite)
+      if (p.inputRowsPerSecond > 0 && !p.inputRowsPerSecond.isInfinite &&
+          p.inputRowsPerSecond <= 4 * procRate)
         p.inputRowsPerSecond / batchRows
       else 1000.0 / p.durationMs
     var kg = 0
@@ -341,6 +390,13 @@ final class StreamSwitchController(operator: String,
           if (muMeasured <= 0) obs
           else emaAlpha * obs + (1 - emaAlpha) * muMeasured
       lowTicks = 0
+      // one-window-buys-no-restart: moderate pressure must HOLD for
+      // scaleOutConsecutive clean windows (the calibration and EMA
+      // updates above still happen every window); a severe EMA
+      // overload acts immediately
+      highTicks += 1
+      if (maxUtil <= severeOverloadUtil &&
+          highTicks < scaleOutConsecutive) return None
       // GROW-side decisions deliberately stay on the static μ: a live
       // A/B that sized scale-out with min(static, measured) amplified
       // the load→drain boundary transient (the backlog batch drags
@@ -350,10 +406,12 @@ final class StreamSwitchController(operator: String,
       // so only that direction uses the calibrated capacity
       val (migrated, migratedMax) = packByRate(par)
       if (migratedMax / mu <= targetUtilization) {
+        highTicks = 0
         ex.assignWorkload(operator, migrated)
         applied(ex.execute(
           f"$name@batch${p.batchId} migrate maxUtil=$maxUtil%.2f"))
       } else if (par < maxTasks) {
+        highTicks = 0
         // Scale out to the SMALLEST feasible parallelism, not par+1:
         // the utilization model is global, so the fixpoint a one-step
         // loop walks to over several restart cycles is computable in
@@ -372,6 +430,7 @@ final class StreamSwitchController(operator: String,
           f"$name@batch${p.batchId} scale-out $par->$p2 maxUtil=$maxUtil%.2f"))
       } else None
     } else {
+      highTicks = 0
       // the SHRINK direction sizes against min(static, measured): an
       // OPTIMISTIC static μ is what scale-in regrets (the r10 drain
       // sized 22→3 off μ=5000 when measured capacity supported only 5,
@@ -387,8 +446,19 @@ final class StreamSwitchController(operator: String,
       val lowMean =
         par > 1 && totalRate / (muIn * (par - 1)) < scaleInUtilization
       // consecutive means CONSECUTIVE: a window back inside the healthy
-      // band restarts the streak
-      lowTicks = if (lowMean) lowTicks + 1 else 0
+      // band restarts the streak (and its offered-rate accumulation)
+      if (lowMean) {
+        if (lowTicks == 0) {
+          streakRows = 0L
+          streakDurMs = 0L
+          // span start ≈ this window's trigger start
+          streakStartWall =
+            if (p.wallMs > 0) p.wallMs - p.durationMs else -1L
+        }
+        lowTicks += 1
+        streakRows += batchRows
+        streakDurMs += p.durationMs
+      } else lowTicks = 0
       if (lowMean && lowTicks >= scaleInConsecutive) {
         // A low MEAN is necessary but not sufficient: one keygroup whose
         // rate alone exceeds targetUtilization·μ makes the packed
@@ -401,19 +471,60 @@ final class StreamSwitchController(operator: String,
         // walk up until the pack fits): draining one task per interval
         // costs a restart each and left a drained 26-task run still at
         // 22 when the window closed.
+        //
+        // Sizing rate: right after a load DROP, the per-keygroup EMA is
+        // still converging toward the new rate from below (the drain
+        // run's first post-drop windows read 0.06/0.14 before settling),
+        // and the `scaleInConsecutive` streak can complete while
+        // totalRate still undershoots the true offered rate — the r11
+        // drain sized 22→4 off a ~13k EMA of a 15k load and needed a
+        // corrective scale-out to 5. The STREAK's accumulated offered
+        // rate (Σrows over the streak's wall span — ≥3 windows by
+        // construction, so catch-up pairs and queued-trigger artifacts
+        // average out) is an honest sample of what the source actually
+        // delivered, so a shrink is never sized below it: size against
+        // max(EMA, streak), and scale the packed-bottleneck feasibility
+        // check by the same under-estimation ratio (the pack is
+        // computed from the EMA'd per-keygroup rates, so its bottleneck
+        // undershoots by the same factor the total does).
+        //
+        // Sizing target: the HYSTERESIS MIDPOINT between the scale-in
+        // and scale-out thresholds, not targetUtilization itself. A
+        // shrink sized to land just under the grow trigger parks the
+        // operator on the boundary where ONE noisy window buys a
+        // corrective restart (the r12 drain shrank to a pack at 0.75,
+        // sat healthy at 0.73–0.77, then a single 1.05 transient forced
+        // a scale-out); landing mid-band (≈0.65 at the 0.5/0.8
+        // defaults) leaves symmetric slack against both triggers. The
+        // scale-in trigger already guarantees the midpoint-sized pack
+        // exists well below par, so this costs no feasible shrink —
+        // only boundary-parking ones.
+        val shrinkTarget = (scaleInUtilization + targetUtilization) / 2
+        val instTotal =
+          if (streakStartWall > 0 && p.wallMs > streakStartWall)
+            streakRows * 1000.0 / (p.wallMs - streakStartWall)
+          else if (streakDurMs > 0) streakRows * 1000.0 / streakDurMs
+          else batchRows * perRow
+        val sizeRate = math.max(totalRate, instTotal)
+        val underEst = if (totalRate > 0) sizeRate / totalRate else 1.0
         var p2 = math.max(1,
-          math.ceil(totalRate / (muIn * targetUtilization)).toInt)
+          math.ceil(sizeRate / (muIn * shrinkTarget)).toInt)
         var packed = packByRate(p2)
-        while (packed._2 / muIn > targetUtilization && p2 < par - 1) {
+        while (packed._2 * underEst / muIn > shrinkTarget &&
+            p2 < par - 1) {
           p2 += 1
           packed = packByRate(p2)
         }
-        if (p2 < par && packed._2 / muIn <= targetUtilization) {
+        if (p2 < par && packed._2 * underEst / muIn <= shrinkTarget) {
           lowTicks = 0
           ex.assignResources(operator, p2)
           ex.assignWorkload(operator, packed._1)
+          // reason carries the sizing inputs: a shrink that needs a
+          // corrective step is diagnosable from the artifact alone
           applied(ex.execute(
-            f"$name@batch${p.batchId} scale-in $par->$p2"))
+            f"$name@batch${p.batchId} scale-in $par->$p2 " +
+              f"rate=$sizeRate%.0f inst=$instTotal%.0f mu=$muIn%.0f " +
+              f"packedMax=${packed._2}%.0f"))
         } else None
       } else None
     }

@@ -77,18 +77,27 @@ object KeygroupRouter {
   // reroutes (a persistently mis-built assignment shows as many small
   // per-stage counts instead of one growing counter — defeating the
   // visibility the counter exists for) and leaves callers nothing to
-  // read. Keyed by context identity so a stopped-and-recreated session
-  // gets a fresh counter.
+  // read. Keyed by the STABLE context identity (applicationId +
+  // startTime), not identityHashCode: identity hashes are never
+  // evicted (one leaked accumulator per context in a long-lived
+  // process) and can be REUSED after a stopped context is GC'd —
+  // handing route() an accumulator registered on the dead context, so
+  // clamp counts would silently vanish. Entries of stopped contexts
+  // are evicted on every lookup.
   private val clampAccumulators = scala.collection.concurrent.TrieMap
-    .empty[Int, org.apache.spark.util.LongAccumulator]
+    .empty[String, (org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator)]
 
   /** The session-wide clamp counter ([[AssignedKeygroupPartitioner]]'s
     * over-range redirects) — exposed so controllers/tests can read the
     * cumulative count programmatically. */
   def clampCounter(
-      sc: org.apache.spark.SparkContext): org.apache.spark.util.LongAccumulator =
-    clampAccumulators.getOrElseUpdate(System.identityHashCode(sc),
-      sc.longAccumulator("graft.keygroup.clamps"))
+      sc: org.apache.spark.SparkContext): org.apache.spark.util.LongAccumulator = {
+    clampAccumulators.filterInPlace { case (_, (c, _)) => !c.isStopped }
+    clampAccumulators.getOrElseUpdate(
+      s"${sc.applicationId}@${sc.startTime}",
+      (sc, sc.longAccumulator("graft.keygroup.clamps")))._2
+  }
 
   /** Re-route a keyed dataset so each keygroup lands on its assigned
     * partition. Returns the routed dataset (same rows, controlled

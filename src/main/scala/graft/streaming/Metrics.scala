@@ -52,7 +52,15 @@ object Metrics {
         * counts pre-drop source rows — a throughput summary built on
         * it would overstate the offered workload ~2×. None when no
         * emitted observation is attached. */
-      emittedRows: Option[Long] = None)
+      emittedRows: Option[Long] = None,
+      /** batch-completion wall clock (listener-stamped): lets a
+        * controller measure OFFERED rate over a multi-window span
+        * (Σrows / wall span) — per-window rate samples are hopelessly
+        * noisy under queued triggers, where Spark's inputRowsPerSecond
+        * divides normal rows by a near-zero trigger interval (observed
+        * 5.4M "rows/s" on a 60k source). −1 when unavailable
+        * (hand-built test fixtures). */
+      wallMs: Long = -1L)
 
   /** Per-keygroup load instrumentation, the analog of the reference's
     * per-key-group rate metrics (KafkaMetricsManager.java:242-250):
@@ -141,7 +149,8 @@ object Metrics {
         p.stateOperators.map(_.memoryUsedBytes).sum,
         p.runId.toString,
         if (p.inputRowsPerSecond.isNaN) -1.0 else p.inputRowsPerSecond,
-        emitted)
+        emitted,
+        System.currentTimeMillis())
       buf.synchronized { buf += bp }
     }
   }

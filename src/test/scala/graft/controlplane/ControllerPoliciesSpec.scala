@@ -54,9 +54,15 @@ class ControllerPoliciesSpec extends AnyFunSuite {
     val ctl = new StreamSwitchController("op", serviceRatePerTask = 120,
       emaAlpha = 1.0)
     // contiguous(2): kg<64 → task0. λ(task0)=90+20+20=130 → util 1.08;
-    // greedy repack bounds the bottleneck at 90 → util 0.75 ≤ 0.8
+    // greedy repack bounds the bottleneck at 90 → util 0.75 ≤ 0.8.
+    // 1.08 is MODERATE pressure (≤ severeOverloadUtil 1.1), so the
+    // restart-costing action needs scaleOutConsecutive (=2) pressured
+    // windows — one transient window buys no restart in either
+    // direction
+    val win = progress(1, Map(0 -> 90L, 1 -> 20L, 2 -> 20L, 64 -> 20L))
+    assert(ctl.onProgress(ex, win).isEmpty)
     val r = ctl.onProgress(ex,
-      progress(1, Map(0 -> 90L, 1 -> 20L, 2 -> 20L, 64 -> 20L)))
+      progress(2, Map(0 -> 90L, 1 -> 20L, 2 -> 20L, 64 -> 20L)))
     assert(r.isDefined && r.get.reason.contains("migrate"))
     val a = ex.plan.operators("op").keygroupAssignment
     assert(ex.plan.operators("op").parallelism === 2)
