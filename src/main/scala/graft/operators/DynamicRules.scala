@@ -170,11 +170,14 @@ object DynamicRules {
     * Restart contract: the accumulator is driver-memory state scoped
     * to THIS StreamingQuery run — a restart from checkpoint starts
     * with empty windows, i.e. windows spanning the restart under-count
-    * until they seal (the reference keeps this in managed keyed state
-    * and survives restarts; a Spark-native equivalent would move the
-    * accumulation into transformWithState, at the cost of the
-    * per-batch dynamic rule re-read this operator exists to
-    * demonstrate). Bounded-state eviction is unaffected. */
+    * until they seal. For restart-durable windows use the
+    * [[graft.streaming.RulesTws]] twin: it keeps the same per-(rule,
+    * window, key) DECIMAL partials in CHECKPOINTED transformWithState
+    * state (the reference's managed-keyed-state semantics,
+    * ProcessorFunction.java:127-137) while still re-reading the rule
+    * set every micro-batch. This foreachBatch form remains the
+    * plan-regeneration demonstration (each batch compiles the rules to
+    * fresh aggregation plans). Bounded-state eviction is unaffected. */
   def streaming(events: DataFrame, currentRules: () => Seq[Rule],
       sink: (DataFrame, Long) => Unit, lateSlackMinutes: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
