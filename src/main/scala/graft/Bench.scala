@@ -220,7 +220,10 @@ object Bench {
       var sec = Double.MaxValue
       var ok = true
       var skipped = false
-      for (rep <- 1 to repeats) {
+      var rep = 0
+      var planned = repeats
+      while (rep < planned) {
+        rep += 1
         val t0 = System.nanoTime()
         ok = try { fn(spark, sfDir).count(); ok }
           catch {
@@ -238,6 +241,18 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         if (heavyConstruction(name)) { if (rep == 1) sec = t }
         else sec = math.min(sec, t)
+        // Fast rows are timer-noise-dominated at big SFs: one
+        // descheduled task flips a sub-second query's sweep ratio
+        // (r11's rollup_returns recorded 16.4× at sf10 against 3.3× on
+        // re-measure). When a multi-repeat sweep meets a fast query,
+        // extend it to three repeats so the reported min is a stable
+        // figure — cost is < 2·3 s per fast row. repeats=1 driver runs
+        // are untouched (extension would change their accounting), as
+        // are heavyConstruction rows (they report the first repeat by
+        // contract, which extension cannot stabilize).
+        if (rep == planned && planned < 3 && repeats > 1 &&
+            !heavyConstruction(name) && ok && !skipped && sec < 3.0)
+          planned = 3
         if (repeats > 1) {
           System.err.println(
             f"[bench] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")

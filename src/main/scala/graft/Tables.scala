@@ -32,6 +32,22 @@ object Tables {
         tableStamp(s, dir, table)), compute)
       .asInstanceOf[T]
 
+  /** Remove (and return) this session's memo entries whose path key
+    * starts with `"$dir/$table.parquet#$tagPrefix"`, ANY stamp — the
+    * release hook for entries that hold persisted DataFrames
+    * ([[graft.operators.GraphQueries.releaseAdjacency]]). Prefix (not
+    * exact-stamp) matching frees entries memoized against an earlier
+    * table vintage too, which an exact lookup against the CURRENT
+    * mtime could never reach again. */
+  def evictMemoMatching(s: SparkSession, dir: String, table: String,
+      tagPrefix: String): Seq[Any] = {
+    val id = System.identityHashCode(s)
+    val prefix = s"$dir/$table.parquet#$tagPrefix"
+    planMemo.keys.toSeq
+      .filter(k => k._1 == id && k._2.startsWith(prefix))
+      .flatMap(planMemo.remove)
+  }
+
   /** Source-table mtime (0 when unreadable) — the freshness stamp the
     * construction memo and the scratch layout share; a memo over MORE
     * than one input table folds the extra tables' stamps into `tag`

@@ -241,7 +241,19 @@ object EntityResolution {
     * stream side is ONE stateless broadcast hash join per micro-batch:
     * no stream-side shuffle, no state store, append mode. The online
     * shape of record linkage: the match model refreshes out of band,
-    * arriving records resolve at wire speed. */
+    * arriving records resolve at wire speed.
+    *
+    * Model-coverage contract: the name model is keyed by the BATCH
+    * dirty registry's distinct names, so a stream record whose name
+    * the registry has never seen cannot resolve until the model
+    * refreshes — the join is LEFT so such records emit with a NULL
+    * match_id/dist (visibly unresolved, routable to a slow path or
+    * the next model build) instead of disappearing from the output.
+    * Deriving candidates from the clean side's deletion neighborhood
+    * instead would make coverage registry-independent, but the
+    * neighborhood of a name is O(len·Σ) signatures — the model table
+    * would grow by that factor for a case the refresh cycle already
+    * handles; the explicit NULL keeps the gap observable instead. */
   def bestMatchStream(stream: DataFrame, s: SparkSession, dir: String)
       : DataFrame = {
     val (dirty, clean) = registries(s, dir)
@@ -260,11 +272,13 @@ object EntityResolution {
       .filter(col("k") < lit(2L * PackBase))
       .groupBy(col("dname"))
       .agg(min(col("k")).as("k"))
-    stream.join(broadcast(nameBest), Seq("dname"))
+    stream.join(broadcast(nameBest), Seq("dname"), "left")
       .select(col("src_id"),
         (col("k") % PackBase).as("match_id"),
         expr(s"k div ${PackBase}").as("dist"),
-        (col("src_id") === col("k") % PackBase).as("same_entity"))
+        when(col("k").isNull, lit(false))
+          .otherwise(col("src_id") === col("k") % PackBase)
+          .as("same_entity"))
   }
 
   val bestMatchSql: String =

@@ -30,6 +30,12 @@ import graft.Tables
   * reducers. GraphX was considered and declined: RDD-based, no
   * Catalyst, and the whole loop here stays in whole-stage codegen.
   */
+/** [[GraphQueries.pageRankConverged]] result: the rank frame, the
+  * iteration count actually run, and the cleanup that unpersists the
+  * final iteration's pinned frame once the caller has consumed it. */
+final case class ConvergedRanks(ranks: DataFrame, iters: Int,
+    release: () => Unit)
+
 object GraphQueries {
 
   private[graft] val Damp = 85L   // damping * 100
@@ -67,29 +73,44 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val adj = adjacency(s, dir)
-    // iteration 1 unrolled: the initial vector is the CONSTANT 1e6, so
-    // r1 comes straight off the cached adjacency (contrib = 1e6 div
-    // deg(src)) with no rank join and no initial-node-set distinct —
-    // two shuffles saved vs joining a materialized r0
-    require(iters >= 1, "pageRank needs at least one iteration")
-    var ranks = adj
-      .select(col("dst"), expr("1000000 div d").as("contrib"))
-      .groupBy(col("dst"))
-      .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
-      .select(col("dst").as("id"), col("r"))
-    // Per-iteration join shape: the rank frame has exactly one row per
-    // node, and the node count is bounded above by |customer| +
-    // |supplier| — both known from cheap memoized metadata counts. When
-    // that bound fits a broadcast (spark.graft.pagerank.broadcastNodesMax,
-    // default 20M ≈ 320 MB of (id, r) rows), hint it: a shuffled join
-    // would re-SORT the 100M-row cached adjacency EVERY iteration,
-    // while the broadcast probe streams it in place and only the
-    // per-iteration aggregation shuffles (partial-aggregated, one row
-    // per node). Past the bound — a graph whose node set outgrows the
-    // driver — the hint drops away and the shuffled join is the
-    // correct plan.
+  /** Release the session's cached adjacency for `dir`: unpersist the
+    * 2|E|-row frame and EVICT its construction memo. Both halves
+    * matter — an unpersist alone leaves the memo serving a frame that
+    * silently recomputes the orders⋈lineitem distinct once per
+    * iteration on the next pageRank call; a memo eviction alone leaks
+    * the cached blocks. A long-lived session running many graphs calls
+    * this per graph (Bench bulk-unpersists between queries; the
+    * eviction here keeps its re-runs honest too). */
+  def releaseAdjacency(s: SparkSession, dir: String): Unit =
+    Tables.evictMemoMatching(s, dir, "orders", "pagerank-adj-").foreach {
+      case df: org.apache.spark.sql.Dataset[_] =>
+        df.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Iteration 1 unrolled: the initial vector is the CONSTANT 1e6, so
+    * r1 comes straight off the cached adjacency (contrib = 1e6 div
+    * deg(src)) with no rank join and no initial-node-set distinct —
+    * two shuffles saved vs joining a materialized r0. */
+  private def firstIteration(adj: DataFrame): DataFrame = adj
+    .select(col("dst"), expr("1000000 div d").as("contrib"))
+    .groupBy(col("dst"))
+    .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
+    .select(col("dst").as("id"), col("r"))
+
+  /** Per-iteration join shape: the rank frame has exactly one row per
+    * node, and the node count is bounded above by |customer| +
+    * |supplier| — both known from cheap memoized metadata counts. When
+    * that bound fits a broadcast (spark.graft.pagerank.broadcastNodesMax,
+    * default 20M ≈ 320 MB of (id, r) rows), hint it: a shuffled join
+    * would re-SORT the 100M-row cached adjacency EVERY iteration,
+    * while the broadcast probe streams it in place and only the
+    * per-iteration aggregation shuffles (partial-aggregated, one row
+    * per node). Past the bound — a graph whose node set outgrows the
+    * driver — the hint drops away and the shuffled join is the
+    * correct plan. */
+  private def rankJoinHint(s: SparkSession, dir: String)
+      : DataFrame => DataFrame = {
     val nodeBound =
       Tables.memoizedAtConstruction(s, dir, "customer", "count") {
         Tables.customer(s, dir).count()
@@ -98,22 +119,80 @@ object GraphQueries {
       }
     val bcastMax = s.conf
       .get("spark.graft.pagerank.broadcastNodesMax", "20000000").toLong
-    val hint: DataFrame => DataFrame =
-      if (nodeBound <= bcastMax) broadcast(_) else identity
-    for (_ <- 2 to iters) {
-      ranks = adj.join(hint(ranks), adj("src") === ranks("id"))
-        .select(col("dst"), expr("r div d").as("contrib"))
-        .groupBy(col("dst"))
-        .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
-        .select(col("dst").as("id"), col("r"))
-    }
+    if (nodeBound <= bcastMax) broadcast(_) else identity
+  }
+
+  private def nextIteration(adj: DataFrame, ranks: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame =
+    adj.join(hint(ranks), adj("src") === ranks("id"))
+      .select(col("dst"), expr("r div d").as("contrib"))
+      .groupBy(col("dst"))
+      .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
+      .select(col("dst").as("id"), col("r"))
+
+  def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val adj = adjacency(s, dir)
+    require(iters >= 1, "pageRank needs at least one iteration")
+    var ranks = firstIteration(adj)
+    val hint = rankJoinHint(s, dir)
+    for (_ <- 2 to iters) ranks = nextIteration(adj, ranks, hint)
     val out = ranks
       .select(col("id").as("node_id"), col("r").as("rank_scaled"))
       .orderBy(col("node_id"))
     // materialize before unpersist would be ideal, but the bench/verify
     // harness counts/writes immediately; keep adj pinned for this plan
-    // (bench unpersists all RDDs between queries)
+    // — callers running many graphs in one session release it with
+    // [[releaseAdjacency]] (bench unpersists all RDDs between queries)
     out
+  }
+
+  /** Convergence-driven variant: iterate until max |Δrank| ≤
+    * `epsScaled` (on the 1e6 fixed-point grid) or `maxIters`, returning
+    * the rank frame and the iteration count actually run. Each
+    * iteration's frame is persisted so the NEXT iteration (and the
+    * delta probe) read it instead of replaying the whole chain, and
+    * unpersisted as soon as its successor's delta is known — at most
+    * two node-sized frames are ever pinned beyond the shared adjacency.
+    * The delta probe is union→groupBy(id)→(max−min), never a self-join
+    * of two frames that share lineage (which Spark would have to
+    * disambiguate), and is bounded by the NODE count, not the edges.
+    * The final frame stays persisted (the caller is about to consume
+    * it) and is released through the result's `release()` handle —
+    * `.unpersist()` on the returned PROJECTION cannot reach the cache
+    * entry underneath it (uncache matches the exact cached plan, and
+    * there is no upward cascade) — plus [[releaseAdjacency]] for the
+    * shared adjacency. The fixed-iters [[pageRank]] remains the
+    * oracle form — DuckDB mirrors its three unrolled CTEs; this is the
+    * production form for graphs whose mixing time is unknown. */
+  def pageRankConverged(s: SparkSession, dir: String,
+      epsScaled: Long = 1000L, maxIters: Int = 20): ConvergedRanks = {
+    require(maxIters >= 1, "pageRankConverged needs at least one iteration")
+    val adj = adjacency(s, dir)
+    val hint = rankJoinHint(s, dir)
+    var ranks = firstIteration(adj)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iters = 1
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val next = nextIteration(adj, ranks, hint)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the node set is identical every iteration (all dst nodes of
+      // the fixed adjacency), so each id groups exactly two rows and
+      // max−min IS |Δ|
+      val delta = next.unionAll(ranks)
+        .groupBy(col("id")).agg((max(col("r")) - min(col("r"))).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      ranks.unpersist(blocking = false)
+      ranks = next
+      iters += 1
+      converged = delta <= epsScaled
+    }
+    val pinned = ranks
+    ConvergedRanks(
+      pinned.select(col("id").as("node_id"), col("r").as("rank_scaled"))
+        .orderBy(col("node_id")),
+      iters,
+      () => pinned.unpersist(blocking = false))
   }
 
   private def rankCte(prev: String, cur: String): String =

@@ -188,6 +188,90 @@ class GraphErSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming best match surfaces unresolvable names as NULL rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // a stream name the batch registry never saw (and one with no
+    // lev<=1 clean match) must EMIT with a null match, not silently
+    // vanish — the unresolved records are what an online pipeline
+    // routes to its slow path / next model refresh
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((999999L, "name-the-registry-never-held"))
+    val out = EntityResolution.bestMatchStream(
+      mem.toDF().toDF("src_id", "dname"), spark, dir)
+    val q = out.writeStream.format("memory").queryName("er_unseen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("er_unseen").collect()
+      assert(rows.length === 1, rows.mkString("; "))
+      assert(rows(0).getLong(0) === 999999L)
+      assert(rows(0).isNullAt(1) && rows(0).isNullAt(2),
+        s"unseen name should carry a null match: ${rows(0)}")
+      assert(rows(0).getBoolean(3) === false)
+    } finally q.stop()
+  }
+
+  test("driver-bench fixture stays under the all-pairs cap (sf0.1)") {
+    // er_fuzzy_match at sf0.1 runs only because the registry is under
+    // spark.graft.er.maxRows — fixture growth would silently flip the
+    // driver-bench row to a designed skip; trip HERE instead so the
+    // flip is a conscious decision (raise the cap or accept the skip)
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sf01/customer.parquet").exists)
+    val n = graft.Tables.customer(spark, sf01).count()
+    val cap = spark.conf.getOption("spark.graft.er.maxRows")
+      .getOrElse("50000").toLong
+    assert(n <= cap,
+      s"sf0.1 registry ($n rows) crossed the er all-pairs cap ($cap): " +
+        "er_fuzzy_match would silently skip in the driver bench")
+  }
+
+  test("pagerank releases its persisted adjacency on demand") {
+    val sc = spark.sparkContext
+    GraphQueries.releaseAdjacency(spark, dir) // clean slate
+    val before = sc.getPersistentRDDs.keySet
+    GraphQueries.pageRank(spark, dir).count()
+    val pinned = sc.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "adjacency was not persisted")
+    GraphQueries.releaseAdjacency(spark, dir)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"net new persisted RDDs after release: $leaked")
+    // release evicted the memo too: a re-run re-persists instead of
+    // silently recomputing the adjacency once per iteration off a
+    // memoized-but-unpersisted frame
+    GraphQueries.pageRank(spark, dir).count()
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "memo survived release: second run reused an unpersisted frame")
+    GraphQueries.releaseAdjacency(spark, dir)
+  }
+
+  test("converged pagerank matches the unrolled form and releases cleanly") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    GraphQueries.releaseAdjacency(spark, dir)
+    val before = sc.getPersistentRDDs.keySet
+    // eps=0 cannot converge early on a non-regular graph in 3 iters →
+    // runs to maxIters and must equal the fixed-3-iteration oracle form
+    val res = GraphQueries.pageRankConverged(spark, dir,
+      epsScaled = 0L, maxIters = 3)
+    val got = res.ranks.as[(Long, Long)].collect().toSeq
+    assert(res.iters === 3)
+    val want = GraphQueries.pageRank(spark, dir, iters = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+    // a generous tolerance stops at the first measurable delta
+    val loose = GraphQueries.pageRankConverged(spark, dir,
+      epsScaled = Long.MaxValue, maxIters = 5)
+    assert(loose.iters === 2, s"expected an immediate stop, ran ${loose.iters}")
+    loose.release()
+    res.release()
+    GraphQueries.releaseAdjacency(spark, dir)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"net new persisted RDDs after release: $leaked")
+  }
+
   test("bounded_lev1 equals min(levenshtein, 2) on adversarial strings") {
     import org.apache.spark.sql.functions.{col, least, levenshtein, lit}
     import spark.implicits._
