@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIvf, AnnLsh, AnnPq, AsofJoin, BehaviorQueries,
+import graft.operators.{AnnIvf, AnnIvfPq, AnnLsh, AnnPq, AsofJoin, BehaviorQueries,
   BpeTrainer, CurationQueries, DataloaderQueries, DecisionSupportQueries,
   DedupQueries, DynamicRules, EntityResolution, EventQueries,
   GraphQueries, MediaPipeline, RelationalQueries, SemDedup,
@@ -31,7 +31,7 @@ object SparkEntry {
       SketchQueries.queries, CurationQueries.queries,
       SemDedup.queries, BpeTrainer.queries, DataloaderQueries.queries,
       EntityResolution.queries, GraphQueries.queries, AnnPq.queries,
-      graft.sources.BucketedLayout.queries)
+      AnnIvfPq.queries, graft.sources.BucketedLayout.queries)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val merged = queryModules.reduce(_ ++ _)
@@ -58,7 +58,7 @@ object SparkEntry {
       SketchQueries.oracles, CurationQueries.oracles,
       SemDedup.oracles, BpeTrainer.oracles, DataloaderQueries.oracles,
       EntityResolution.oracles, GraphQueries.oracles, AnnPq.oracles,
-      graft.sources.BucketedLayout.oracles)
+      AnnIvfPq.oracles, graft.sources.BucketedLayout.oracles)
     val merged = mods.reduce(_ ++ _)
     require(merged.size == mods.map(_.size).sum,
       "duplicate oracle names across modules (Map ++ silently shadows)")

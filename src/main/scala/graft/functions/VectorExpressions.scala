@@ -366,6 +366,126 @@ object PqImpl {
   }
 }
 
+/** Static kernel behind [[IvfPqEncode]]. */
+object IvfPqImpl {
+  /** IVF-PQ encode — the whole index-build row transform in one pass:
+    * quantize the vector to the 1e4 grid, assign it to the nearest of
+    * `nlist` coarse centroids (integer squared L2, ties to the lower
+    * cell id), subtract that centroid (the RESIDUAL — what the shared
+    * PQ codebook is trained on, Jégou 2011 §IV.A), then per subspace
+    * pick the codebook entry with the smallest integer squared L2
+    * (ties to the lower code) and emit the flat ADC offset m·K + code.
+    * Output layout: [cell, code₀, …, code_{m−1}] — element 0 is the
+    * inverted-list key, the rest is the 8-byte PQ code the search
+    * reads. Centroid layout: cents[cell·dim + d]; codebook layout:
+    * cb[((m·K + k)·subDim) + d]. */
+  def encode(v: ArrayData, cents: Array[Long], cb: Array[Long],
+      nlist: Int, m: Int, k: Int, subDim: Int, isFloat: Boolean)
+      : ArrayData = {
+    val n = m * subDim
+    require(v.numElements() == n,
+      s"ivfpq_encode expects $n-dim vectors (m=$m x subDim=$subDim), " +
+        s"got ${v.numElements()}")
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      q(i) = math.floor(x * 10000.0).toLong
+      i += 1
+    }
+    // coarse assignment: strict < keeps the LOWEST cell id on ties
+    var cell = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var d2 = 0L
+      var d = 0
+      while (d < n) {
+        val diff = q(d) - cents(c * n + d)
+        d2 += diff * diff
+        d += 1
+      }
+      if (d2 < bestD) { bestD = d2; cell = c }
+      c += 1
+    }
+    // residual in place
+    i = 0
+    while (i < n) { q(i) -= cents(cell * n + i); i += 1 }
+    val out = new Array[Long](m + 1)
+    out(0) = cell.toLong
+    var mi = 0
+    while (mi < m) {
+      var best = 0L
+      var bd = Long.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val base = (mi * k + ki) * subDim
+        var d2 = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = q(mi * subDim + d) - cb(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bd) { bd = d2; best = ki.toLong }
+        ki += 1
+      }
+      out(mi + 1) = mi.toLong * k + best
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** IVF-PQ encode against flattened centroid + codebook literals —
+  * [[IvfPqImpl.encode]]. Seqs for structural equality (the
+  * [[Sq8Dequant]] canonicalization note). */
+case class IvfPqEncode(child: Expression, centroids: Seq[Long],
+    codebook: Seq[Long], nlist: Int, m: Int, k: Int, subDim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val ctA = centroids.toArray
+  @transient private lazy val cbA = codebook.toArray
+  private def isFloat = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def prettyName: String = "ivfpq_encode"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        DoubleType | org.apache.spark.sql.types.FloatType, _)
+        if centroids.length == nlist * m * subDim &&
+          codebook.length == m * k * subDim =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case org.apache.spark.sql.types.ArrayType(
+        DoubleType | org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName model shapes wrong: centroids ${centroids.length} " +
+            s"!= nlist*dim ${nlist * m * subDim} or codebook " +
+            s"${codebook.length} != m*k*subDim ${m * k * subDim}")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got " +
+            other.simpleString)
+    }
+  override def nullSafeEval(v: Any): Any =
+    IvfPqImpl.encode(v.asInstanceOf[ArrayData], ctA, cbA,
+      nlist, m, k, subDim, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ctRef = ctx.addReferenceObj("centroids", ctA, "long[]")
+    val cbRef = ctx.addReferenceObj("codebook", cbA, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IvfPqImpl.encode(" +
+        s"$c, $ctRef, $cbRef, $nlist, $m, $k, $subDim, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfPqEncode =
+    copy(child = newChild)
+}
+
 /** PQ encode against a flattened codebook literal —
   * [[PqImpl.encode]]. The codebook is a Seq for structural equality
   * (the [[Sq8Dequant]] canonicalization note). */
@@ -485,4 +605,13 @@ object VectorExpressions {
       subDim: Int): Column =
     GraftSqlBridge.column(PqEncode(
       GraftSqlBridge.expression(v), codebook, m, k, subDim))
+
+  /** Column form: IVF-PQ encode (coarse cell + residual PQ codes) of
+    * an ARRAY<FLOAT|DOUBLE> column — emits [cell, code₀, …] as
+    * ARRAY<BIGINT>. */
+  def ivfPqEncode(v: Column, centroids: Seq[Long], codebook: Seq[Long],
+      nlist: Int, m: Int, k: Int, subDim: Int): Column =
+    GraftSqlBridge.column(IvfPqEncode(
+      GraftSqlBridge.expression(v), centroids, codebook,
+      nlist, m, k, subDim))
 }

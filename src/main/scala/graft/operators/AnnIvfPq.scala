@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+  StructField, StructType}
+
+import graft.Tables
+import graft.functions.{TopK, VectorExpressions}
+import graft.functions.GraftFunctions.md5CoinLong
+
+/** IVF-PQ — the combined index the standalone legs compose into at
+  * 100 TB (FAISS's IVFPQ; Jégou et al., TPAMI 2011 §IV): a coarse
+  * quantizer buckets every vector into one of `nlist` inverted lists,
+  * a SHARED product-quantization codebook encodes each vector's
+  * RESIDUAL (v − centroid) as M code bytes, and a query scans only its
+  * `nprobe` closest lists, scoring candidates by ADC lookups against a
+  * per-(query, probed-cell) table built from the QUERY's residual in
+  * that cell.
+  *
+  * Why this is the 100 TB shape, beyond either leg alone:
+  * [[AnnPq]] scans every code (8 bytes/vector but still the whole
+  * corpus per query); [[AnnIvf]] prunes to nprobe/nlist of the corpus
+  * but reads full float vectors. Here the scan is nprobe/nlist of the
+  * corpus × 8 bytes — and the candidate⇄query match is an EQUI-JOIN on
+  * the cell id (the inverted-list probe), so nothing corpus-sized is
+  * ever broadcast or crossed.
+  *
+  * Cross-engine exactness (the [[AnnPq]] contract): coordinates snap
+  * to the 1e4 fixed-point BIGINT grid first; cell assignment, the
+  * residuals, the codebook argmin, the LUTs, and the ADC sums are all
+  * exact integer arithmetic with ties to the lower index. Model
+  * training is SQL-replayable by construction: coarse centroids are
+  * the rank-spaced rows of the deterministic sample ([[AnnIvf]]'s
+  * iters = 0 choice), the residual codebook comes from the K
+  * lowest-vec_id vectors' residuals.
+  *
+  * Index build is ONE codegen kernel pass inside the corpus scan
+  * ([[VectorExpressions.ivfPqEncode]]: quantize → cell argmin →
+  * residual → per-subspace code argmin), emitting [cell, codes…].
+  * Query prep (nprobe cells + one 128-entry integer LUT per probed
+  * cell) is driver-side over the BOUNDED query set — exactly the
+  * per-query work a FAISS front-end does — and ships as a broadcast
+  * frame of queries × nprobe rows. */
+object AnnIvfPq {
+
+  private val M = 8        // subspaces
+  private val SubDim = 8   // dims per subspace (64-dim embeddings)
+  private val K = 16       // codebook entries per subspace
+  private val NList = 16   // coarse cells
+  private val NProbe = 4   // probed cells per query
+  private val NQueries = 10
+  private val TopKN = 5
+  private val Dim = M * SubDim
+
+  private def quantExpr = expr(
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+
+  private def quantize(v: Seq[Float]): Array[Long] =
+    v.iterator.map(f => math.floor(f.toDouble * 10000).toLong).toArray
+
+  private def l2(a: Array[Long], b: Array[Long], aOff: Int, bOff: Int,
+      len: Int): Long = {
+    var d2 = 0L
+    var i = 0
+    while (i < len) {
+      val d = a(aOff + i) - b(bOff + i)
+      d2 += d * d
+      i += 1
+    }
+    d2
+  }
+
+  /** Coarse centroids: the rank-spaced rows of the deterministic
+    * md5-coin sample ordered by vec_id ([[AnnIvf.annTopK]]'s
+    * SQL-replayable training choice), quantized. Memoized per (session,
+    * table version). */
+  private def centroids(s: SparkSession, dir: String): Array[Array[Long]] =
+    Tables.memoizedAtConstruction(s, dir, "embeddings",
+        s"ivfpq-cents-$NList") {
+      import s.implicits._
+      val n = AnnLsh.embeddingCount(s, dir)
+      val every = math.max(1L, n / 10000L)
+      val sample = Tables.embeddings(s, dir)
+        .filter(pmod(md5CoinLong(col("vec_id")), lit(every)) === 0)
+        .orderBy(col("vec_id"))
+        .select(quantExpr).as[Array[Long]].collect()
+      Array.tabulate(NList)(c =>
+        sample((c * sample.length / NList).min(sample.length - 1)))
+    }
+
+  /** Shared residual codebook: the K lowest-vec_id vectors' residuals
+    * w.r.t. their own assigned cells, sliced per subspace. Flat layout
+    * cb[((m·K + k)·subDim) + d] — the kernel's and the LUT's offsets. */
+  private def residualCodebook(s: SparkSession, dir: String,
+      cents: Array[Array[Long]]): Array[Long] =
+    Tables.memoizedAtConstruction(s, dir, "embeddings",
+        s"ivfpq-cb-$M-$K") {
+      val train = Tables.embeddings(s, dir).filter(col("vec_id") < K)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+        .collect()
+      require(train.length == K,
+        s"IVF-PQ codebook needs all $K training vectors (vec_id 0..${K - 1}): " +
+          s"got ${train.length} — the embeddings fixture is missing low vec_ids")
+      val flat = new Array[Long](M * K * SubDim)
+      train.foreach { r =>
+        val k = r.getLong(0).toInt
+        val q = quantize(r.getSeq[Float](1))
+        val cell = nearestCell(cents, q)
+        var i = 0
+        while (i < Dim) { q(i) -= cents(cell)(i); i += 1 }
+        (0 until M).foreach { m =>
+          var d = 0
+          while (d < SubDim) {
+            flat((m * K + k) * SubDim + d) = q(m * SubDim + d)
+            d += 1
+          }
+        }
+      }
+      flat
+    }
+
+  /** Strict < keeps the LOWEST cell id on ties — the kernel's and the
+    * oracle's rule. */
+  private def nearestCell(cents: Array[Array[Long]], q: Array[Long]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d2 = l2(q, cents(c), 0, 0, Dim)
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(s, dir)
+    val cbFlat = residualCodebook(s, dir, cents)
+    val centsFlat = cents.flatten.toSeq
+
+    // index build: one kernel pass in the scan projection
+    val enc = Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cid"),
+        VectorExpressions.ivfPqEncode(col("embedding"), centsFlat,
+          cbFlat.toSeq, NList, M, K, SubDim).as("enc"))
+      .select(col("cid"), expr("enc[0]").as("cell"),
+        expr(s"slice(enc, 2, $M)").as("codes"))
+
+    // query prep: nprobe cells + per-(query, cell) residual LUT,
+    // driver-side over the bounded query set
+    val qRows = Tables.embeddings(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .collect()
+    val lutRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = quantize(r.getSeq[Float](1))
+      val probed = cents.indices
+        .sortBy(c => (l2(qv, cents(c), 0, 0, Dim), c)).take(NProbe)
+      probed.map { cell =>
+        val resid = Array.tabulate(Dim)(i => qv(i) - cents(cell)(i))
+        val lut = new Array[Long](M * K)
+        var m = 0
+        while (m < M) {
+          var k = 0
+          while (k < K) {
+            lut(m * K + k) =
+              l2(resid, cbFlat, m * SubDim, (m * K + k) * SubDim, SubDim)
+            k += 1
+          }
+          m += 1
+        }
+        Row(qid, cell.toLong, lut.toSeq)
+      }
+    }
+    val lutDf = s.createDataFrame(
+      java.util.Arrays.asList(lutRows: _*),
+      StructType(Seq(
+        StructField("qid", LongType),
+        StructField("cell", LongType),
+        StructField("lut", ArrayType(LongType, containsNull = false)))))
+
+    // the probe IS an equi-join on the inverted-list key; ADC sums are
+    // integers ≤ 64·(4e4)² ≈ 1e11 ≪ 2^53, exact through the TopK
+    // aggregate's double and back
+    val scored = enc.join(broadcast(lutDf), "cell")
+      .select(col("qid"), col("cid"),
+        VectorExpressions.sumLookup(col("codes"), col("lut")).as("adc_d2"))
+    TopK.perQueryTopK(scored, col("adc_d2"), TopKN, desc = false,
+        scoreName = "adc_d2_d")
+      .select(col("qid"), col("rank"), col("cid"),
+        col("adc_d2_d").cast("long").as("adc_d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private def subD2(l: String, r: String) =
+    s"list_reduce(list_transform(range(1, ${SubDim + 1}), " +
+      s"i -> ($l.sv[i] - $r.cv[i]) * ($l.sv[i] - $r.cv[i])), (a, b) -> a + b)"
+
+  /** Exact DuckDB replay. Assumes the corpus is ≤10k vectors (true at
+    * oracle scale), so the centroid training sample is the full table
+    * ordered by vec_id — the [[AnnIvf.annIvfSql]] convention. */
+  val ivfPqTopKSql: String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sample AS (
+       |  SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r FROM qv),
+       |scount AS (SELECT COUNT(*) AS n FROM sample),
+       |cents AS (
+       |  SELECT cs.c, sample.v AS cv
+       |  FROM (SELECT unnest(range(0, $NList)) AS c) cs, scount, sample
+       |  WHERE sample.r = LEAST(cs.c * scount.n // $NList, scount.n - 1)),
+       |cdist AS (
+       |  SELECT q.vec_id, c.c,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])), (a, b) -> a + b) AS d2
+       |  FROM qv q, cents c),
+       |cranked AS (
+       |  SELECT vec_id, c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |  FROM cdist),
+       |assign AS (SELECT vec_id, c AS cell FROM cranked WHERE rn = 1),
+       |resid AS (
+       |  SELECT q.vec_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> q.v[i] - c.cv[i]) AS rv
+       |  FROM qv q JOIN assign a ON q.vec_id = a.vec_id
+       |  JOIN cents c ON c.c = a.cell),
+       |rsub AS (
+       |  SELECT vec_id, cell, m,
+       |    rv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
+       |  FROM resid, range(0, $M) t(m)),
+       |cb AS (
+       |  SELECT vec_id AS k, m AS cm, sv AS cv FROM rsub WHERE vec_id < $K),
+       |enc AS (
+       |  SELECT vec_id, cell, m, k AS code FROM (
+       |    SELECT s.vec_id, s.cell, s.m, cb.k,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${subD2("s", "cb")}, cb.k) AS rk
+       |    FROM rsub s JOIN cb ON s.m = cb.cm
+       |    WHERE s.vec_id >= $NQueries)
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, c AS cell FROM cranked
+       |  WHERE rn <= $NProbe AND vec_id < $NQueries),
+       |qresid AS (
+       |  SELECT p.qid, p.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> q.v[i] - c.cv[i]) AS rv
+       |  FROM probes p JOIN qv q ON q.vec_id = p.qid
+       |  JOIN cents c ON c.c = p.cell),
+       |qsub AS (
+       |  SELECT qid, cell, m,
+       |    rv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
+       |  FROM qresid, range(0, $M) t(m)),
+       |lut AS (
+       |  SELECT s.qid, s.cell, s.m, cb.k, ${subD2("s", "cb")} AS d2
+       |  FROM qsub s JOIN cb ON s.m = cb.cm),
+       |adc AS (
+       |  SELECT l.qid, e.vec_id AS cid, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+       |  FROM enc e JOIN lut l
+       |    ON e.cell = l.cell AND e.m = l.m AND e.code = l.k
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, adc_d2 FROM (
+       |  SELECT qid, cid, adc_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rank
+       |  FROM adc)
+       |WHERE rank <= $TopKN ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivfpq_topk" -> (ivfPqTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_ivfpq_topk" -> ivfPqTopKSql)
+}

@@ -214,7 +214,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     * ANN path. */
   test("ann top-k finishes are bounded aggregates, not corpus windows") {
     val pureTopK = Seq("sim_cosine_topk", "sim_sq8_topk", "sim_ann_ivf",
-      "sim_ann_lsh", "sim_ann_multiprobe", "sim_pq_adc_topk")
+      "sim_ann_lsh", "sim_ann_multiprobe", "sim_pq_adc_topk",
+      "sim_ivfpq_topk")
     pureTopK.foreach { name =>
       val p = plan(SparkEntry.queries(name)(spark, dir))
       assert(!p.contains("Window"),
@@ -234,6 +235,18 @@ class PlanHygieneSpec extends AnyFunSuite {
         _.nodeName.contains("ObjectHashAggregate")),
         s"knn window not fed by the bounded aggregate:\n$w")
     }
+  }
+
+  /** IVF-PQ's probe is an inverted-list EQUI-join on the cell id —
+    * unlike flat PQ-ADC (whose 10-row LUT broadcast is an intentional
+    * nested loop), nothing here may cross or nest: the candidate
+    * stream hash-joins the broadcast (queries × nprobe)-row LUT frame
+    * on cell. */
+  test("ivfpq probe is a broadcast hash join on the cell id") {
+    val p = plan(SparkEntry.queries("sim_ivfpq_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("filter pushdown applies to the events replay path too") {
