@@ -90,7 +90,27 @@ object Bench {
         // from the session memo and this times the exchange-free READ
         // path — the cost every query after the first pays at 100 TB
         "layout_bucketed_join_warm" -> ((s, d) =>
-          graft.sources.BucketedLayout.bucketedJoin(s, d)))
+          graft.sources.BucketedLayout.bucketedJoin(s, d)),
+        // the kmeans-trained IVF-PQ (production training path) beside
+        // the SQL-replayable oracle form — the row carries the Lloyd
+        // build cost (construction-memoized → first repeat) and the
+        // recall section carries its retrieval-quality delta
+        "sim_ivfpq_trained" -> ((s, d) =>
+          graft.operators.AnnIvfPq.ivfPqTopKTrained(s, d)),
+        // the production convergence form beside the fixed-3-iteration
+        // oracle form; iteration count goes to stderr next to the row.
+        // The between-query cleanup has UNPERSISTED the adjacency the
+        // oracle row built (the memo would serve a cache-less frame
+        // that re-scans orders⋈lineitem EVERY iteration) — release it
+        // so this row is a self-contained production run: adjacency
+        // build + persist + iterate-to-ε, all timed
+        "graph_pagerank_converged" -> ((s, d) => {
+          graft.operators.GraphQueries.releaseAdjacency(s, d)
+          val cr = graft.operators.GraphQueries.pageRankConverged(s, d)
+          System.err.println(s"[bench] pageRankConverged: ${cr.iters} " +
+            s"iterations, converged=${cr.converged} (eps=0.1% of max rank)")
+          cr.ranks
+        }))
 
     // Queries whose CONSTRUCTION performs real MEMOIZED
     // model/materialization work: the CC family materializes the
@@ -135,6 +155,13 @@ object Bench {
         // the pagerank adjacency (orders⋈lineitem→distinct, persisted)
         // is construction-memoized per table version — same rule
         "graph_pagerank",
+        // CONSTRUCTION runs the whole iterate-to-convergence loop
+        // (delta probes execute eagerly); alphabetical order charges
+        // the shared adjacency memo to graph_pagerank first
+        "graph_pagerank_converged",
+        // Lloyd training (sample collect + coarse & per-subspace
+        // k-means) is construction-memoized — first repeat pays it
+        "sim_ivfpq_trained",
         // quantileSelect's CONSTRUCTION runs its driver-side control
         // jobs (bounds + histogram + sub-histogram — 3 corpus scans);
         // not memoized (each repeat honestly rebuilds), but the
@@ -190,6 +217,50 @@ object Bench {
     }
     System.err.println(f"[bench] calibration probe: $calibSec%.3f s")
 
+    // Co-load guard: the r12 official sweep was distorted 23% by a
+    // concurrent JVM the single-job calibration probe cannot see (it
+    // saturates the box itself, so co-load only stretches it a little).
+    // Instead, meter what OTHER java processes actually BURNED while
+    // the sweep ran: snapshot each foreign JVM's cumulative CPU ticks
+    // (utime+stime from /proc/<pid>/stat, USER_HZ = 100) before and
+    // after, plus /proc/loadavg for context. A sweep whose foreign-JVM
+    // CPU exceeds 5% of its own wall×cores self-reports flagged=true in
+    // the summary line — a contaminated artifact announces itself
+    // instead of needing a judge A/B rerun.
+    def loadavg1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def otherJvmCpuTicks(): Map[Long, Long] = {
+      val self = ProcessHandle.current().pid()
+      val procs = Option(new java.io.File("/proc").listFiles())
+        .getOrElse(Array.empty)
+      procs.iterator
+        .filter(f => f.getName.forall(_.isDigit))
+        .map(_.getName.toLong)
+        .filter(_ != self)
+        .flatMap { pid =>
+          try {
+            val cmd = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/$pid/cmdline")), "UTF-8")
+            if (!cmd.contains("java")) None
+            else {
+              val stat = new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
+              // comm may contain spaces/parens — fields resume after
+              // the LAST ')': state is field 3, so utime(14) = rest(11),
+              // stime(15) = rest(12)
+              val rest = stat.substring(stat.lastIndexOf(')') + 2)
+                .split(" ")
+              Some(pid -> (rest(11).toLong + rest(12).toLong))
+            }
+          } catch { case _: Throwable => None }
+        }.toMap
+    }
+    val loadBefore = loadavg1()
+    val jvmsBefore = otherJvmCpuTicks()
+    val sweepStartNs = System.nanoTime()
+
     val timedNames = (SparkEntry.queries ++ extraQueries).keySet
       .filter(matches)
     // A name filter that selects the _warm layout row WITHOUT its cold
@@ -221,7 +292,11 @@ object Bench {
       var ok = true
       var skipped = false
       var rep = 0
-      var planned = repeats
+      // construction-memoized rows report the FIRST repeat by contract
+      // (min-over-repeats never applies), so further repeats could only
+      // burn sweep wall time re-reading memos — skip them outright
+      // (pageRankConverged alone would re-run its 47-iteration loop)
+      var planned = if (heavyConstruction(name)) 1 else repeats
       while (rep < planned) {
         rep += 1
         val t0 = System.nanoTime()
@@ -279,9 +354,43 @@ object Bench {
       // error OUTRANKS skip: if any repeat genuinely failed, the query
       // reports -1 even when another repeat ended in a designed
       // refusal — otherwise a transient failure could hide behind the
-      // skip sentinel
-      (name, if (!ok) -1.0 else if (skipped) Double.NaN else sec)
+      // skip sentinel. `rep` records how many repeats actually ran —
+      // the self-extending fast-row policy above makes the count
+      // row-dependent, and the artifact must say which policy measured
+      // each row
+      (name, if (!ok) -1.0 else if (skipped) Double.NaN else sec, rep)
     }
+    val sweepWallSec = (System.nanoTime() - sweepStartNs) / 1e9
+    val loadAfter = loadavg1()
+    val jvmsAfter = otherJvmCpuTicks()
+    // foreign CPU burned in-window: common pids by tick delta, pids
+    // born mid-sweep by their full count (their whole life is in the
+    // window); vanished pids are unmeasurable and only under-count
+    val otherJvmCpuSec = jvmsAfter.iterator.map { case (pid, t) =>
+      math.max(0L, t - jvmsBefore.getOrElse(pid, 0L))
+    }.sum / 100.0
+    val coloadFrac =
+      if (sweepWallSec > 0) otherJvmCpuSec / (sweepWallSec * cpus.toInt)
+      else 0.0
+    val coloadFlag = coloadFrac > 0.05
+    if (coloadFlag)
+      System.err.println(f"[bench] WARNING: co-load guard tripped — " +
+        f"foreign JVMs burned $otherJvmCpuSec%.1f CPU-s during the " +
+        f"$sweepWallSec%.1f s sweep (${coloadFrac * 100}%.1f%% of the box); " +
+        "treat this sweep as contaminated")
+
+    // ANN retrieval quality (untimed): mean recall@5 per approximate
+    // leg vs the exact answer under its own metric — hash-parity
+    // proves replay, this records whether the index actually finds
+    // the neighbors. SPARK_GRAFT_RECALL=off skips (e.g. huge SFs).
+    val recall: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_RECALL", "on") == "off") Seq.empty
+      else try graft.operators.AnnRecall.recallAtK(spark, sfDir,
+        (SparkEntry.queries ++ extraQueries).keySet.filter(matches))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] recall computation failed: $e")
+        Seq.empty
+      }
     // Artifact contract: the driver keeps only a short stdout tail, so
     // the LAST line is a compact (<2 KB) self-describing summary —
     // total, count, per-family sums, worst-5, skips/errors, and the
@@ -310,13 +419,22 @@ object Bench {
     val total = measured.map(_._2).sum
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
-    val qs = results.map { case (k, v) => q(k) + ":" + j(v) }
+    val qs = results.map { case (k, v, _) => q(k) + ":" + j(v) }
+      .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, r) => q(k) + ":" + r }
       .mkString("{", ",", "}")
     val arr = (xs: Seq[String]) => xs.map(q).mkString("[", ",", "]")
+    val coloadJson =
+      s"""{"other_jvm_cpu_sec":${num(otherJvmCpuSec)},""" +
+        s""""frac":${num(coloadFrac)},"load1_before":${num(loadBefore)},""" +
+        s""""load1_after":${num(loadAfter)},"flagged":$coloadFlag}"""
+    val recallJson = recall.map { case (k, v) => q(k) + ":" + j(v) }
+      .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
-        s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
-        s""""calib_sec":${num(calibSec)},"sf":${q(sfDir)}}"""
+        s""""reps":$repsJson,"skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
+        s""""calib_sec":${num(calibSec)},"coload":$coloadJson,""" +
+        s""""recall":$recallJson,"sf":${q(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -330,11 +448,12 @@ object Bench {
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(-_._2)
       .map { case (f, v) => q(f) + ":" + j(v) }.mkString("{", ",", "}")
     val worst = measured.sortBy(-_._2).take(5)
-      .map { case (k, v) => q(k) + ":" + j(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _) => q(k) + ":" + j(v) }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${measured.size},""" +
         s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
         s""""errors":${arr(errorNames)},"calib_sec":${num(calibSec)},""" +
+        s""""coload":$coloadJson,"recall":$recallJson,""" +
         s""""full":${q(fullPath)},"sf":${q(sfDir)}}""")
     spark.stop()
   }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TopK, VectorExpressions}
+
+/** Recall@k for the approximate-nearest-neighbor legs — hash-parity
+  * against the DuckDB oracle proves each index replays its OWN
+  * approximation exactly, not that the approximation retrieves well;
+  * this module carries the retrieval-quality number the bench artifact
+  * records per leg (the standard ANN yardstick: mean over queries of
+  * |approx top-k ∩ exact top-k| / k).
+  *
+  * Each leg is scored against the exact answer under ITS OWN metric —
+  * the cosine-rerank legs (LSH, multi-probe, IVF) against exact cosine
+  * top-k, the PQ/ADC legs against exact squared-L2 top-k on the same
+  * 1e4 fixed-point grid their codes quantize (so the number isolates
+  * INDEX error — candidate pruning + codebook approximation — from the
+  * grid quantization both sides share). Baselines and approximate
+  * results are all (queries × k)-bounded collects; each exact baseline
+  * is one broadcast-join corpus scan, computed at most once per call. */
+object AnnRecall {
+
+  private val K = 5
+
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("qid"), col("cid")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  /** Exact squared-L2 top-k on the quantized BIGINT grid — the answer
+    * a full ADC-free scan of the quantized corpus would return. */
+  private def exactGridL2(s: SparkSession, dir: String): DataFrame = {
+    val quant = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), quant.as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("cid"),
+        VectorExpressions.quantL2Sq(col("qv"), col("cv")).as("d2"))
+    TopK.perQueryTopK(scored, col("d2"), K, desc = false, scoreName = "d2")
+  }
+
+  /** Leg name → (metric, BENCH form) — the same form the timed sweep
+    * runs, so the recall number describes the benched index. */
+  private val legs
+      : Map[String, (String, (SparkSession, String) => DataFrame)] = Map(
+    "sim_ann_lsh" -> (("cos", AnnLsh.annTopKScaled _)),
+    "sim_ann_multiprobe" -> (("cos", AnnLsh.annMultiProbeScaled _)),
+    "sim_ann_ivf" -> (("cos", AnnIvf.annIvfQuery _)),
+    "sim_pq_adc_topk" -> (("l2", AnnPq.pqAdcTopK _)),
+    "sim_ivfpq_topk" -> (("l2", AnnIvfPq.ivfPqTopK _)),
+    "sim_ivfpq_trained" -> (("l2", AnnIvfPq.ivfPqTopKTrained _)))
+
+  /** Mean recall@5 per requested leg (legs not in `names` are
+    * skipped, and a baseline is only computed if a selected leg needs
+    * it). A leg that errors reports -1 rather than aborting the rest. */
+  def recallAtK(s: SparkSession, dir: String,
+      names: Set[String]): Seq[(String, Double)] = {
+    val wanted = legs.filter(kv => names(kv._1))
+    if (wanted.isEmpty) return Seq.empty
+    lazy val cosSets = topSets(SimilarityQueries.cosineTopK(s, dir))
+    lazy val l2Sets = topSets(exactGridL2(s, dir))
+    wanted.toSeq.sortBy(_._1).map { case (name, (metric, fn)) =>
+      val r =
+        try {
+          val base = if (metric == "cos") cosSets else l2Sets
+          val approx = topSets(fn(s, dir))
+          val per = base.toSeq.map { case (q, exact) =>
+            approx.getOrElse(q, Set.empty).intersect(exact).size.toDouble /
+              exact.size
+          }
+          if (per.isEmpty) 0.0 else per.sum / per.size
+        } catch { case e: Throwable =>
+          System.err.println(s"[recall] $name failed: $e"); -1.0
+        }
+      name -> r
+    }
+  }
+}

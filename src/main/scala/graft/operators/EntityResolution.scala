@@ -296,12 +296,24 @@ object EntityResolution {
     * unpersist + memo eviction, the [[GraphQueries.releaseAdjacency]]
     * discipline (the out-of-band "model refresh" — the next
     * bestMatchStream call rebuilds from the current registry). */
-  def releaseNameModel(s: SparkSession, dir: String): Unit =
+  def releaseNameModel(s: SparkSession, dir: String): Unit = {
+    // a RUNNING bestMatchStream query still references the released
+    // model plan but not the memo: from its next micro-batch it would
+    // silently re-run the full model build every trigger — the exact
+    // regression the memo fixed. Stop the owning query first, release,
+    // then restart so the rebuilt model is picked up.
+    if (s.streams.active.nonEmpty)
+      System.err.println(
+        s"[er] WARNING: releaseNameModel with ${s.streams.active.length} " +
+          "active streaming query(ies) — a running bestMatchStream will " +
+          "rebuild the name model EVERY micro-batch from now on; stop it " +
+          "before releasing and restart it after")
     Tables.evictMemoMatching(s, dir, "customer", "er-name-model").foreach {
       case df: org.apache.spark.sql.Dataset[_] =>
         df.unpersist(blocking = false)
       case _ => ()
     }
+  }
 
   val bestMatchSql: String =
     s"""WITH dirty AS (

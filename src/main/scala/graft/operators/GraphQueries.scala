@@ -34,7 +34,7 @@ import graft.Tables
   * iteration count actually run, and the cleanup that unpersists the
   * final iteration's pinned frame once the caller has consumed it. */
 final case class ConvergedRanks(ranks: DataFrame, iters: Int,
-    release: () => Unit)
+    release: () => Unit, converged: Boolean = true)
 
 object GraphQueries {
 
@@ -147,7 +147,7 @@ object GraphQueries {
   }
 
   /** Convergence-driven variant: iterate until max |Δrank| ≤
-    * `epsScaled` (on the 1e6 fixed-point grid) or `maxIters`, returning
+    * `epsPpm` ppm of the current max rank or `maxIters`, returning
     * the rank frame and the iteration count actually run. Each
     * iteration's frame is persisted so the NEXT iteration (and the
     * delta probe) read it instead of replaying the whole chain, and
@@ -165,34 +165,75 @@ object GraphQueries {
     * oracle form — DuckDB mirrors its three unrolled CTEs; this is the
     * production form for graphs whose mixing time is unknown. */
   def pageRankConverged(s: SparkSession, dir: String,
-      epsScaled: Long = 1000L, maxIters: Int = 20): ConvergedRanks = {
+      epsPpm: Long = 1000L, maxIters: Int = 60): ConvergedRanks = {
+    // The tolerance is RELATIVE — converge when max |Δrank| ≤ epsPpm
+    // ppm of the current max rank (default 0.1%). An absolute epsilon
+    // on the unnormalized integer grid cannot scale: hub ranks grow
+    // with graph size (measured max |Δ| starts at 11.4M on the sf0.01
+    // graph — 11400× an absolute eps of 1000), so any fixed constant
+    // is unreachable on one SF and trivial on another. |Δ| contracts
+    // by ~the damping factor per step (measured 0.85/iter, clean
+    // geometric decay), so 0.1% of a hub-dominated spread needs
+    // ~30-40 iterations; the cap exists for graphs whose mixing is
+    // slower still, and the flag below reports a cap hit honestly.
     require(maxIters >= 1, "pageRankConverged needs at least one iteration")
     val adj = adjacency(s, dir)
     val hint = rankJoinHint(s, dir)
-    var ranks = firstIteration(adj)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = s.sparkContext
+    // Each iteration is materialized through an EAGER localCheckpoint,
+    // not a bare persist: persist caches the DATA but the logical plan
+    // keeps growing — by iteration k the delta probe's tree nests k
+    // levels of cached-plan innerChildren with TWO branches each
+    // (union(next, ranks)), and the per-job plan-string rendering in
+    // SQLExecution walks that tree EXPONENTIALLY (measured: a 20-
+    // iteration run burned 15 driver-minutes in generateTreeString
+    // while executors sat idle). The checkpoint truncates the plan to
+    // a LogicalRDD scan, so every iteration plans and renders O(1).
+    // On a cluster, localCheckpoint trades HDFS durability for speed —
+    // the right call for an iterative loop whose restart replays from
+    // the (persisted) adjacency anyway.
+    // localCheckpoint registers its blocks in the persistent-RDD
+    // registry; snapshotting the registry around the call captures the
+    // ids so the PREDECESSOR's blocks are dropped deterministically —
+    // at most two node-sized frames are ever pinned beyond the
+    // adjacency (the promise the release() contract documents).
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    var (ranks, ranksIds) = checkpointed(firstIteration(adj))
     var iters = 1
     var converged = false
     while (!converged && iters < maxIters) {
-      val next = nextIteration(adj, ranks, hint)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (next, nextIds) = checkpointed(nextIteration(adj, ranks, hint))
       // the node set is identical every iteration (all dst nodes of
       // the fixed adjacency), so each id groups exactly two rows and
-      // max−min IS |Δ|
-      val delta = next.unionAll(ranks)
-        .groupBy(col("id")).agg((max(col("r")) - min(col("r"))).as("d"))
-        .agg(max(col("d"))).head().getLong(0)
-      ranks.unpersist(blocking = false)
+      // max−min IS |Δ|; the same single probe also carries the max
+      // rank the relative tolerance needs
+      val probe = next.unionAll(ranks)
+        .groupBy(col("id")).agg((max(col("r")) - min(col("r"))).as("d"),
+          max(col("r")).as("mr"))
+        .agg(max(col("d")), max(col("mr"))).head()
+      val (delta, maxRank) = (probe.getLong(0), probe.getLong(1))
+      drop(ranksIds)
       ranks = next
+      ranksIds = nextIds
       iters += 1
-      converged = delta <= epsScaled
+      // double arithmetic: maxRank × epsPpm would overflow Long for
+      // permissive tolerances (the spec passes Long.MaxValue)
+      converged = delta.toDouble <= maxRank.toDouble * epsPpm / 1e6
     }
-    val pinned = ranks
+    val pinned = ranksIds
     ConvergedRanks(
-      pinned.select(col("id").as("node_id"), col("r").as("rank_scaled"))
+      ranks.select(col("id").as("node_id"), col("r").as("rank_scaled"))
         .orderBy(col("node_id")),
       iters,
-      () => pinned.unpersist(blocking = false))
+      () => drop(pinned),
+      converged)
   }
 
   private def rankCte(prev: String, cur: String): String =

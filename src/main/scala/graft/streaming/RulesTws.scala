@@ -60,9 +60,6 @@ case class RuleWindowAcc(sum: BigDecimal, cnt: Long, min: BigDecimal,
   * the rule — per-element evaluation, the reference's semantics. */
 object RulesTws {
 
-  private val fmt = java.time.format.DateTimeFormatter
-    .ofPattern("yyyy-MM-dd HH:mm").withZone(java.time.ZoneOffset.UTC)
-
   /** Decimal(18,2) coercion matching Spark's `cast(x as decimal(18,2))`
     * (HALF_UP, via the value's canonical string form — Decimal(double)
     * goes through BigDecimal.valueOf, i.e. Double.toString). */
@@ -90,16 +87,26 @@ object RulesTws {
       if (rules.isEmpty) Iterator.empty
       else it.flatMap { row =>
         val ts = row.getTimestamp(row.fieldIndex("ts"))
-        val tsSec = Math.floorDiv(ts.getTime, 1000L)
-        rules.iterator.map { r =>
-          val w = r.windowMinutes * 60L
-          val start = Math.floorDiv(tsSec, w) * w
-          val key = r.groupingKeyNames
-            .map(n => String.valueOf(row.get(row.fieldIndex(n))))
-            .mkString("|")
-          RuleObs(r.ruleId, start, start + w, key, ts,
-            toDec(row.get(row.fieldIndex(r.aggregateFieldName))),
-            r.aggregatorFunctionType, r.limitOperatorType, r.limit)
+        // a null event time has no window — drop the row, which is
+        // exact parity: the batch twin's TimeWindowing rewrite filters
+        // null timestamps before its window groupBy (spec-pinned).
+        // Null AGGREGATE values are KEPT:
+        // the batch twin's sum/min/max skip them but count(lit(1))
+        // counts them (the AVG denominator), so the processor carries
+        // them as null-valued observations.
+        if (ts == null) Iterator.empty
+        else {
+          val tsSec = Math.floorDiv(ts.getTime, 1000L)
+          rules.iterator.map { r =>
+            val w = r.windowMinutes * 60L
+            val start = Math.floorDiv(tsSec, w) * w
+            val key = r.groupingKeyNames
+              .map(n => String.valueOf(row.get(row.fieldIndex(n))))
+              .mkString("|")
+            RuleObs(r.ruleId, start, start + w, key, ts,
+              toDec(row.get(row.fieldIndex(r.aggregateFieldName))),
+              r.aggregatorFunctionType, r.limitOperatorType, r.limit)
+          }
         }
       }
     }
@@ -109,9 +116,14 @@ object RulesTws {
     * partials, emits an alert when the accumulated aggregate satisfies
     * the rule, and seals the window (clears state) when its event-time
     * timer fires. */
-  final class RuleWindowProcessor
+  final class RuleWindowProcessor(zoneId: String)
     extends StatefulProcessor[(Int, Long, String), RuleObs, RuleAlert] {
     @transient private var acc: ValueState[RuleWindowAcc] = _
+    // win_start renders in the SESSION timezone, exactly like the
+    // batch twin's date_format — twin parity must not depend on the
+    // harness running UTC (the zone travels with the processor)
+    @transient private lazy val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm").withZone(java.time.ZoneId.of(zoneId))
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       acc = getHandle.getValueState[RuleWindowAcc]("acc",
@@ -123,11 +135,19 @@ object RulesTws {
       val fresh = !acc.exists()
       var a = if (fresh) null else acc.get()
       var last: RuleObs = null
+      // null-valued observations increment cnt only — the batch twin
+      // sums/mins/maxes over the non-null values but counts every row
+      // (count(lit(1)), the AVG denominator); merging a null into a
+      // null-so-far accumulator keeps the field null, so an all-null
+      // window aggregates to null and (like the batch twin's null
+      // predicate) never fires
+      def m2(x: BigDecimal, y: BigDecimal, f: (BigDecimal, BigDecimal) => BigDecimal): BigDecimal =
+        if (x == null) y else if (y == null) x else f(x, y)
       rows.foreach { o =>
         last = o
         a = if (a == null) RuleWindowAcc(o.value, 1L, o.value, o.value)
-        else RuleWindowAcc(a.sum + o.value, a.cnt + 1L,
-          a.min.min(o.value), a.max.max(o.value))
+        else RuleWindowAcc(m2(a.sum, o.value, _ + _), a.cnt + 1L,
+          m2(a.min, o.value, _ min _), m2(a.max, o.value, _ max _))
       }
       if (last == null) Iterator.empty // key replayed with no rows
       else {
@@ -135,28 +155,32 @@ object RulesTws {
         // seal when the watermark passes window end — the timer fires
         // once event time (minus the watermark slack) clears winEnd
         if (fresh) getHandle.registerTimer(last.winEnd * 1000L)
-        val value = last.aggType match {
-          case "SUM" => a.sum.toDouble
-          case "AVG" => a.sum.toDouble / a.cnt
-          case "MIN" => a.min.toDouble
-          case "MAX" => a.max.toDouble
+        val value: java.lang.Double = last.aggType match {
+          case "SUM" => if (a.sum == null) null else a.sum.toDouble
+          case "AVG" => if (a.sum == null) null else a.sum.toDouble / a.cnt
+          case "MIN" => if (a.min == null) null else a.min.toDouble
+          case "MAX" => if (a.max == null) null else a.max.toDouble
           case other => throw new IllegalArgumentException(s"agg $other")
         }
-        val lim = last.limit.toDouble
-        val fires = last.limitOp match {
-          case "=" => value == lim
-          case "!=" => value != lim
-          case ">" => value > lim
-          case "<" => value < lim
-          case ">=" => value >= lim
-          case "<=" => value <= lim
-          case other => throw new IllegalArgumentException(s"op $other")
+        if (value == null) Iterator.empty
+        else {
+          val v = value.doubleValue()
+          val lim = last.limit.toDouble
+          val fires = last.limitOp match {
+            case "=" => v == lim
+            case "!=" => v != lim
+            case ">" => v > lim
+            case "<" => v < lim
+            case ">=" => v >= lim
+            case "<=" => v <= lim
+            case other => throw new IllegalArgumentException(s"op $other")
+          }
+          if (fires)
+            Iterator.single(RuleAlert(key._1.toLong,
+              fmt.format(java.time.Instant.ofEpochSecond(key._2)),
+              key._3, v))
+          else Iterator.empty
         }
-        if (fires)
-          Iterator.single(RuleAlert(key._1.toLong,
-            fmt.format(java.time.Instant.ofEpochSecond(key._2)),
-            key._3, value))
-        else Iterator.empty
       }
     }
 
@@ -180,10 +204,11 @@ object RulesTws {
       lateSlackMinutes: Int = 0): Dataset[RuleAlert] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val zone = spark.conf.get("spark.sql.session.timeZone")
     expand(events, currentRules)
       .withWatermark("ts", s"$lateSlackMinutes minutes")
       .groupByKey(o => (o.ruleId, o.winStart, o.key))
-      .transformWithState(new RuleWindowProcessor,
+      .transformWithState(new RuleWindowProcessor(zone),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The trained IVF-PQ twin and the recall harness: the bench artifact
+  * now records retrieval quality per ANN leg (hash-parity proves
+  * replay of the approximation, recall proves the approximation
+  * retrieves) — this pins the harness's invariants at oracle SF. */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("trained IVF-PQ returns a full top-5 per query") {
+    val rows = AnnIvfPq.ivfPqTopKTrained(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L),
+        s"query $q ranks: ${rs.mkString(",")}")
+    }
+  }
+
+  test("recall harness: bounds hold and exact-metric legs score high") {
+    val r = AnnRecall.recallAtK(spark, dir,
+      Set("sim_ann_lsh", "sim_ann_multiprobe", "sim_ann_ivf",
+        "sim_pq_adc_topk", "sim_ivfpq_topk", "sim_ivfpq_trained")).toMap
+    assert(r.size === 6, s"missing legs: $r")
+    r.foreach { case (name, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"$name recall out of range: $v")
+    }
+    // LSH candidates re-rank by EXACT cosine — with enough bucket
+    // collisions recall should be clearly better than random (k/n ≈
+    // 0.008 at sf0.01); anything near zero means the harness compared
+    // the wrong baselines or ids
+    assert(r("sim_ann_lsh") > 0.2, s"implausible LSH recall: $r")
+    // PQ recall is genuinely LOW on this fixture (measured 0.16 at
+    // sf0.01): the embeddings are i.i.d. random, so a 16-entry
+    // codebook under-fits the residual space — the floor here only
+    // guards against a broken comparison (random ≈ k/n ≈ 0.005),
+    // not retrieval quality, which the bench artifact records
+    assert(r("sim_pq_adc_topk") > 0.05, s"implausible PQ recall: $r")
+  }
+}

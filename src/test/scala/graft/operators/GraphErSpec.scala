@@ -255,7 +255,7 @@ class GraphErSpec extends AnyFunSuite {
     // eps=0 cannot converge early on a non-regular graph in 3 iters →
     // runs to maxIters and must equal the fixed-3-iteration oracle form
     val res = GraphQueries.pageRankConverged(spark, dir,
-      epsScaled = 0L, maxIters = 3)
+      epsPpm = 0L, maxIters = 3)
     val got = res.ranks.as[(Long, Long)].collect().toSeq
     assert(res.iters === 3)
     val want = GraphQueries.pageRank(spark, dir, iters = 3)
@@ -263,7 +263,7 @@ class GraphErSpec extends AnyFunSuite {
     assert(got === want)
     // a generous tolerance stops at the first measurable delta
     val loose = GraphQueries.pageRankConverged(spark, dir,
-      epsScaled = Long.MaxValue, maxIters = 5)
+      epsPpm = Long.MaxValue, maxIters = 5)
     assert(loose.iters === 2, s"expected an immediate stop, ran ${loose.iters}")
     loose.release()
     res.release()

@@ -20,6 +20,10 @@ import graft.operators.DynamicRules
 case class RulesTwsEv(ts: Timestamp, user_id: Long, event_type: String,
     value: Double)
 
+/** Nullable-field fixture row (Option → nullable column). */
+case class RulesTwsNullEv(ts: Timestamp, user_id: Long,
+    value: Option[Double])
+
 /** The transformWithState rules engine: checkpointed window state that
   * SURVIVES a query restart (the reference keeps window aggregates in
   * managed keyed state, megaphone ProcessorFunction.java:127-137 — the
@@ -138,6 +142,70 @@ class RulesTwsSpec extends AnyFunSuite {
         q3.processAllAvailable()
         assert(out2.asScala.toSet === got.toSet)
       } finally q3.stop()
+    }
+  }
+
+  test("null aggregate values and null ts match batch semantics") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // batch twin: sum/min/max SKIP nulls, count(lit(1)) COUNTS them
+    // (the AVG denominator); an all-null window aggregates to null and
+    // never fires. Null ts: Spark's TimeWindowing rewrite FILTERS
+    // null timestamps before the window groupBy — the stream's drop
+    // in expand() is exact parity.
+    val rules = Seq(
+      Rule(1, "ACTIVE", Seq("user_id"), "value", "AVG", "<=",
+        BigDecimal(60), 60),
+      Rule(2, "ACTIVE", Seq("user_id"), "value", "MAX", ">=",
+        BigDecimal(90), 60),
+      Rule(3, "ACTIVE", Seq("user_id"), "value", "SUM", ">",
+        BigDecimal(-1), 60))
+    def nev(sec: Long, user: Long, v: Option[Double]) =
+      RulesTwsNullEv(if (sec < 0) null else new Timestamp(sec * 1000),
+        user, v)
+    val events = Seq(
+      nev(100, 1, Some(100.0)), nev(200, 1, None), // AVG 100/2=50 fires
+      nev(300, 2, Some(80.0)), nev(400, 2, Some(90.0)), // AVG 85 no
+      nev(500, 4, None), nev(600, 4, None),     // all-null: never fires
+      nev(-1, 3, Some(10.0)))                   // null ts
+    val expected = DynamicRules.evaluate(events.toDF(), rules)
+      .as[RuleAlert].collect()
+    // the fixture must actually exercise every path
+    assert(!expected.exists(_.win_start == null), "null win_start leaked")
+    assert(!expected.exists(_.key == "3"),
+      "null-ts row survived the batch twin's TimeWindowing filter")
+    assert(expected.exists(a => a.rule_id == 1 && a.key == "1" &&
+      a.value == 50.0), s"AVG null-count parity fixture broken: " +
+      expected.mkString(","))
+    assert(!expected.exists(_.key == "4"), "all-null window fired")
+
+    val in = MemoryStream[RulesTwsNullEv]
+    runTws(in.toDF(), () => rules) { (q, out) =>
+      in.addData(events: _*)
+      q.processAllAvailable()
+      assert(out.asScala.toSet === expected.toSet)
+    }
+  }
+
+  test("win_start renders in the session timezone like the batch twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rules = Seq(Rule(1, "ACTIVE", Seq("user_id"), "value", "SUM",
+      ">", BigDecimal(0), 60))
+    val events = Seq(ev(7200, 1, "view", 5.0))
+    // a half-hour-offset zone catches any hard-pinned UTC formatter
+    SparkTestUtil.withConf(spark, "spark.sql.session.timeZone",
+        "Asia/Kolkata") {
+      val expected = DynamicRules.evaluate(events.toDF(), rules)
+        .as[RuleAlert].collect().toSet
+      assert(expected.map(_.win_start) === Set("1970-01-01 07:30"),
+        s"batch twin rendered $expected")
+      val in = MemoryStream[RulesTwsEv]
+      runTws(in.toDF(), () => rules) { (q, out) =>
+        in.addData(events: _*)
+        q.processAllAvailable()
+        assert(out.asScala.toSet === expected)
+      }
     }
   }
 
