@@ -231,6 +231,17 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // host-level counters the per-process meter cannot see: CPU STEAL
+    // (a co-tenant VM taking the physical core — the classic invisible
+    // contention on a Firecracker guest) and IO-wait. Returns (steal,
+    // iowait) cumulative ticks from /proc/stat's aggregate cpu line.
+    def hostStealIo(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val cpu = try f.getLines().next() finally f.close()
+        val t = cpu.trim.split("\\s+") // cpu user nice sys idle iowait irq sirq steal
+        (t(8).toLong, t(5).toLong)
+      } catch { case _: Throwable => (-1L, -1L) }
     def otherJvmCpuTicks(): Map[Long, Long] = {
       val self = ProcessHandle.current().pid()
       val procs = Option(new java.io.File("/proc").listFiles())
@@ -259,6 +270,7 @@ object Bench {
     }
     val loadBefore = loadavg1()
     val jvmsBefore = otherJvmCpuTicks()
+    val (stealBefore, iowaitBefore) = hostStealIo()
     val sweepStartNs = System.nanoTime()
 
     val timedNames = (SparkEntry.queries ++ extraQueries).keySet
@@ -363,6 +375,16 @@ object Bench {
     val sweepWallSec = (System.nanoTime() - sweepStartNs) / 1e9
     val loadAfter = loadavg1()
     val jvmsAfter = otherJvmCpuTicks()
+    val (stealAfter, iowaitAfter) = hostStealIo()
+    val stealSec =
+      if (stealBefore < 0 || stealAfter < 0) -1.0
+      else (stealAfter - stealBefore) / 100.0
+    val iowaitSec =
+      if (iowaitBefore < 0 || iowaitAfter < 0) -1.0
+      else (iowaitAfter - iowaitBefore) / 100.0
+    val stealFrac =
+      if (stealSec < 0 || sweepWallSec <= 0) 0.0
+      else stealSec / (sweepWallSec * cpus.toInt)
     // foreign CPU burned in-window: common pids by tick delta, pids
     // born mid-sweep by their full count (their whole life is in the
     // window); vanished pids are unmeasurable and only under-count
@@ -372,12 +394,13 @@ object Bench {
     val coloadFrac =
       if (sweepWallSec > 0) otherJvmCpuSec / (sweepWallSec * cpus.toInt)
       else 0.0
-    val coloadFlag = coloadFrac > 0.05
+    val coloadFlag = coloadFrac > 0.05 || stealFrac > 0.05
     if (coloadFlag)
       System.err.println(f"[bench] WARNING: co-load guard tripped — " +
-        f"foreign JVMs burned $otherJvmCpuSec%.1f CPU-s during the " +
-        f"$sweepWallSec%.1f s sweep (${coloadFrac * 100}%.1f%% of the box); " +
-        "treat this sweep as contaminated")
+        f"foreign JVMs $otherJvmCpuSec%.1f CPU-s, hypervisor steal " +
+        f"$stealSec%.1f s during the $sweepWallSec%.1f s sweep " +
+        f"(foreign ${coloadFrac * 100}%.1f%% / steal ${stealFrac * 100}%.1f%% " +
+        "of the box); treat this sweep as contaminated")
 
     // ANN retrieval quality (untimed): mean recall@5 per approximate
     // leg vs the exact answer under its own metric — hash-parity
@@ -426,7 +449,9 @@ object Bench {
     val arr = (xs: Seq[String]) => xs.map(q).mkString("[", ",", "]")
     val coloadJson =
       s"""{"other_jvm_cpu_sec":${num(otherJvmCpuSec)},""" +
-        s""""frac":${num(coloadFrac)},"load1_before":${num(loadBefore)},""" +
+        s""""frac":${num(coloadFrac)},"steal_sec":${num(stealSec)},""" +
+        s""""steal_frac":${num(stealFrac)},"iowait_sec":${num(iowaitSec)},""" +
+        s""""load1_before":${num(loadBefore)},""" +
         s""""load1_after":${num(loadAfter)},"flagged":$coloadFlag}"""
     val recallJson = recall.map { case (k, v) => q(k) + ":" + j(v) }
       .mkString("{", ",", "}")
