@@ -202,7 +202,21 @@ object DynamicRules {
     var lastCommittedBatchId = -1L
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm")
-      .withZone(java.time.ZoneOffset.UTC);
+      .withZone(java.time.ZoneOffset.UTC)
+    // null-aware DECIMAL merges, matching the batch twin ([[evaluate]])
+    // and the TWS twin ([[graft.streaming.RulesTws]]): sum/min/max of a
+    // group whose values are ALL null is null (count still counts the
+    // rows — the AVG denominator), and a null aggregate satisfies no
+    // limit predicate. Without these, one all-null group NPE'd the
+    // whole streaming query on `null.add(...)`.
+    def nAdd(a: java.math.BigDecimal, b: java.math.BigDecimal) =
+      if (a == null) b else if (b == null) a else a.add(b)
+    def nMin(a: java.math.BigDecimal, b: java.math.BigDecimal) =
+      if (a == null) b else if (b == null) a
+      else if (a.compareTo(b) <= 0) a else b
+    def nMax(a: java.math.BigDecimal, b: java.math.BigDecimal) =
+      if (a == null) b else if (b == null) a
+      else if (a.compareTo(b) >= 0) a else b;
     { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // foreachBatch is at-least-once: a committed batch can come
         // around again under the same batchId — re-merging its
@@ -249,40 +263,48 @@ object DynamicRules {
                   touched += ((r, k))
                 }
             }
+            // a batch whose ts are ALL null has no event time (its
+            // rows were filtered out of every window above) — leave
+            // the watermark where it was
+            val maxTsRow = df.agg(max(unix_timestamp(col("ts")))).head()
             val batchMaxTs =
-              df.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+              if (maxTsRow.isNullAt(0)) maxTsSec else maxTsRow.getLong(0)
             // evaluate over the MERGED view (committed state ⊕ staged)
             val alerts = touched.result().distinct.flatMap { case (r, k) =>
               val sg = staged(k)
               val acc = state.get(k)
-              val sumAll = acc.map(_(0).add(sg(0))).getOrElse(sg(0))
+              val sumAll = nAdd(acc.map(_(0)).orNull, sg(0))
               val cntAll = acc.map(_(1).add(sg(1))).getOrElse(sg(1))
-              val mnAll = acc.filter(_(2).compareTo(sg(2)) < 0)
-                .map(_(2)).getOrElse(sg(2))
-              val mxAll = acc.filter(_(3).compareTo(sg(3)) > 0)
-                .map(_(3)).getOrElse(sg(3))
-              val value = r.aggregatorFunctionType match {
-                case "SUM" => sumAll.doubleValue
-                case "AVG" => sumAll.doubleValue / cntAll.longValue
-                case "MIN" => mnAll.doubleValue
-                case "MAX" => mxAll.doubleValue
+              val mnAll = nMin(acc.map(_(2)).orNull, sg(2))
+              val mxAll = nMax(acc.map(_(3)).orNull, sg(3))
+              val value: java.lang.Double = r.aggregatorFunctionType match {
+                case "SUM" => if (sumAll == null) null else sumAll.doubleValue
+                case "AVG" =>
+                  if (sumAll == null) null
+                  else sumAll.doubleValue / cntAll.longValue
+                case "MIN" => if (mnAll == null) null else mnAll.doubleValue
+                case "MAX" => if (mxAll == null) null else mxAll.doubleValue
                 case other => throw new IllegalArgumentException(s"agg $other")
               }
-              val lim = r.limit.toDouble
-              val fires = r.limitOperatorType match {
-                case "=" => value == lim
-                case "!=" => value != lim
-                case ">" => value > lim
-                case "<" => value < lim
-                case ">=" => value >= lim
-                case "<=" => value <= lim
-                case other => throw new IllegalArgumentException(s"op $other")
+              if (value == null) None
+              else {
+                val v = value.doubleValue()
+                val lim = r.limit.toDouble
+                val fires = r.limitOperatorType match {
+                  case "=" => v == lim
+                  case "!=" => v != lim
+                  case ">" => v > lim
+                  case "<" => v < lim
+                  case ">=" => v >= lim
+                  case "<=" => v <= lim
+                  case other => throw new IllegalArgumentException(s"op $other")
+                }
+                if (fires)
+                  Some(Row(k._1.toLong,
+                    fmt.format(java.time.Instant.ofEpochSecond(k._2)),
+                    k._3, v))
+                else None
               }
-              if (fires)
-                Some(Row(k._1.toLong,
-                  fmt.format(java.time.Instant.ofEpochSecond(k._2)),
-                  k._3, value))
-              else None
             }
             if (alerts.nonEmpty) {
               val s = df.sparkSession
@@ -300,12 +322,11 @@ object DynamicRules {
             // instead of double-merging its partials
             staged.foreach { case (k, sg) =>
               val acc = state.getOrElseUpdate(k, Array(
-                java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO,
-                sg(2), sg(3)))
-              acc(0) = acc(0).add(sg(0))
+                null, java.math.BigDecimal.ZERO, null, null))
+              acc(0) = nAdd(acc(0), sg(0))
               acc(1) = acc(1).add(sg(1))
-              if (sg(2).compareTo(acc(2)) < 0) acc(2) = sg(2)
-              if (sg(3).compareTo(acc(3)) > 0) acc(3) = sg(3)
+              acc(2) = nMin(acc(2), sg(2))
+              acc(3) = nMax(acc(3), sg(3))
             }
             stagedEnd.foreach { case (k, e) => winEnd(k) = e }
             maxTsSec = math.max(maxTsSec, batchMaxTs)

@@ -223,6 +223,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       assert(p.contains("ObjectHashAggregate"),
         s"$name lacks the bounded TopK aggregate:\n$p")
     }
+    // the trained bench twin shares the search path but builds its
+    // own (auto-sized) model — pin its plan invariants independently
+    val pt = plan(operators.AnnIvfPq.ivfPqTopKTrained(spark, dir))
+    assert(!pt.contains("Window") && pt.contains("ObjectHashAggregate") &&
+      pt.contains("BroadcastHashJoin") && !pt.contains("CartesianProduct"),
+      s"sim_ivfpq_trained plan regressed:\n$pt")
     // knnLabel keeps one window (the majority vote), but every window
     // must sit ABOVE the bounded aggregate — its input is ≤ queries × k
     // vote rows, never the scored candidate stream

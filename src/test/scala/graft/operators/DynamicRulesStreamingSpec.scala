@@ -127,4 +127,49 @@ class DynamicRulesStreamingSpec extends AnyFunSuite {
         s"expected one accumulated 800.0 alert, got $fired")
     } finally q.stop()
   }
+
+  test("null values and null ts match the batch twin (no NPE)") {
+    import org.apache.spark.sql.types._
+    // AVG counts null-value rows in its denominator (count(lit(1)))
+    // while SUM/MIN/MAX skip them; an all-null window aggregates to
+    // null and fires nothing; a null-ts row is filtered by the window
+    // rewrite on BOTH paths. Before the null-aware merge, the first
+    // all-null group NPE'd the handler on null.add(...).
+    val rules = Seq(
+      Rule(1, "ACTIVE", Seq("user_id"), "value", "AVG", "<=",
+        BigDecimal(60), 60),
+      Rule(2, "ACTIVE", Seq("user_id"), "value", "SUM", ">",
+        BigDecimal(-1), 60))
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val rows = java.util.Arrays.asList(
+      Row(new Timestamp(100 * 1000L), 1L, java.lang.Double.valueOf(100.0)),
+      Row(new Timestamp(200 * 1000L), 1L, null),             // AVG 50 fires
+      Row(new Timestamp(300 * 1000L), 4L, null),
+      Row(new Timestamp(400 * 1000L), 4L, null),             // all-null: silent
+      Row(null, 3L, java.lang.Double.valueOf(10.0)))         // null ts: dropped
+    val df = spark.createDataFrame(rows, schema)
+    val expected = DynamicRules.evaluate(df, rules).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(expected.exists(a => a._1 == 1L && a._3 == "1" && a._4 == 50.0),
+      s"AVG null-count fixture broken: $expected")
+    assert(!expected.exists(_._3 == "4"), "all-null window fired in batch")
+    assert(!expected.exists(_._3 == "3"), "null-ts row survived in batch")
+
+    val alerts = new ConcurrentLinkedQueue[Row]()
+    val handle = DynamicRules.batchHandler(() => rules,
+      (a, _) => a.collect().foreach(alerts.add))
+    handle(df, 0L)
+    val got = alerts.asScala
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got === expected)
+    // a SECOND all-null batch merges into committed null state (the
+    // commit-side nAdd/nMin/nMax path) without firing or throwing
+    alerts.clear()
+    handle(spark.createDataFrame(java.util.Arrays.asList(
+      Row(new Timestamp(500 * 1000L), 4L, null)), schema), 1L)
+    assert(!alerts.asScala.exists(_.getString(2) == "4"))
+  }
 }
