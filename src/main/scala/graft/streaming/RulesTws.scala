@@ -100,8 +100,14 @@ object RulesTws {
           rules.iterator.map { r =>
             val w = r.windowMinutes * 60L
             val start = Math.floorDiv(tsSec, w) * w
-            val key = r.groupingKeyNames
-              .map(n => String.valueOf(row.get(row.fieldIndex(n))))
+            // concat_ws semantics, exactly: null key components are
+            // SKIPPED along with their separator (String.valueOf would
+            // render "null" and diverge from the batch twin on any
+            // null grouping key)
+            val key = r.groupingKeyNames.iterator
+              .map(n => row.get(row.fieldIndex(n)))
+              .filter(_ != null)
+              .map(String.valueOf(_))
               .mkString("|")
             RuleObs(r.ruleId, start, start + w, key, ts,
               toDec(row.get(row.fieldIndex(r.aggregateFieldName))),

@@ -24,6 +24,10 @@ case class RulesTwsEv(ts: Timestamp, user_id: Long, event_type: String,
 case class RulesTwsNullEv(ts: Timestamp, user_id: Long,
     value: Option[Double])
 
+/** Fixture with a nullable STRING grouping key. */
+case class RulesTwsNullKeyEv(ts: Timestamp, event_type: String,
+    value: Double)
+
 /** The transformWithState rules engine: checkpointed window state that
   * SURVIVES a query restart (the reference keeps window aggregates in
   * managed keyed state, megaphone ProcessorFunction.java:127-137 — the
@@ -184,6 +188,29 @@ class RulesTwsSpec extends AnyFunSuite {
       in.addData(events: _*)
       q.processAllAvailable()
       assert(out.asScala.toSet === expected.toSet)
+    }
+  }
+
+  test("null grouping keys concatenate like concat_ws (skipped, not \"null\")") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rules = Seq(Rule(1, "ACTIVE", Seq("event_type"), "value", "SUM",
+      ">", BigDecimal(0), 60))
+    val events = Seq(
+      RulesTwsNullKeyEv(new Timestamp(100 * 1000L), null, 5.0),
+      RulesTwsNullKeyEv(new Timestamp(200 * 1000L), null, 7.0),
+      RulesTwsNullKeyEv(new Timestamp(300 * 1000L), "view", 3.0))
+    val expected = DynamicRules.evaluate(events.toDF(), rules)
+      .as[RuleAlert].collect().toSet
+    // batch groups null keys separately and concat_ws renders "" —
+    // the null group must exist with the EMPTY key, not "null"
+    assert(expected.map(_.key) === Set("", "view"),
+      s"batch twin fixture broken: $expected")
+    val in = MemoryStream[RulesTwsNullKeyEv]
+    runTws(in.toDF(), () => rules) { (q, out) =>
+      in.addData(events: _*)
+      q.processAllAvailable()
+      assert(out.asScala.toSet === expected)
     }
   }
 
