@@ -11,9 +11,16 @@ import sys
 def load(p):
     d = json.load(open(p))
     qs = {k: v for k, v in d["queries"].items() if v is not None and v >= 0}
-    return {"total_sec": round(sum(qs.values()), 1), "n_queries": len(qs),
-            "skipped": d.get("skipped", []), "errors": d.get("errors", []),
-            "queries": qs}
+    out = {"total_sec": round(sum(qs.values()), 1), "n_queries": len(qs),
+           "skipped": d.get("skipped", []), "errors": d.get("errors", []),
+           "queries": qs}
+    # carry the r13+ per-leg instrumentation into the round artifact:
+    # ANN recall@5 per leg, the co-load/steal guard stamp, and the
+    # per-row repeat counts (which rows used the fast-row 3-repeat rule)
+    for k in ("recall", "coload", "reps", "calib_sec"):
+        if k in d:
+            out[k] = d[k]
+    return out
 
 
 def main():
