@@ -119,7 +119,21 @@ object GraphQueries {
       }
     val bcastMax = s.conf
       .get("spark.graft.pagerank.broadcastNodesMax", "20000000").toLong
-    if (nodeBound <= bcastMax) broadcast(_) else identity
+    // strategy override for A/B runs. Measured at sf10 (3-iteration
+    // pageRank incl. adjacency build, local[32]): broadcast 39.7 s vs
+    // shuffle_hash 52.1 s — the per-iteration driver-side hash-relation
+    // build is CHEAPER than re-exchanging the rank frame against the
+    // cached adjacency, so broadcast stays the default under the node
+    // bound; past it (a rank frame the driver can't hold) shuffle_hash
+    // is the fallback — it beats SMJ by not re-SORTING the cached
+    // edge-scale side every iteration.
+    s.conf.get("spark.graft.pagerank.join", "auto") match {
+      case "broadcast" => broadcast(_)
+      case "shuffle_hash" => (df: DataFrame) => df.hint("shuffle_hash")
+      case "smj" => identity
+      case _ => if (nodeBound <= bcastMax) broadcast(_)
+        else (df: DataFrame) => df.hint("shuffle_hash")
+    }
   }
 
   private def nextIteration(adj: DataFrame, ranks: DataFrame,
