@@ -232,7 +232,11 @@ object GraphQueries {
         .groupBy(col("id")).agg((max(col("r")) - min(col("r"))).as("d"),
           max(col("r")).as("mr"))
         .agg(max(col("d")), max(col("mr"))).head()
-      val (delta, maxRank) = (probe.getLong(0), probe.getLong(1))
+      // an EMPTY graph (no edges at this dir) aggregates to nulls —
+      // zero deltas below declare immediate convergence instead of NPE
+      val (delta, maxRank) =
+        if (probe.isNullAt(0)) (0L, 0L)
+        else (probe.getLong(0), probe.getLong(1))
       drop(ranksIds)
       ranks = next
       ranksIds = nextIds
