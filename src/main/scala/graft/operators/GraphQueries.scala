@@ -162,22 +162,23 @@ object GraphQueries {
 
   /** Convergence-driven variant: iterate until max |Δrank| ≤
     * `epsPpm` ppm of the current max rank or `maxIters`, returning
-    * the rank frame and the iteration count actually run. Each
-    * iteration's frame is persisted so the NEXT iteration (and the
-    * delta probe) read it instead of replaying the whole chain, and
-    * unpersisted as soon as its successor's delta is known — at most
-    * two node-sized frames are ever pinned beyond the shared adjacency.
-    * The delta probe is union→groupBy(id)→(max−min), never a self-join
-    * of two frames that share lineage (which Spark would have to
+    * the rank frame, the iteration count actually run, and whether
+    * the tolerance (vs the cap) ended the loop. Each iteration's
+    * frame is materialized through an EAGER localCheckpoint (plan
+    * truncation — see the body comment) so the NEXT iteration and the
+    * delta probe read its blocks instead of replaying the chain, and
+    * the predecessor's blocks are dropped as soon as its successor's
+    * delta is known — at most two node-sized frames are ever pinned
+    * beyond the shared adjacency. The delta probe is
+    * union→groupBy(id)→(max−min, max), never a self-join of two
+    * frames that share lineage (which Spark would have to
     * disambiguate), and is bounded by the NODE count, not the edges.
-    * The final frame stays persisted (the caller is about to consume
-    * it) and is released through the result's `release()` handle —
-    * `.unpersist()` on the returned PROJECTION cannot reach the cache
-    * entry underneath it (uncache matches the exact cached plan, and
-    * there is no upward cascade) — plus [[releaseAdjacency]] for the
-    * shared adjacency. The fixed-iters [[pageRank]] remains the
-    * oracle form — DuckDB mirrors its three unrolled CTEs; this is the
-    * production form for graphs whose mixing time is unknown. */
+    * The final frame's blocks stay pinned (the caller is about to
+    * consume it) and are released through the result's `release()`
+    * handle, plus [[releaseAdjacency]] for the shared adjacency. The
+    * fixed-iters [[pageRank]] remains the oracle form — DuckDB
+    * mirrors its three unrolled CTEs; this is the production form for
+    * graphs whose mixing time is unknown. */
   def pageRankConverged(s: SparkSession, dir: String,
       epsPpm: Long = 1000L, maxIters: Int = 60): ConvergedRanks = {
     // The tolerance is RELATIVE — converge when max |Δrank| ≤ epsPpm
