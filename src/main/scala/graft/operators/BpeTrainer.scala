@@ -114,11 +114,86 @@ object BpeTrainer {
        |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
   }
 
+  /** ENCODE the corpus with the trained tokenizer — the pipeline step
+    * between BPE training and sequence packing: per document, the word
+    * count and the TOKEN count after the 8 trained merges apply (in
+    * rank order, greedy left-to-right within each word — the
+    * training-equivalent application).
+    *
+    * Scale shape: the merge application runs on [[train]]'s final
+    * VOCAB frame (one row per distinct word — Heaps-law bounded, the
+    * only place symbols are rewritten), and the corpus-scale side is
+    * one groupBy to per-(doc, word) counts plus one equi-join
+    * word→token-length. Nothing corpus-sized is ever rewritten
+    * per-merge. Training is re-run per call, exactly like
+    * [[bpeMerges]] (the 8-round loop is the operator's honest cost;
+    * the correctness gate runs both rows, so the twins must price it
+    * identically). */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = train(s, dir, Merges)._2
+      .select(col("word"), size(col("symbols")).cast("long").as("tok_len"))
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    docWords.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("tok_len")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[bpeEncode]]: the same v0→v8 merge chain as
+    * [[bpeMergesSql]] but carrying the WORD through the rounds, so v8
+    * is the encoded vocab (word → merged symbol string); token length
+    * is its symbol count, joined to per-(doc, word) counts. */
+  private def bpeEncodeSql: String = {
+    val rounds = (0 until Merges).map { r =>
+      s""",
+         |p$r AS MATERIALIZED (
+         |  SELECT wn, unnest(list_transform(range(1, len(syms)),
+         |                    i -> {'a': syms[i], 'b': syms[i+1]})) AS pr
+         |  FROM (SELECT wn, string_split(s[2:-2], chr(31)||chr(31)) AS syms FROM v$r)
+         |  WHERE len(syms) > 1),
+         |t$r AS MATERIALIZED (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wn) AS BIGINT) AS n
+         |  FROM p$r GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT w, wn, replace(s,
+         |    chr(31)||(SELECT a FROM t$r)||chr(31)||chr(31)||(SELECT b FROM t$r)||chr(31),
+         |    chr(31)||(SELECT a||b FROM t$r)||chr(31)) AS s
+         |  FROM v$r)""".stripMargin
+    }.mkString
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS wn,
+       |         list_aggregate(list_transform(range(1, len(w)+1),
+       |           i -> chr(31) || w[i:i] || chr(31)), 'string_agg', '') AS s
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+       |  WHERE len(w) > 0
+       |  GROUP BY w)$rounds,
+       |vf AS (
+       |  SELECT w, CAST(len(string_split(s[2:-2], chr(31)||chr(31))) AS BIGINT) AS tok_len
+       |  FROM v$Merges),
+       |dw AS (
+       |  SELECT doc_id, w, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE len(w) > 0
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |  CAST(SUM(c * tok_len) AS BIGINT) AS n_tokens
+       |FROM dw JOIN vf USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t_bpe_merges" -> (bpeMerges _))
+    "t_bpe_merges" -> (bpeMerges _),
+    "t_bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
-    "t_bpe_merges" -> bpeMergesSql)
+    "t_bpe_merges" -> bpeMergesSql,
+    "t_bpe_encode" -> bpeEncodeSql)
 
   /** Run `nMerges` BPE merge rounds; returns the learned merge list
     * in order plus the final vocab frame. Stops only when NO pair
