@@ -309,6 +309,13 @@ object Bench {
       // burn sweep wall time re-reading memos — skip them outright
       // (pageRankConverged alone would re-run its 47-iteration loop)
       var planned = if (heavyConstruction(name)) 1 else repeats
+      // per-ROW steal meter: the sweep-level guard can only say "some
+      // window was contaminated"; sampling /proc/stat around each row
+      // localizes a mid-sweep host event to the rows it actually hit
+      // (the first r13 sf10 sweep lost exactly q15–q18 to one such
+      // event and needed a standalone re-measure to prove it)
+      val (rowSteal0, _) = hostStealIo()
+      val rowStartNs = System.nanoTime()
       while (rep < planned) {
         rep += 1
         val t0 = System.nanoTime()
@@ -370,7 +377,20 @@ object Bench {
       // the self-extending fast-row policy above makes the count
       // row-dependent, and the artifact must say which policy measured
       // each row
-      (name, if (!ok) -1.0 else if (skipped) Double.NaN else sec, rep)
+      val (rowSteal1, _) = hostStealIo()
+      val rowStealFrac =
+        if (rowSteal0 < 0 || rowSteal1 < 0) 0.0
+        else {
+          val wall = (System.nanoTime() - rowStartNs) / 1e9
+          if (wall <= 0) 0.0
+          else (rowSteal1 - rowSteal0) / 100.0 / (wall * cpus.toInt)
+        }
+      if (rowStealFrac > 0.05)
+        System.err.println(f"[bench] WARNING: $name ran under " +
+          f"${rowStealFrac * 100}%.1f%% hypervisor steal — treat its " +
+          "time as contaminated")
+      (name, if (!ok) -1.0 else if (skipped) Double.NaN else sec, rep,
+        rowStealFrac)
     }
     val sweepWallSec = (System.nanoTime() - sweepStartNs) / 1e9
     val loadAfter = loadavg1()
@@ -442,9 +462,15 @@ object Bench {
     val total = measured.map(_._2).sum
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
-    val qs = results.map { case (k, v, _) => q(k) + ":" + j(v) }
+    val qs = results.map { case (k, v, _, _) => q(k) + ":" + j(v) }
       .mkString("{", ",", "}")
-    val repsJson = results.map { case (k, _, r) => q(k) + ":" + r }
+    val repsJson = results.map { case (k, _, r, _) => q(k) + ":" + r }
+      .mkString("{", ",", "}")
+    // per-row steal (full record only): which rows a mid-sweep host
+    // event actually touched
+    val stealRows = results.filter(_._4 > 0.05)
+    val rowStealJson = stealRows
+      .map { case (k, _, _, f) => q(k) + ":" + num(f) }
       .mkString("{", ",", "}")
     val arr = (xs: Seq[String]) => xs.map(q).mkString("[", ",", "]")
     val coloadJson =
@@ -452,12 +478,14 @@ object Bench {
         s""""frac":${num(coloadFrac)},"steal_sec":${num(stealSec)},""" +
         s""""steal_frac":${num(stealFrac)},"iowait_sec":${num(iowaitSec)},""" +
         s""""load1_before":${num(loadBefore)},""" +
-        s""""load1_after":${num(loadAfter)},"flagged":$coloadFlag}"""
+        s""""load1_after":${num(loadAfter)},""" +
+        s""""rows_steal_flagged":${stealRows.size},"flagged":$coloadFlag}"""
     val recallJson = recall.map { case (k, v) => q(k) + ":" + j(v) }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
-        s""""reps":$repsJson,"skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
+        s""""reps":$repsJson,"row_steal":$rowStealJson,""" +
+        s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
         s""""calib_sec":${num(calibSec)},"coload":$coloadJson,""" +
         s""""recall":$recallJson,"sf":${q(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
@@ -473,7 +501,7 @@ object Bench {
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(-_._2)
       .map { case (f, v) => q(f) + ":" + j(v) }.mkString("{", ",", "}")
     val worst = measured.sortBy(-_._2).take(5)
-      .map { case (k, v, _) => q(k) + ":" + j(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => q(k) + ":" + j(v) }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${measured.size},""" +
         s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
