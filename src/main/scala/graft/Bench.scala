@@ -231,6 +231,11 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // host-meter denominator: /proc/stat steal ticks accrue over ALL
+    // host CPUs, so the contamination fractions must divide by the
+    // box's real core count — SPARK_GRAFT_CPUS sizes only the Spark
+    // master/partitions and may legitimately differ from it
+    val hostCpus = Runtime.getRuntime.availableProcessors()
     // host-level counters the per-process meter cannot see: CPU STEAL
     // (a co-tenant VM taking the physical core — the classic invisible
     // contention on a Firecracker guest) and IO-wait. Returns (steal,
@@ -252,9 +257,13 @@ object Bench {
         .filter(_ != self)
         .flatMap { pid =>
           try {
-            val cmd = new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(s"/proc/$pid/cmdline")), "UTF-8")
-            if (!cmd.contains("java")) None
+            // classify by the EXECUTABLE (comm = argv[0] basename, 15
+            // chars), not a substring of the full cmdline — a node or
+            // python process with "java" anywhere in a path/argument
+            // (".../javascript/...") must not count as a foreign JVM
+            val comm = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/$pid/comm")), "UTF-8").trim
+            if (comm != "java") None
             else {
               val stat = new String(java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
@@ -383,7 +392,7 @@ object Bench {
         else {
           val wall = (System.nanoTime() - rowStartNs) / 1e9
           if (wall <= 0) 0.0
-          else (rowSteal1 - rowSteal0) / 100.0 / (wall * cpus.toInt)
+          else (rowSteal1 - rowSteal0) / 100.0 / (wall * hostCpus)
         }
       if (rowStealFrac > 0.05)
         System.err.println(f"[bench] WARNING: $name ran under " +
@@ -404,7 +413,7 @@ object Bench {
       else (iowaitAfter - iowaitBefore) / 100.0
     val stealFrac =
       if (stealSec < 0 || sweepWallSec <= 0) 0.0
-      else stealSec / (sweepWallSec * cpus.toInt)
+      else stealSec / (sweepWallSec * hostCpus)
     // foreign CPU burned in-window: common pids by tick delta, pids
     // born mid-sweep by their full count (their whole life is in the
     // window); vanished pids are unmeasurable and only under-count
@@ -412,7 +421,7 @@ object Bench {
       math.max(0L, t - jvmsBefore.getOrElse(pid, 0L))
     }.sum / 100.0
     val coloadFrac =
-      if (sweepWallSec > 0) otherJvmCpuSec / (sweepWallSec * cpus.toInt)
+      if (sweepWallSec > 0) otherJvmCpuSec / (sweepWallSec * hostCpus)
       else 0.0
     val coloadFlag = coloadFrac > 0.05 || stealFrac > 0.05
     if (coloadFlag)
@@ -460,6 +469,26 @@ object Bench {
     val skippedNames = results.filter(_._2.isNaN).map(_._1)
     val errorNames = results.filter(_._2 == -1.0).map(_._1)
     val total = measured.map(_._2).sum
+    // cross-round comparability: rounds ADD rows, so the raw total is
+    // not comparable with the previous round's — stamp the total over
+    // the intersection with the PREVIOUS round's measured query set
+    // (checked-in snapshot, refreshed each round) so the "subtract the
+    // new rows" arithmetic lives in the artifact, not in a footnote
+    val prevQueries: Set[String] =
+      try {
+        val path = sys.env.getOrElse("SPARK_GRAFT_PREV_QUERIES",
+          "/root/repo/tools/bench_prev_queries.json")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        "\"([a-z0-9_]+)\"".r.findAllMatchIn(
+          txt.substring(txt.indexOf("queries")))
+          .map(_.group(1)).toSet
+      } catch { case _: Throwable => Set.empty }
+    val comparable = measured.filter(r => prevQueries(r._1))
+    val comparableTotal = comparable.map(_._2).sum
+    val comparableJson =
+      s""""comparable_total":${num(comparableTotal)},""" +
+        s""""comparable_n":${comparable.size}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
     val qs = results.map { case (k, v, _, _) => q(k) + ":" + j(v) }
@@ -487,7 +516,7 @@ object Bench {
         s""""reps":$repsJson,"row_steal":$rowStealJson,""" +
         s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
         s""""calib_sec":${num(calibSec)},"coload":$coloadJson,""" +
-        s""""recall":$recallJson,"sf":${q(sfDir)}}"""
+        s""""recall":$recallJson,$comparableJson,"sf":${q(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -506,7 +535,7 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${measured.size},""" +
         s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
         s""""errors":${arr(errorNames)},"calib_sec":${num(calibSec)},""" +
-        s""""coload":$coloadJson,"recall":$recallJson,""" +
+        s""""coload":$coloadJson,"recall":$recallJson,$comparableJson,""" +
         s""""full":${q(fullPath)},"sf":${q(sfDir)}}""")
     spark.stop()
   }

@@ -242,25 +242,43 @@ object DynamicRules {
               .empty[(Int, Long, String), Array[java.math.BigDecimal]]
             val stagedEnd = scala.collection.mutable.HashMap
               .empty[(Int, Long, String), Long]
-            val touched = Seq.newBuilder[(Rule, (Int, Long, String))]
+            val touched =
+              Seq.newBuilder[(Rule, (Int, Long, String), String)]
             rules.foreach { r =>
               val keyCols = r.groupingKeyNames.map(col)
               val winStart = unix_timestamp(
                 window(col("ts"), s"${r.windowMinutes} minutes")
                   .getField("start"))
               val d = col(r.aggregateFieldName).cast(dec)
-              df.groupBy(winStart.as("ws"),
-                  concat_ws("|", keyCols.map(_.cast("string")): _*).as("key"))
+              // group by the RAW key columns (cast to string only for
+              // the driver-side read), never the concat_ws rendering:
+              // the batch twin groups raw and renders afterwards, and
+              // rendered-key collisions (null vs "", (null,"x") vs
+              // ("x",null), a literal "|" inside a value) would merge
+              // groups here that it keeps separate
+              val n = keyCols.length
+              df.groupBy(
+                  (winStart.as("ws") +: keyCols.map(_.cast("string"))): _*)
                 .agg(sum(d).as("s"), count(lit(1)).as("c"),
                   min(d).as("mn"), max(d).as("mx"))
                 .collect()
                 .foreach { row =>
-                  val k = (r.ruleId, row.getLong(0), row.getString(1))
-                  staged(k) = Array(row.getDecimal(2),
-                    java.math.BigDecimal.valueOf(row.getLong(3)),
-                    row.getDecimal(4), row.getDecimal(5))
+                  val comps = (1 to n).map(i =>
+                    if (row.isNullAt(i)) null else row.getString(i))
+                  val rendered = comps.iterator.filter(_ != null)
+                    .mkString("|")
+                  // injective encoding (null marker + length prefix) —
+                  // the state key; same scheme as RulesTws.expand
+                  val gkey = comps.iterator.map {
+                    case null => "N"
+                    case v => s"S${v.length}:$v"
+                  }.mkString
+                  val k = (r.ruleId, row.getLong(0), gkey)
+                  staged(k) = Array(row.getDecimal(n + 1),
+                    java.math.BigDecimal.valueOf(row.getLong(n + 2)),
+                    row.getDecimal(n + 3), row.getDecimal(n + 4))
                   stagedEnd(k) = row.getLong(0) + r.windowMinutes * 60L
-                  touched += ((r, k))
+                  touched += ((r, k, rendered))
                 }
             }
             // a batch whose ts are ALL null has no event time (its
@@ -270,7 +288,8 @@ object DynamicRules {
             val batchMaxTs =
               if (maxTsRow.isNullAt(0)) maxTsSec else maxTsRow.getLong(0)
             // evaluate over the MERGED view (committed state ⊕ staged)
-            val alerts = touched.result().distinct.flatMap { case (r, k) =>
+            val alerts = touched.result().distinct.flatMap {
+              case (r, k, rendered) =>
               val sg = staged(k)
               val acc = state.get(k)
               val sumAll = nAdd(acc.map(_(0)).orNull, sg(0))
@@ -302,7 +321,7 @@ object DynamicRules {
                 if (fires)
                   Some(Row(k._1.toLong,
                     fmt.format(java.time.Instant.ofEpochSecond(k._2)),
-                    k._3, v))
+                    rendered, v))
                 else None
               }
             }

@@ -15,7 +15,7 @@ import graft.model.Rule
   * element — the reference evaluates per element against the current
   * rule the same way (megaphone ProcessorFunction.java:94-118). */
 case class RuleObs(ruleId: Int, winStart: Long, winEnd: Long, key: String,
-    ts: java.sql.Timestamp, value: BigDecimal, aggType: String,
+    gkey: String, ts: java.sql.Timestamp, value: BigDecimal, aggType: String,
     limitOp: String, limit: BigDecimal)
 
 /** Alert row — same shape as [[graft.operators.DynamicRules.evaluate]]
@@ -100,16 +100,26 @@ object RulesTws {
           rules.iterator.map { r =>
             val w = r.windowMinutes * 60L
             val start = Math.floorDiv(tsSec, w) * w
-            // concat_ws semantics, exactly: null key components are
-            // SKIPPED along with their separator (String.valueOf would
-            // render "null" and diverge from the batch twin on any
-            // null grouping key)
-            val key = r.groupingKeyNames.iterator
+            val comps = r.groupingKeyNames
               .map(n => row.get(row.fieldIndex(n)))
-              .filter(_ != null)
-              .map(String.valueOf(_))
-              .mkString("|")
-            RuleObs(r.ruleId, start, start + w, key, ts,
+            // rendered key — concat_ws semantics, exactly: null key
+            // components are SKIPPED along with their separator
+            // (String.valueOf would render "null" and diverge from the
+            // batch twin on any null grouping key). RENDERING ONLY —
+            // distinct raw tuples can render identically ((null,"x") vs
+            // ("x",null), "" vs null, a literal "|" inside a value), so
+            // this string must never be the GROUPING key.
+            val key = comps.iterator.filter(_ != null)
+              .map(String.valueOf(_)).mkString("|")
+            // grouping key — collision-free injective encoding of the
+            // raw tuple (null marker + length-prefixed values), so the
+            // stream groups exactly like the batch twin's groupBy on
+            // the RAW columns and only renders for the alert output
+            val gkey = comps.iterator.map {
+              case null => "N"
+              case c => val v = String.valueOf(c); s"S${v.length}:$v"
+            }.mkString
+            RuleObs(r.ruleId, start, start + w, key, gkey, ts,
               toDec(row.get(row.fieldIndex(r.aggregateFieldName))),
               r.aggregatorFunctionType, r.limitOperatorType, r.limit)
           }
@@ -182,9 +192,12 @@ object RulesTws {
             case other => throw new IllegalArgumentException(s"op $other")
           }
           if (fires)
+            // the alert carries the RENDERED key (key._3 is the
+            // injective grouping encoding); constant within a group —
+            // the encoding is injective, so one group = one raw tuple
             Iterator.single(RuleAlert(key._1.toLong,
               fmt.format(java.time.Instant.ofEpochSecond(key._2)),
-              key._3, v))
+              last.key, v))
           else Iterator.empty
         }
       }
@@ -210,10 +223,19 @@ object RulesTws {
       lateSlackMinutes: Int = 0): Dataset[RuleAlert] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // NOTE the session timezone is PINNED at query definition (it
+    // travels with the processor for the stream's whole life), while
+    // the batch twin's date_format re-resolves it per execution — a
+    // session-zone change AFTER the stream starts diverges win_start
+    // rendering between the twins. Deliberate for a long-lived stream:
+    // alerts from one run render in one zone.
     val zone = spark.conf.get("spark.sql.session.timeZone")
     expand(events, currentRules)
       .withWatermark("ts", s"$lateSlackMinutes minutes")
-      .groupByKey(o => (o.ruleId, o.winStart, o.key))
+      // group on the collision-free gkey, never the rendered key —
+      // rendered-key collisions would merge groups the batch twin
+      // (groupBy on raw columns) keeps separate
+      .groupByKey(o => (o.ruleId, o.winStart, o.gkey))
       .transformWithState(new RuleWindowProcessor(zone),
         TimeMode.EventTime(), OutputMode.Append())
   }

@@ -63,6 +63,40 @@ class DynamicRulesStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rendered-key collisions stay separate groups (batch-raw parity)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // six distinct raw (k1, k2) tuples that concat_ws renders onto
+    // three strings — the accumulator must key on the raw tuple (like
+    // the batch twin's groupBy on raw columns), not the rendering
+    val rules = Seq(Rule(1, "ACTIVE", Seq("k1", "k2"), "value", "SUM",
+      ">", BigDecimal(0), 60))
+    def tev(sec: Long, k1: String, k2: String, v: Double) = (
+      new Timestamp(sec * 1000), k1, k2, v)
+    val events = Seq(
+      tev(100, null, "x", 5.0), tev(200, "x", null, 7.0),
+      tev(300, "", null, 11.0), tev(400, null, null, 13.0),
+      tev(500, "a|b", "c", 17.0), tev(600, "a", "b|c", 19.0))
+    val cols = Seq("ts", "k1", "k2", "value")
+    val expected = DynamicRules
+      .evaluate(events.toDF(cols: _*), rules)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(expected.size === 6 && expected.map(_._3).size === 3,
+      s"collision fixture broken: $expected")
+    val in = MemoryStream[(Timestamp, String, String, Double)]
+    val alerts = new ConcurrentLinkedQueue[Row]()
+    val q = DynamicRules.streaming(in.toDF().toDF(cols: _*),
+      () => rules, (df, _) => df.collect().foreach(alerts.add))
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val got = alerts.asScala.map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getDouble(3))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("re-delivered batchId is skipped; failed sink replays cleanly") {
     // foreachBatch is at-least-once: the handler must (a) not
     // double-merge a batch re-delivered under a committed batchId,

@@ -28,6 +28,10 @@ case class RulesTwsNullEv(ts: Timestamp, user_id: Long,
 case class RulesTwsNullKeyEv(ts: Timestamp, event_type: String,
     value: Double)
 
+/** Fixture with TWO nullable string keys — rendered-key collisions. */
+case class RulesTwsTwoKeyEv(ts: Timestamp, k1: String, k2: String,
+    value: Double)
+
 /** The transformWithState rules engine: checkpointed window state that
   * SURVIVES a query restart (the reference keeps window aggregates in
   * managed keyed state, megaphone ProcessorFunction.java:127-137 — the
@@ -207,6 +211,36 @@ class RulesTwsSpec extends AnyFunSuite {
     assert(expected.map(_.key) === Set("", "view"),
       s"batch twin fixture broken: $expected")
     val in = MemoryStream[RulesTwsNullKeyEv]
+    runTws(in.toDF(), () => rules) { (q, out) =>
+      in.addData(events: _*)
+      q.processAllAvailable()
+      assert(out.asScala.toSet === expected)
+    }
+  }
+
+  test("rendered-key collisions stay separate groups (batch-raw parity)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the batch twin groups by the RAW key columns and renders
+    // afterwards; concat_ws renders these six DISTINCT raw tuples onto
+    // only three strings — (null,"x")/("x",null) → "x",
+    // ("",null)/(null,null) → "", ("a|b","c")/("a","b|c") → "a|b|c" —
+    // so a stream grouping on the rendered string would merge them
+    val rules = Seq(Rule(1, "ACTIVE", Seq("k1", "k2"), "value", "SUM",
+      ">", BigDecimal(0), 60))
+    def tev(sec: Long, k1: String, k2: String, v: Double) =
+      RulesTwsTwoKeyEv(new Timestamp(sec * 1000), k1, k2, v)
+    val events = Seq(
+      tev(100, null, "x", 5.0), tev(200, "x", null, 7.0),
+      tev(300, "", null, 11.0), tev(400, null, null, 13.0),
+      tev(500, "a|b", "c", 17.0), tev(600, "a", "b|c", 19.0))
+    val expected = DynamicRules.evaluate(events.toDF(), rules)
+      .as[RuleAlert].collect().toSet
+    // six groups (six values), only three rendered keys: the fixture
+    // genuinely collides
+    assert(expected.size === 6 && expected.map(_.key).size === 3,
+      s"collision fixture broken: $expected")
+    val in = MemoryStream[RulesTwsTwoKeyEv]
     runTws(in.toDF(), () => rules) { (q, out) =>
       in.addData(events: _*)
       q.processAllAvailable()
