@@ -443,6 +443,29 @@ object Bench {
         System.err.println(s"[bench] recall computation failed: $e")
         Seq.empty
       }
+    // Structured-fixture recall (untimed): the planted-cluster twin of
+    // the recall block above. On the iid-random driver fixture recall
+    // cannot distinguish a working PQ index from a broken one (r13:
+    // 0.00 either way); on the planted fixture it DISCRIMINATES —
+    // exact-rerank legs ≈ 1.0, trained IVF-PQ in a diagnostic band,
+    // the deliberately mis-trained negative control ≈ 0 — and the
+    // nprobe→recall curve records the scan-fraction trade behind the
+    // trained model's nprobe default. Skipped silently when the
+    // fixture for this SF doesn't exist.
+    val structured: Option[(String,
+        graft.operators.AnnRecall.StructuredReport)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_RECALL", "on") == "off") None
+      else sys.env.get("SPARK_GRAFT_STRUCT_DIR")
+        .orElse(Some("/root/repo/benchdata/clustered/" +
+          new java.io.File(sfDir).getName))
+        .filter(d => new java.io.File(d, "embeddings.parquet").exists)
+        .flatMap { d =>
+          try Some(d -> graft.operators.AnnRecall.structuredReport(spark, d))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] structured recall failed: $e")
+            None
+          }
+        }
     // Artifact contract: the driver keeps only a short stdout tail, so
     // the LAST line is a compact (<2 KB) self-describing summary —
     // total, count, per-family sums, worst-5, skips/errors, and the
@@ -511,12 +534,25 @@ object Bench {
         s""""rows_steal_flagged":${stealRows.size},"flagged":$coloadFlag}"""
     val recallJson = recall.map { case (k, v) => q(k) + ":" + j(v) }
       .mkString("{", ",", "}")
+    val structuredJson = structured match {
+      case None => "null"
+      case Some((d, r)) =>
+        val legsJ = r.legs.map { case (k, v) => q(k) + ":" + j(v) }
+          .mkString("{", ",", "}")
+        val curveJ = r.curve.map(p =>
+          s"""{"nprobe":${p.nprobe},"scan_frac":${num(p.scanFrac)},""" +
+            s""""recall":${j(p.recall)}}""").mkString("[", ",", "]")
+        s"""{"dir":${q(d)},"legs":$legsJ,""" +
+          s""""negctrl_ivfpq_trained":${j(r.negControl)},""" +
+          s""""nlist":${r.nlist},"nprobe_curve":$curveJ}"""
+    }
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
         s""""reps":$repsJson,"row_steal":$rowStealJson,""" +
         s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
         s""""calib_sec":${num(calibSec)},"coload":$coloadJson,""" +
-        s""""recall":$recallJson,$comparableJson,"sf":${q(sfDir)}}"""
+        s""""recall":$recallJson,"recall_structured":$structuredJson,""" +
+        s"""$comparableJson,"sf":${q(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -535,7 +571,8 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${measured.size},""" +
         s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
         s""""errors":${arr(errorNames)},"calib_sec":${num(calibSec)},""" +
-        s""""coload":$coloadJson,"recall":$recallJson,$comparableJson,""" +
+        s""""coload":$coloadJson,"recall":$recallJson,""" +
+        s""""recall_structured":$structuredJson,$comparableJson,""" +
         s""""full":${q(fullPath)},"sf":${q(sfDir)}}""")
     spark.stop()
   }

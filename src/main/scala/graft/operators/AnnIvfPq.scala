@@ -159,13 +159,26 @@ object AnnIvfPq {
     * rounded back to the grid) so the search path — kernel encode,
     * integer LUTs, exact ADC sums — is byte-identical in kind to the
     * replayable form's. */
+  // the TRAINED twin's code geometry: 16 subspaces × 4 dims — 16
+  // bytes/vector at the 256-entry codebook, the FAISS-typical M for
+  // 64-dim embeddings. The oracle form keeps the deliberately tiny
+  // SQL-replayable 8×8 geometry; the production twin buys 2 bits/dim,
+  // which the planted-cluster recall gate showed is what separates
+  // in-cluster ranking (8-byte codes measured 0.54 recall@5 on the
+  // structured fixture — the code, not the routing, was the binding
+  // constraint; nprobe curve was flat at every breadth)
+  private val TrainedM = 16
+  private val TrainedSubDim = 4
+
   private def trainedModel(s: SparkSession, dir: String)
-      : (Array[Array[Long]], Array[Long], Int, Int) = {
+      : (Array[Array[Long]], Array[Long], Int, Int, Int) = {
     val n = AnnLsh.embeddingCount(s, dir)
     val nlist = math.max(NList,
       Integer.highestOneBit(math.max(1, math.sqrt(n.toDouble).toInt)))
+    val m = TrainedM
+    val subDim = TrainedSubDim
     Tables.memoizedAtConstruction(s, dir, "embeddings",
-        s"ivfpq-trained-$nlist-$M") {
+        s"ivfpq-trained-$nlist-$m") {
       import s.implicits._
       val every = math.max(1L, n / 10000L)
       val sample = Tables.embeddings(s, dir)
@@ -180,34 +193,69 @@ object AnnIvfPq {
       val centsD = AnnIvf.kmeans(sample, nlist, iters = 5)
       val cents = centsD.map(_.map(math.round))
       // residuals of the whole sample w.r.t. their own cells, per
-      // subspace; one Lloyd run per subspace over 8-dim sub-vectors
+      // subspace; one Lloyd run per subspace over subDim-dim sub-vectors
       val resid = sample.map { v =>
         val cell = nearestCell(cents, v.map(_.toLong))
         Array.tabulate(Dim)(i => v(i) - cents(cell)(i))
       }
-      val flat = new Array[Long](M * cbK * SubDim)
-      (0 until M).foreach { m =>
-        val subs = resid.map(_.slice(m * SubDim, (m + 1) * SubDim))
+      val flat = new Array[Long](m * cbK * subDim)
+      (0 until m).foreach { mi =>
+        val subs = resid.map(_.slice(mi * subDim, (mi + 1) * subDim))
         val cb = AnnIvf.kmeans(subs, cbK, iters = 5)
         (0 until cbK).foreach { k =>
           var d = 0
-          while (d < SubDim) {
-            flat((m * cbK + k) * SubDim + d) = math.round(cb(k)(d))
+          while (d < subDim) {
+            flat((mi * cbK + k) * subDim + d) = math.round(cb(k)(d))
             d += 1
           }
         }
       }
       System.err.println(s"[ivfpq] trained model: n=$n nlist=$nlist " +
-        s"nprobe=$nprobe codebook=$cbK sample=${sample.length}")
-      (cents, flat, nprobe, cbK)
+        s"nprobe=$nprobe codebook=$cbK m=$m sample=${sample.length}")
+      (cents, flat, nprobe, cbK, m)
     }
   }
 
   /** Bench twin: the kmeans-trained, production-sized model through
     * the identical search path. */
   def ivfPqTopKTrained(s: SparkSession, dir: String): DataFrame = {
-    val (cents, cbFlat, nprobe, cbK) = trainedModel(s, dir)
-    search(s, dir, cents, cbFlat, cbK, nprobe)
+    val (cents, cbFlat, nprobe, cbK, m) = trainedModel(s, dir)
+    search(s, dir, cents, cbFlat, cbK, nprobe, m, Dim / m)
+  }
+
+  /** The trained model's coarse-list count — the recall curve's
+    * scan-fraction denominator (nprobe/nlist of the corpus is what a
+    * probe actually reads). */
+  def trainedNlist(s: SparkSession, dir: String): Int =
+    trainedModel(s, dir)._1.length
+
+  /** The trained model searched at an EXPLICIT nprobe (clamped to
+    * nlist) — the recall-vs-scan-fraction curve's knob. Everything
+    * else (centroids, codebook, kernel encode, LUT probe) is the
+    * `ivfPqTopKTrained` path verbatim, so the curve measures exactly
+    * the production index's probe-breadth trade. */
+  def ivfPqTopKTrainedNprobe(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val (cents, cbFlat, _, cbK, m) = trainedModel(s, dir)
+    search(s, dir, cents, cbFlat, cbK,
+      math.max(1, math.min(nprobe, cents.length)), m, Dim / m)
+  }
+
+  /** NEGATIVE CONTROL for the recall gate: the trained model with its
+    * PQ codebook deliberately destroyed (all entries zero — every
+    * vector encodes to code 0 in every subspace, so ADC distances are
+    * constant within a probed cell and the "top-k" is just the lowest
+    * candidate ids). Coarse routing stays intact, so this isolates
+    * codebook breakage specifically. A recall metric that cannot
+    * drive THIS to ≈ 0 on structured data would be unable to detect a
+    * broken index; the gate (AnnRecallSpec) requires the healthy
+    * trained leg and this control to separate widely. The sabotage is
+    * applied AFTER the memoized model is retrieved — it never poisons
+    * the memo the healthy path serves from. */
+  def ivfPqTopKMistrained(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cbFlat, nprobe, cbK, m) = trainedModel(s, dir)
+    search(s, dir, cents, new Array[Long](cbFlat.length), cbK, nprobe,
+      m, Dim / m)
   }
 
   /** The shared search path: kernel-encoded inverted lists, broadcast
@@ -217,7 +265,9 @@ object AnnIvfPq {
     * per query; the replayable oracle model passes the fixed 16/4). */
   private def search(s: SparkSession, dir: String,
       cents: Array[Array[Long]], cbFlat: Array[Long],
-      cbK: Int = K, nprobe: Int = NProbe): DataFrame = {
+      cbK: Int = K, nprobe: Int = NProbe,
+      m: Int = M, subDim: Int = SubDim): DataFrame = {
+    require(m * subDim == Dim, s"PQ geometry $m x $subDim != $Dim")
     val centsFlat = cents.flatten.toSeq
 
     // index build: one kernel pass in the scan projection
@@ -225,9 +275,9 @@ object AnnIvfPq {
       .filter(col("vec_id") >= NQueries)
       .select(col("vec_id").as("cid"),
         VectorExpressions.ivfPqEncode(col("embedding"), centsFlat,
-          cbFlat.toSeq, cents.length, M, cbK, SubDim).as("enc"))
+          cbFlat.toSeq, cents.length, m, cbK, subDim).as("enc"))
       .select(col("cid"), expr("enc[0]").as("cell"),
-        expr(s"slice(enc, 2, $M)").as("codes"))
+        expr(s"slice(enc, 2, $m)").as("codes"))
 
     // query prep: nprobe cells + per-(query, cell) residual LUT,
     // driver-side over the bounded query set
@@ -241,16 +291,17 @@ object AnnIvfPq {
         .sortBy(c => (l2(qv, cents(c), 0, 0, Dim), c)).take(nprobe)
       probed.map { cell =>
         val resid = Array.tabulate(Dim)(i => qv(i) - cents(cell)(i))
-        val lut = new Array[Long](M * cbK)
-        var m = 0
-        while (m < M) {
+        val lut = new Array[Long](m * cbK)
+        var mi = 0
+        while (mi < m) {
           var k = 0
           while (k < cbK) {
-            lut(m * cbK + k) =
-              l2(resid, cbFlat, m * SubDim, (m * cbK + k) * SubDim, SubDim)
+            lut(mi * cbK + k) =
+              l2(resid, cbFlat, mi * subDim, (mi * cbK + k) * subDim,
+                subDim)
             k += 1
           }
-          m += 1
+          mi += 1
         }
         Row(qid, cell.toLong, lut.toSeq)
       }

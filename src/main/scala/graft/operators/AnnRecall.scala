@@ -57,6 +57,15 @@ object AnnRecall {
     "sim_ivfpq_topk" -> (("l2", AnnIvfPq.ivfPqTopK _)),
     "sim_ivfpq_trained" -> (("l2", AnnIvfPq.ivfPqTopKTrained _)))
 
+  private def meanRecall(base: Map[Long, Set[Long]],
+      approx: Map[Long, Set[Long]]): Double = {
+    val per = base.toSeq.map { case (q, exact) =>
+      approx.getOrElse(q, Set.empty).intersect(exact).size.toDouble /
+        exact.size
+    }
+    if (per.isEmpty) 0.0 else per.sum / per.size
+  }
+
   /** Mean recall@5 per requested leg (legs not in `names` are
     * skipped, and a baseline is only computed if a selected leg needs
     * it). A leg that errors reports -1 rather than aborting the rest. */
@@ -70,16 +79,52 @@ object AnnRecall {
       val r =
         try {
           val base = if (metric == "cos") cosSets else l2Sets
-          val approx = topSets(fn(s, dir))
-          val per = base.toSeq.map { case (q, exact) =>
-            approx.getOrElse(q, Set.empty).intersect(exact).size.toDouble /
-              exact.size
-          }
-          if (per.isEmpty) 0.0 else per.sum / per.size
+          meanRecall(base, topSets(fn(s, dir)))
         } catch { case e: Throwable =>
           System.err.println(s"[recall] $name failed: $e"); -1.0
         }
       name -> r
     }
+  }
+
+  /** One curve point: probe breadth, the corpus fraction it scans,
+    * and the recall@5 it buys. */
+  final case class NprobePoint(nprobe: Int, scanFrac: Double,
+      recall: Double)
+
+  /** Structured-fixture recall report: every leg's recall@5 on a
+    * planted-cluster fixture, the trained IVF-PQ's DELIBERATELY
+    * MIS-TRAINED negative control (must read ≈ 0 — proving the metric
+    * detects a broken index, which iid-random fixtures cannot), and
+    * the trained leg's nprobe → recall curve (the scan-fraction trade
+    * behind the nprobe = nlist/8 default). */
+  final case class StructuredReport(legs: Seq[(String, Double)],
+      negControl: Double, nlist: Int, curve: Seq[NprobePoint])
+
+  /** Compute the structured-fixture report against `dir` (a
+    * planted-cluster fixture from [[graft.tools
+    * .MakeClusteredEmbeddings]]). Exact baselines are computed once
+    * and shared across the legs, the control, and every curve point. */
+  def structuredReport(s: SparkSession, dir: String): StructuredReport = {
+    val legRecalls = recallAtK(s, dir, legs.keySet)
+    val l2Sets = topSets(exactGridL2(s, dir))
+    val neg =
+      try meanRecall(l2Sets, topSets(AnnIvfPq.ivfPqTopKMistrained(s, dir)))
+      catch { case e: Throwable =>
+        System.err.println(s"[recall] negctrl failed: $e"); -1.0
+      }
+    val nlist = AnnIvfPq.trainedNlist(s, dir)
+    val curve = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+      .filter(np => np <= math.max(1, nlist / 2))
+      .map { np =>
+        val r =
+          try meanRecall(l2Sets,
+            topSets(AnnIvfPq.ivfPqTopKTrainedNprobe(s, dir, np)))
+          catch { case e: Throwable =>
+            System.err.println(s"[recall] nprobe=$np failed: $e"); -1.0
+          }
+        NprobePoint(np, np.toDouble / nlist, r)
+      }
+    StructuredReport(legRecalls, neg, nlist, curve)
   }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.tools.MakeClusteredEmbeddings
+
+/** The DISCRIMINATING recall gate: on the planted-cluster fixture the
+  * recall metric must (a) score the exact-rerank and trained-PQ legs
+  * high — the structure is there to find — and (b) drive a
+  * deliberately mis-trained codebook to ≈ 0 — proving the metric
+  * detects a broken index. On the driver's iid-random fixture both a
+  * working and a broken PQ index score ≈ 0 (r13 measurement), so this
+  * fixture is what makes the per-round recall numbers evidence. */
+class ClusteredRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files
+      .createTempDirectory("clustered-emb").toString
+    MakeClusteredEmbeddings.write(spark, d, 2000L)
+    d
+  }
+
+  test("fixture: deterministic, unit-norm, labeled by planted cluster") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.embeddings(spark, dir)
+    assert(df.count() === 2000L)
+    // labels cycle round-robin over n/100 clusters
+    val lab = df.select(countDistinct(col("label"))).head().getLong(0)
+    assert(lab === 20L)
+    // unit norm (float32 round-off tolerance)
+    val norms = df.select(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-4))
+    // per-row determinism: regeneration is byte-identical
+    val again = MakeClusteredEmbeddings.vector(17L, (17 % 20).toInt,
+      Array.tabulate(20)(MakeClusteredEmbeddings.center(_,
+        MakeClusteredEmbeddings.Seed)),
+      MakeClusteredEmbeddings.Sigma, MakeClusteredEmbeddings.Seed)
+    val stored = df.filter(col("vec_id") === 17L)
+      .head().getSeq[Float](1).toArray
+    assert(again.toSeq === stored.toSeq)
+  }
+
+  // computed once, shared by the gate tests (the report re-runs every
+  // leg plus the curve — no reason to pay it twice)
+  private lazy val report = AnnRecall.structuredReport(spark, dir)
+
+  test("recall gate separates working indexes from a sabotaged one") {
+    val r = report
+    val legs = r.legs.toMap
+    // exact-rerank IVF (the deliberately tiny SQL-replayable
+    // quantizer: rank-spaced centroids, nprobe 4/16 = 25% scan)
+    // measured 0.82 on this fixture — cells miss some of a loose
+    // cluster's spread; the floor guards the band, the bench artifact
+    // records the number
+    assert(legs("sim_ann_ivf") >= 0.75,
+      s"IVF exact-rerank recall too low on planted clusters: $legs")
+    // the PRODUCTION-trained IVF-PQ (Lloyd coarse + 16×256 residual
+    // codebook, ADC-only) measured 0.76 — within a few points of the
+    // exact-rerank legs, versus 0.16 for the tiny 8×16 oracle-form
+    // model on the same fixture: the recall axis now separates model
+    // quality, which the iid-random fixture never could
+    assert(legs("sim_ivfpq_trained") >= 0.65,
+      s"trained IVF-PQ recall too low on planted clusters: $legs")
+    // NEGATIVE CONTROL: a zeroed codebook must collapse to ≈ 0 — if
+    // it doesn't, the metric cannot detect index breakage
+    assert(r.negControl >= 0.0 && r.negControl <= 0.2,
+      s"negative control failed to fail: ${r.negControl}")
+    assert(legs("sim_ivfpq_trained") - r.negControl >= 0.4,
+      s"gate does not separate: trained=${legs("sim_ivfpq_trained")} " +
+        s"negctrl=${r.negControl}")
+  }
+
+  test("nprobe curve: >= 4 points, recall non-trivial and widening") {
+    val r = report
+    assert(r.curve.size >= 4, s"curve too short: ${r.curve}")
+    assert(r.curve.map(_.nprobe) === r.curve.map(_.nprobe).sorted)
+    r.curve.foreach(p => assert(p.scanFrac > 0 && p.scanFrac <= 0.5))
+    // probing wider can only add candidates — recall at the widest
+    // point must be at least the narrowest point's
+    assert(r.curve.last.recall >= r.curve.head.recall,
+      s"recall shrank with probe breadth: ${r.curve}")
+    assert(r.curve.last.recall >= 0.6,
+      s"widest probe still can't retrieve planted structure: ${r.curve}")
+  }
+}

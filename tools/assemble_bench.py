@@ -17,7 +17,8 @@ def load(p):
     # carry the r13+ per-leg instrumentation into the round artifact:
     # ANN recall@5 per leg, the co-load/steal guard stamp, and the
     # per-row repeat counts (which rows used the fast-row 3-repeat rule)
-    for k in ("recall", "coload", "reps", "calib_sec"):
+    for k in ("recall", "recall_structured", "coload", "reps",
+              "calib_sec", "comparable_total", "comparable_n"):
         if k in d:
             out[k] = d[k]
     return out
