@@ -293,6 +293,18 @@ final class StreamSwitchController(operator: String,
   // `severeOverloadUtil`, i.e. the task is falling behind and backlog
   // is compounding) still acts on the first window
   private var highTicks = 0
+  // offered-rate samples accumulated over the CURRENT high streak —
+  // the GROW twin of the shrink streak accumulator: right after a load
+  // RISE the per-keygroup EMA is still converging toward the new rate
+  // from below, and sizing the scale-out from it lands short (the r13
+  // load phase walked 8→12→19 in two restarts for exactly this
+  // reason). Each window's batchRows·perRow is its rate-SANITIZED
+  // instantaneous arrival estimate (Spark's reported input rate when
+  // plausible, the processing-rate fallback otherwise — the same
+  // estimator the drain's shrink sizing trusts), so the streak mean is
+  // an honest sample of the new offered rate before the EMA catches up.
+  private var growArrSum = 0.0
+  private var growArrN = 0
   /** True while post-action catch-up batches are being discarded —
     * `lastMaxUtil` is STALE (pre-action) during this window, so
     * convergence detectors must not count it as evidence. */
@@ -394,7 +406,10 @@ final class StreamSwitchController(operator: String,
       // scaleOutConsecutive clean windows (the calibration and EMA
       // updates above still happen every window); a severe EMA
       // overload acts immediately
+      if (highTicks == 0) { growArrSum = 0.0; growArrN = 0 }
       highTicks += 1
+      growArrSum += batchRows * perRow
+      growArrN += 1
       if (maxUtil <= severeOverloadUtil &&
           highTicks < scaleOutConsecutive) return None
       // GROW-side decisions deliberately stay on the static μ: a live
@@ -403,9 +418,21 @@ final class StreamSwitchController(operator: String,
       // muMeasured down right when maxUtil spikes, and the two
       // multiply: 22→32 overshoot with no drain left in the window) —
       // over-provisioning is what the SHRINK pass corrects cheaply,
-      // so only that direction uses the calibrated capacity
+      // so only that direction uses the calibrated capacity.
+      //
+      // Sizing RATE mirrors the shrink branch: the EMA undershoots a
+      // fresh load rise, so the feasibility checks scale the EMA-built
+      // pack by the streak's sanitized-arrival under-estimation ratio
+      // (max with 1 — a streak mean BELOW the EMA means the EMA is
+      // already converged and needs no correction). This is what makes
+      // load convergence one decision instead of a walk: the r13 run
+      // sized 8→12 off the converging EMA, settled, then needed 12→19.
+      val instArr = if (growArrN > 0) growArrSum / growArrN else totalRate
+      val underEst =
+        if (totalRate > 0) math.max(1.0, instArr / totalRate) else 1.0
+      val sizeRate = math.max(totalRate, instArr)
       val (migrated, migratedMax) = packByRate(par)
-      if (migratedMax / mu <= targetUtilization) {
+      if (migratedMax * underEst / mu <= targetUtilization) {
         highTicks = 0
         ex.assignWorkload(operator, migrated)
         applied(ex.execute(
@@ -418,16 +445,22 @@ final class StreamSwitchController(operator: String,
         // closed form — and every intermediate step costs a live
         // stop/restart plus a discarded settle window (the r8 live run
         // spent its whole window walking 8→21 one task at a time).
-        var p2 = par + 1
+        // Start the search at the streak rate's utilization-target
+        // quotient (like the shrink), walk up until the scaled pack
+        // fits.
+        var p2 = math.min(maxTasks, math.max(par + 1,
+          math.ceil(sizeRate / (mu * targetUtilization)).toInt))
         var packed = packByRate(p2)
-        while (packed._2 / mu > targetUtilization && p2 < maxTasks) {
+        while (packed._2 * underEst / mu > targetUtilization &&
+            p2 < maxTasks) {
           p2 += 1
           packed = packByRate(p2)
         }
         ex.assignResources(operator, p2)
         ex.assignWorkload(operator, packed._1)
         applied(ex.execute(
-          f"$name@batch${p.batchId} scale-out $par->$p2 maxUtil=$maxUtil%.2f"))
+          f"$name@batch${p.batchId} scale-out $par->$p2 " +
+            f"maxUtil=$maxUtil%.2f rate=$sizeRate%.0f inst=$instArr%.0f"))
       } else None
     } else {
       highTicks = 0
