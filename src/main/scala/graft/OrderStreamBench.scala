@@ -36,8 +36,12 @@ object OrderStreamBench {
   private def run(spark: SparkSession, tws: Boolean, rate: Int,
       nSecs: Int, seconds: Int): String = {
     import spark.implicits._
-    val orders = spark.readStream
+    val raw = spark.readStream
       .format("rate").option("rowsPerSecond", rate).load()
+    // end-to-end latency percentiles need the source-timestamp
+    // observation (batch completion − max source ts, the
+    // DummyLatencyCountingSink metric every other stream row carries)
+    val orders = Metrics.observeSourceTs(raw, "timestamp")
       .select(col("value")).as[Long]
       .map(v => orderOf(v, nSecs))
     val trades =
@@ -51,6 +55,40 @@ object OrderStreamBench {
     }
     val mode = if (tws) "tws" else "fmgws"
     s"""{"mode":"$mode","config":{"rate":$rate,"securities":$nSecs},"result":${r.json}}"""
+  }
+
+  /** Warm-start leg — the StateLoader path end-to-end (reference
+    * stock/StateLoader.java:25-128): replay a prefix of the order day
+    * into a persisted book snapshot, then start the TWS matcher FROM
+    * that snapshot (initial-state channel) and measure the live
+    * stream's throughput against orders that CONTINUE the sequence.
+    * The snapshot build is reported separately (it is the offline
+    * job), the streamed rate is the warm matcher's. */
+  private def runWarm(spark: SparkSession, rate: Int, nSecs: Int,
+      seconds: Int, warmOrders: Int): String = {
+    import spark.implicits._
+    val prefix = spark.range(0L, warmOrders.toLong).as[Long]
+      .map(v => orderOf(v, nSecs))
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("orderbook-snap").toString + "/books"
+    val t0 = System.nanoTime()
+    graft.streaming.StateLoader.save(
+      graft.streaming.StateLoader.snapshotFromReplay(prefix), snapDir)
+    val snapSec = (System.nanoTime() - t0) / 1e9
+    val snapshot = graft.streaming.StateLoader.load(spark, snapDir)
+    val resting = snapshot
+      .map(b => (b.buys.size + b.sells.size).toLong).reduce(_ + _)
+    val orders = Metrics.observeSourceTs(
+        spark.readStream
+          .format("rate").option("rowsPerSecond", rate).load(),
+        "timestamp")
+      .select(col("value")).as[Long]
+      .map(v => orderOf(v + warmOrders, nSecs))
+    val trades = TransformWithStateOps.orderBookWarm(orders, snapshot)
+    val r = StreamBench.measure(spark, rate, seconds) {
+      trades.writeStream.format("noop").outputMode("append").start()
+    }
+    f"""{"mode":"tws_warm","config":{"rate":$rate,"securities":$nSecs,"warm_orders":$warmOrders,"snapshot_build_sec":$snapSec%.1f,"resting_orders":$resting},"result":${r.json}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,13 +110,19 @@ object OrderStreamBench {
     val lines = mode match {
       case "tws" => Seq(run(spark, tws = true, rate, nSecs, seconds))
       case "fmgws" => Seq(run(spark, tws = false, rate, nSecs, seconds))
+      case "warm" => Seq(
+        runWarm(spark, rate, nSecs, seconds, warmOrders = 10 * rate))
       case "both" => Seq(
         run(spark, tws = true, rate, nSecs, seconds),
+        run(spark, tws = false, rate, nSecs, seconds))
+      case "all" => Seq(
+        run(spark, tws = true, rate, nSecs, seconds),
+        runWarm(spark, rate, nSecs, seconds, warmOrders = 10 * rate),
         run(spark, tws = false, rate, nSecs, seconds))
       // a typo must not silently double the runtime and emit an
       // artifact shape the caller's script doesn't expect
       case other => sys.error(
-        s"unknown mode '$other' (expected fmgws | tws | both)")
+        s"unknown mode '$other' (expected fmgws | tws | warm | both | all)")
     }
     lines.foreach(println)
     outFile.foreach(f => java.nio.file.Files.writeString(

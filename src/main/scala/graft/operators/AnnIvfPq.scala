@@ -38,10 +38,11 @@ import graft.functions.GraftFunctions.md5CoinLong
   * Index build is ONE codegen kernel pass inside the corpus scan
   * ([[VectorExpressions.ivfPqEncode]]: quantize → cell argmin →
   * residual → per-subspace code argmin), emitting [cell, codes…].
-  * Query prep (nprobe cells + one 128-entry integer LUT per probed
-  * cell) is driver-side over the BOUNDED query set — exactly the
-  * per-query work a FAISS front-end does — and ships as a broadcast
-  * frame of queries × nprobe rows. */
+  * Query prep (nprobe cells + one M·K-entry integer LUT per probed
+  * cell — 128 entries for the oracle form's 8×16 geometry, 4096 for
+  * the trained twin's 16×256) is driver-side over the BOUNDED query
+  * set — exactly the per-query work a FAISS front-end does — and
+  * ships as a broadcast frame of queries × nprobe rows. */
 object AnnIvfPq {
 
   private val M = 8        // subspaces
