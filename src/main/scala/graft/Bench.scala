@@ -539,12 +539,15 @@ object Bench {
       case Some((d, r)) =>
         val legsJ = r.legs.map { case (k, v) => q(k) + ":" + j(v) }
           .mkString("{", ",", "}")
-        val curveJ = r.curve.map(p =>
-          s"""{"nprobe":${p.nprobe},"scan_frac":${num(p.scanFrac)},""" +
-            s""""recall":${j(p.recall)}}""").mkString("[", ",", "]")
+        def curveJ(c: Seq[graft.operators.AnnRecall.NprobePoint]): String =
+          c.map(p =>
+            s"""{"nprobe":${p.nprobe},"scan_frac":${num(p.scanFrac)},""" +
+              s""""recall":${j(p.recall)}}""").mkString("[", ",", "]")
         s"""{"dir":${q(d)},"legs":$legsJ,""" +
           s""""negctrl_ivfpq_trained":${j(r.negControl)},""" +
-          s""""nlist":${r.nlist},"nprobe_curve":$curveJ}"""
+          s""""nlist":${r.nlist},"nprobe_curve":${curveJ(r.curve)},""" +
+          s""""ivf_nlist":${r.ivfNlist},""" +
+          s""""ivf_nprobe_curve":${curveJ(r.ivfCurve)}}"""
     }
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +

@@ -95,11 +95,16 @@ object AnnRecall {
   /** Structured-fixture recall report: every leg's recall@5 on a
     * planted-cluster fixture, the trained IVF-PQ's DELIBERATELY
     * MIS-TRAINED negative control (must read ≈ 0 — proving the metric
-    * detects a broken index, which iid-random fixtures cannot), and
-    * the trained leg's nprobe → recall curve (the scan-fraction trade
-    * behind the nprobe = nlist/8 default). */
+    * detects a broken index, which iid-random fixtures cannot), the
+    * trained leg's nprobe → recall curve (the scan-fraction trade
+    * behind the nprobe = nlist/8 default), and the exact-rerank IVF
+    * leg's own nprobe curve (its codes are exact floats, so unlike the
+    * PQ curve it must reach 1.0 at full probe breadth — separating
+    * routing loss, which breadth buys back, from code loss, which it
+    * can't). */
   final case class StructuredReport(legs: Seq[(String, Double)],
-      negControl: Double, nlist: Int, curve: Seq[NprobePoint])
+      negControl: Double, nlist: Int, curve: Seq[NprobePoint],
+      ivfNlist: Int, ivfCurve: Seq[NprobePoint])
 
   /** Compute the structured-fixture report against `dir` (a
     * planted-cluster fixture from [[graft.tools
@@ -125,6 +130,24 @@ object AnnRecall {
           }
         NprobePoint(np, np.toDouble / nlist, r)
       }
-    StructuredReport(legRecalls, neg, nlist, curve)
+    // IVF breadth curve: same iters = 0 quantizer config as the benched
+    // sim_ann_ivf leg (centroids memoized, so the sweep pays only the
+    // probe joins), scored against the exact-cosine baseline. The
+    // np = nlist point probes every cell — an exhaustive exact-rerank
+    // scan — so recall there is 1.0 by construction unless the index
+    // assignment itself is broken, which is exactly what the point
+    // detects.
+    lazy val cosSets = topSets(SimilarityQueries.cosineTopK(s, dir))
+    val ivfNlist = 16
+    val ivfCurve = Seq(1, 2, 4, 8, ivfNlist).map { np =>
+      val r =
+        try meanRecall(cosSets,
+          topSets(AnnIvf.annTopK(s, dir, nprobe = np, iters = 0)))
+        catch { case e: Throwable =>
+          System.err.println(s"[recall] ivf nprobe=$np failed: $e"); -1.0
+        }
+      NprobePoint(np, np.toDouble / ivfNlist, r)
+    }
+    StructuredReport(legRecalls, neg, nlist, curve, ivfNlist, ivfCurve)
   }
 }

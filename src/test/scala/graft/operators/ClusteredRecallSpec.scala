@@ -86,4 +86,19 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(r.curve.last.recall >= 0.6,
       s"widest probe still can't retrieve planted structure: ${r.curve}")
   }
+
+  test("ivf curve: exact-rerank recall reaches 1.0 at full breadth") {
+    val r = report
+    assert(r.ivfCurve.nonEmpty)
+    assert(r.ivfCurve.map(_.nprobe) === r.ivfCurve.map(_.nprobe).sorted)
+    // the last point probes every cell (scan_frac 1.0) — an exhaustive
+    // exact-cosine scan, so any recall below ~1.0 means the cell
+    // assignment itself lost vectors. PQ curves plateau below 1.0
+    // (code error); the IVF curve must NOT.
+    assert(r.ivfCurve.last.nprobe === r.ivfNlist)
+    assert(r.ivfCurve.last.recall >= 0.99,
+      s"exhaustive IVF probe lost vectors: ${r.ivfCurve}")
+    // breadth monotonicity at the recorded points
+    assert(r.ivfCurve.last.recall >= r.ivfCurve.head.recall)
+  }
 }
