@@ -9,19 +9,8 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    // local profiling knobs (driver passes no args): args(0) = comma-
-    // separated substring filters on query names ("-" prefix excludes;
-    // no inclusion tokens = include all), args(1) = repeat count
-    val tokens = args.headOption.getOrElse("").split(",")
-      .map(_.trim).filter(_.nonEmpty).toSeq
-    val (excludes, includes) = tokens.partition(_.startsWith("-"))
-    val matches = (name: String) =>
-      (includes.isEmpty || includes.exists(name.contains)) &&
-        !excludes.exists(e => name.contains(e.drop(1)))
-    val repeats = if (args.length > 1) args(1).toInt else 1
-    require(repeats >= 1, s"repeats must be >= 1, got $repeats")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,6 +26,39 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    // local profiling knobs (driver passes no args): args(0) = comma-
+    // separated substring filters on query names ("-" prefix excludes;
+    // no inclusion tokens = include all), args(1) = repeat count
+    val tokens = args.headOption.getOrElse("").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val (excludes, includes) = tokens.partition(_.startsWith("-"))
+    val matches = (name: String) =>
+      (includes.isEmpty || includes.exists(name.contains)) &&
+        !excludes.exists(e => name.contains(e.drop(1)))
+    val repeats = if (args.length > 1) args(1).toInt else 1
+    require(repeats >= 1, s"repeats must be >= 1, got $repeats")
+    val spark = session()
+    runLeg(spark, matches, repeats,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+    spark.stop()
+  }
+
+  /** One sweep over one SF dir, writing the full record to `fullPath`
+    * and printing the compact summary line. Factored out of main so
+    * [[BenchSweep]] can run several legs in ONE JVM: this guest's
+    * page-fault path intermittently degrades ~100x (33 µs-3.5 ms/page
+    * in sys time, zero guest-visible steal — host-side memory
+    * pressure re-faulting pages the guest freed), so re-allocating a
+    * 48 GiB pre-touched heap per leg can cost more than a leg itself.
+    * One JVM touches the heap once and keeps it. */
+  private[graft] def runLeg(spark: SparkSession,
+      matches: String => Boolean, repeats: Int, sfDir: String,
+      fullPath: String): Unit = {
 
     // warm the JVM + parquet footers once with the flagship query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -207,7 +229,7 @@ object Bench {
     // two rounds' driver totals moved with the box, not the code
     // (r10 drifted ~14% and needed a hand A/B to attribute); the
     // probe gives cross-round comparisons a same-box denominator.
-    val calibSec = {
+    def calibProbe(): Double = {
       val t0 = System.nanoTime()
       spark.sparkContext.range(0L, 10000000L, 1, numSlices = 32)
         .map(i => (i * 2654435761L) % 999999937L)
@@ -215,7 +237,17 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibSec = calibProbe()
     System.err.println(f"[bench] calibration probe: $calibSec%.3f s")
+    // Absolute degradation limit for the fixed probe: healthy runs of
+    // this box measure 3.8-5.2 s; an r14 sweep starting at 22.6 s (6x,
+    // ZERO guest-visible steal/majfault/refault — host-side memory or
+    // scheduling trouble the guest cannot meter directly) produced
+    // rows up to 30x their history. The probe is the only meter that
+    // sees that class, so past the limit the sweep self-reports
+    // flagged. Override per box via SPARK_GRAFT_CALIB_LIMIT.
+    val calibLimit = sys.env.getOrElse("SPARK_GRAFT_CALIB_LIMIT", "10.0")
+      .toDouble
 
     // Co-load guard: the r12 official sweep was distorted 23% by a
     // concurrent JVM the single-job calibration probe cannot see (it
@@ -423,13 +455,20 @@ object Bench {
     val coloadFrac =
       if (sweepWallSec > 0) otherJvmCpuSec / (sweepWallSec * hostCpus)
       else 0.0
-    val coloadFlag = coloadFrac > 0.05 || stealFrac > 0.05
+    // end-of-sweep probe: catches degradation that began MID-sweep
+    // (the start probe alone passed a sweep whose later rows ran on a
+    // 6x-degraded host)
+    val calibEndSec = calibProbe()
+    System.err.println(f"[bench] calibration probe (end): $calibEndSec%.3f s")
+    val calibFlag = calibSec > calibLimit || calibEndSec > calibLimit
+    val coloadFlag = coloadFrac > 0.05 || stealFrac > 0.05 || calibFlag
     if (coloadFlag)
       System.err.println(f"[bench] WARNING: co-load guard tripped — " +
         f"foreign JVMs $otherJvmCpuSec%.1f CPU-s, hypervisor steal " +
         f"$stealSec%.1f s during the $sweepWallSec%.1f s sweep " +
         f"(foreign ${coloadFrac * 100}%.1f%% / steal ${stealFrac * 100}%.1f%% " +
-        "of the box); treat this sweep as contaminated")
+        f"of the box), calibration $calibSec%.1f->$calibEndSec%.1f s " +
+        f"vs limit $calibLimit%.1f; treat this sweep as contaminated")
 
     // ANN retrieval quality (untimed): mean recall@5 per approximate
     // leg vs the exact answer under its own metric — hash-parity
@@ -512,8 +551,6 @@ object Bench {
     val comparableJson =
       s""""comparable_total":${num(comparableTotal)},""" +
         s""""comparable_n":${comparable.size}"""
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "bench_full.json")
     val qs = results.map { case (k, v, _, _) => q(k) + ":" + j(v) }
       .mkString("{", ",", "}")
     val repsJson = results.map { case (k, _, r, _) => q(k) + ":" + r }
@@ -553,7 +590,8 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
         s""""reps":$repsJson,"row_steal":$rowStealJson,""" +
         s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
-        s""""calib_sec":${num(calibSec)},"coload":$coloadJson,""" +
+        s""""calib_sec":${num(calibSec)},"calib_end_sec":${num(calibEndSec)},""" +
+        s""""coload":$coloadJson,""" +
         s""""recall":$recallJson,"recall_structured":$structuredJson,""" +
         s"""$comparableJson,"sf":${q(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
@@ -574,9 +612,41 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${measured.size},""" +
         s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
         s""""errors":${arr(errorNames)},"calib_sec":${num(calibSec)},""" +
+        s""""calib_end_sec":${num(calibEndSec)},""" +
         s""""coload":$coloadJson,"recall":$recallJson,""" +
         s""""recall_structured":$structuredJson,$comparableJson,""" +
         s""""full":${q(fullPath)},"sf":${q(sfDir)}}""")
+  }
+}
+
+/** Multi-leg sweep in ONE JVM: `BenchSweep <repeats> <sfDir:outPath>...`
+  *
+  * Equivalent to running [[Bench]] once per leg, except the
+  * SparkSession — and with it the pre-touched heap, the JIT state, and
+  * the page cache the parquet footers live in — survives across legs.
+  * Construction memos are keyed by (session, dir, mtimes), so legs
+  * cannot serve each other's models; between-query cache/persist
+  * cleanup already runs inside each leg's sweep loop. Motivated by a
+  * measured host pathology: first-touch page faults intermittently run
+  * ~100x slow (host-side memory pressure, invisible to every
+  * guest-side meter except wall time), so per-leg 48 GiB heap
+  * re-allocation contaminated whole legs. One JVM pays first-touch
+  * once, at startup, OUTSIDE any timed region. */
+object BenchSweep {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchSweep <repeats> <sfDir:outPath>...")
+    val repeats = args(0).toInt
+    val legs = args.drop(1).toSeq.map { a =>
+      val i = a.lastIndexOf(':')
+      require(i > 0, s"leg must be sfDir:outPath, got $a")
+      (a.substring(0, i), a.substring(i + 1))
+    }
+    val spark = Bench.session()
+    legs.foreach { case (sfDir, outPath) =>
+      System.err.println(s"[bench-sweep] leg $sfDir -> $outPath")
+      Bench.runLeg(spark, _ => true, repeats, sfDir, outPath)
+    }
     spark.stop()
   }
 }
