@@ -90,7 +90,18 @@ object Bench {
         "t_quality_classifier" -> ((s, d) => {
           s.conf.unset("spark.graft.nb.topK")
           graft.operators.TextQueries.qualityClassifier(s, d)
-        }))
+        }),
+        // r15: the TRAINED codebooks are the benched PQ defaults — the
+        // repo's own planted-cluster recall table showed the untrained
+        // SQL-replayable models losing to their trained siblings 3-5×
+        // (0.06-0.16 vs 0.44-0.76 recall@5 across SFs), an
+        // anti-default. The oracle gate (Verify) still runs the
+        // replayable untrained forms under these names; the untrained
+        // models stay benched as the explicit _baseline rows below.
+        "sim_ivfpq_topk" -> ((s, d) =>
+          graft.operators.AnnIvfPq.ivfPqTopKTrained(s, d)),
+        "sim_pq_adc_topk" -> ((s, d) =>
+          graft.operators.AnnPq.pqAdcTopKTrained(s, d)))
 
     // Bench-only rows: the production corpus-model forms (fixed-size
     // top-K model tables with smoothed backoff — the 100 TB shape)
@@ -113,12 +124,16 @@ object Bench {
         // path — the cost every query after the first pays at 100 TB
         "layout_bucketed_join_warm" -> ((s, d) =>
           graft.sources.BucketedLayout.bucketedJoin(s, d)),
-        // the kmeans-trained IVF-PQ (production training path) beside
-        // the SQL-replayable oracle form — the row carries the Lloyd
-        // build cost (construction-memoized → first repeat) and the
-        // recall section carries its retrieval-quality delta
-        "sim_ivfpq_trained" -> ((s, d) =>
-          graft.operators.AnnIvfPq.ivfPqTopKTrained(s, d)),
+        // the untrained SQL-replayable PQ models, demoted to explicit
+        // _baseline rows (the oracle gate's forms; the canonical
+        // sim_ivfpq_topk / sim_pq_adc_topk bench rows run the trained
+        // production models since r15 — see benchForms above) — kept
+        // benched so the artifact still carries both sides' cost and
+        // the recall section both sides' retrieval quality
+        "sim_ivfpq_baseline" -> ((s, d) =>
+          graft.operators.AnnIvfPq.ivfPqTopK(s, d)),
+        "sim_pq_adc_baseline" -> ((s, d) =>
+          graft.operators.AnnPq.pqAdcTopK(s, d)),
         // the production convergence form beside the fixed-3-iteration
         // oracle form; iteration count goes to stderr next to the row.
         // The between-query cleanup has UNPERSISTED the adjacency the
@@ -182,8 +197,10 @@ object Bench {
         // the shared adjacency memo to graph_pagerank first
         "graph_pagerank_converged",
         // Lloyd training (sample collect + coarse & per-subspace
-        // k-means) is construction-memoized — first repeat pays it
-        "sim_ivfpq_trained",
+        // k-means) is construction-memoized — first repeat pays it.
+        // Since r15 these canonical names BENCH the trained models
+        // (benchForms), so the training cost lands here.
+        "sim_ivfpq_topk", "sim_pq_adc_topk",
         // quantileSelect's CONSTRUCTION runs its driver-side control
         // jobs (bounds + histogram + sub-histogram — 3 corpus scans);
         // not memoized (each repeat honestly rebuilds), but the
@@ -248,6 +265,35 @@ object Bench {
     // flagged. Override per box via SPARK_GRAFT_CALIB_LIMIT.
     val calibLimit = sys.env.getOrElse("SPARK_GRAFT_CALIB_LIMIT", "10.0")
       .toDouble
+
+    // Mid-leg probes: r14 proved the start/end probes leave a BLIND
+    // WINDOW — a degradation that begins after the start probe and
+    // ends before the end probe inflates rows 3-30× while both probes
+    // read healthy (BENCH_r14: calib 5.5→2.7 s around a uniformly
+    // 1.69× sweep). Interleave a 1/5-scale probe (2M-row sort, ~0.3-1 s
+    // healthy) at every query-FAMILY boundary, untimed, after the
+    // between-query cleanup — ~15 boundaries ≈ 10 s of untimed wall
+    // per leg buys per-family localization of a mid-leg host event.
+    // Any mid probe past limit/5 folds into coload.flagged, so a
+    // contaminated sweep self-reports even when both end probes are
+    // clean.
+    def miniCalibProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.range(0L, 2000000L, 1, numSlices = 32)
+        .map(i => (i * 2654435761L) % 999999937L)
+        .sortBy(identity)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibMidLimit =
+      sys.env.get("SPARK_GRAFT_CALIB_MID_LIMIT").map(_.toDouble)
+        .getOrElse(calibLimit / 5.0)
+    def family(n: String): String = {
+      val p = n.takeWhile(_ != '_')
+      if (p.matches("q\\d+")) "q" else if (p.matches("e\\d*")) "e" else p
+    }
+    val midProbes = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var prevFamily: String = null
 
     // Co-load guard: the r12 official sweep was distorted 23% by a
     // concurrent JVM the single-job calibration probe cannot see (it
@@ -340,6 +386,16 @@ object Bench {
     val results = (SparkEntry.queries ++ extraQueries).toSeq.sortBy(_._1)
       .filter(q => matches(q._1))
       .map { case (name, entryFn) =>
+      val fam = family(name)
+      if (prevFamily != null && fam != prevFamily) {
+        val t = miniCalibProbe()
+        midProbes += fam -> t
+        if (t > calibMidLimit)
+          System.err.println(f"[bench] WARNING: mid-leg probe before " +
+            f"family '$fam' read $t%.3f s (limit $calibMidLimit%.1f) — " +
+            "host degraded mid-sweep; this leg will self-report flagged")
+      }
+      prevFamily = fam
       val fn = benchForms.getOrElse(name, entryFn)
       var sec = Double.MaxValue
       var ok = true
@@ -460,7 +516,9 @@ object Bench {
     // 6x-degraded host)
     val calibEndSec = calibProbe()
     System.err.println(f"[bench] calibration probe (end): $calibEndSec%.3f s")
-    val calibFlag = calibSec > calibLimit || calibEndSec > calibLimit
+    val calibMidMax = if (midProbes.isEmpty) 0.0 else midProbes.map(_._2).max
+    val calibFlag = calibSec > calibLimit || calibEndSec > calibLimit ||
+      calibMidMax > calibMidLimit
     val coloadFlag = coloadFrac > 0.05 || stealFrac > 0.05 || calibFlag
     if (coloadFlag)
       System.err.println(f"[bench] WARNING: co-load guard tripped — " +
@@ -468,7 +526,8 @@ object Bench {
         f"$stealSec%.1f s during the $sweepWallSec%.1f s sweep " +
         f"(foreign ${coloadFrac * 100}%.1f%% / steal ${stealFrac * 100}%.1f%% " +
         f"of the box), calibration $calibSec%.1f->$calibEndSec%.1f s " +
-        f"vs limit $calibLimit%.1f; treat this sweep as contaminated")
+        f"vs limit $calibLimit%.1f, mid-leg max $calibMidMax%.1f vs " +
+        f"$calibMidLimit%.1f; treat this sweep as contaminated")
 
     // ANN retrieval quality (untimed): mean recall@5 per approximate
     // leg vs the exact answer under its own metric — hash-parity
@@ -580,17 +639,27 @@ object Bench {
           c.map(p =>
             s"""{"nprobe":${p.nprobe},"scan_frac":${num(p.scanFrac)},""" +
               s""""recall":${j(p.recall)}}""").mkString("[", ",", "]")
+        val orAmpJ = r.orAmp.map(p =>
+          s"""{"tables":${p.tables},"bits":${p.bits},""" +
+            s""""index_rows":${p.indexRows},"cand_pairs":${p.candPairs},""" +
+            s""""recall":${j(p.recall)}}""").mkString("[", ",", "]")
         s"""{"dir":${q(d)},"legs":$legsJ,""" +
           s""""negctrl_ivfpq_trained":${j(r.negControl)},""" +
           s""""nlist":${r.nlist},"nprobe_curve":${curveJ(r.curve)},""" +
+          s""""alt_nlist":${r.altNlist},""" +
+          s""""alt_nprobe_curve":${curveJ(r.altCurve)},""" +
           s""""ivf_nlist":${r.ivfNlist},""" +
-          s""""ivf_nprobe_curve":${curveJ(r.ivfCurve)}}"""
+          s""""ivf_nprobe_curve":${curveJ(r.ivfCurve)},""" +
+          s""""lsh_or_amp":$orAmpJ}"""
     }
+    val calibMidJson = midProbes
+      .map { case (f, t) => q(f) + ":" + num(t) }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
         s""""reps":$repsJson,"row_steal":$rowStealJson,""" +
         s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
         s""""calib_sec":${num(calibSec)},"calib_end_sec":${num(calibEndSec)},""" +
+        s""""calib_mid":$calibMidJson,"calib_mid_limit":${num(calibMidLimit)},""" +
         s""""coload":$coloadJson,""" +
         s""""recall":$recallJson,"recall_structured":$structuredJson,""" +
         s"""$comparableJson,"sf":${q(sfDir)}}"""
@@ -599,10 +668,6 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write failed: $e") }
     println(full) // kept on stdout too for local runs; summary is LAST
-    def family(n: String): String = {
-      val p = n.takeWhile(_ != '_')
-      if (p.matches("q\\d+")) "q" else if (p.matches("e\\d*")) "e" else p
-    }
     val fams = measured.groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(-_._2)
       .map { case (f, v) => q(f) + ":" + j(v) }.mkString("{", ",", "}")
@@ -613,6 +678,7 @@ object Bench {
         s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
         s""""errors":${arr(errorNames)},"calib_sec":${num(calibSec)},""" +
         s""""calib_end_sec":${num(calibEndSec)},""" +
+        s""""calib_mid_max":${num(calibMidMax)},""" +
         s""""coload":$coloadJson,"recall":$recallJson,""" +
         s""""recall_structured":$structuredJson,$comparableJson,""" +
         s""""full":${q(fullPath)},"sf":${q(sfDir)}}""")
@@ -637,6 +703,7 @@ object BenchSweep {
     require(args.length >= 2,
       "usage: BenchSweep <repeats> <sfDir:outPath>...")
     val repeats = args(0).toInt
+    require(repeats >= 1, s"repeats must be >= 1, got $repeats")
     val legs = args.drop(1).toSeq.map { a =>
       val i = a.lastIndexOf(':')
       require(i > 0, s"leg must be sfDir:outPath, got $a")

@@ -18,6 +18,12 @@ import graft.functions.GraftFunctions.{dotProduct, md5CoinLong}
   */
 object AnnIvf {
 
+  /** The oracle-form coarse-list count — [[annTopK]]'s default and the
+    * single definition [[AnnRecall]]'s IVF breadth curve shares (the
+    * curve's scan-fraction labels and its "last point is an exhaustive
+    * scan" claim are only true against THIS value). */
+  val DefaultNlist = 16
+
   /** Deterministic Lloyd iterations; init = vectors at evenly spaced
     * ranks of the sample (no RNG ⇒ reproducible across runs). */
   def kmeans(sample: Array[Array[Double]], k: Int, iters: Int)
@@ -78,7 +84,7 @@ object AnnIvf {
     * involve order-sensitive FP mean accumulation, so the oracle-gated
     * driver entry uses `iters = 0`. */
   def annTopK(s: SparkSession, dir: String, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+      nlist: Int = DefaultNlist, nprobe: Int = 4, iters: Int = 5): DataFrame = {
     import s.implicits._
 
     // one shared definition of the double-cast + sequential-fold norm

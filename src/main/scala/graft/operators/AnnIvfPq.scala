@@ -171,11 +171,18 @@ object AnnIvfPq {
   private val TrainedM = 16
   private val TrainedSubDim = 4
 
-  private def trainedModel(s: SparkSession, dir: String)
+  /** `nlistOverride > 0` pins the coarse-list count (the recall
+    * report's nlist-alternative sweep); 0 = auto-size nlist ≈ √n. The
+    * memo key carries nlist, so alternative geometries never collide
+    * with the default model. */
+  private def trainedModel(s: SparkSession, dir: String,
+      nlistOverride: Int = 0)
       : (Array[Array[Long]], Array[Long], Int, Int, Int) = {
     val n = AnnLsh.embeddingCount(s, dir)
-    val nlist = math.max(NList,
-      Integer.highestOneBit(math.max(1, math.sqrt(n.toDouble).toInt)))
+    val nlist =
+      if (nlistOverride > 0) nlistOverride
+      else math.max(NList,
+        Integer.highestOneBit(math.max(1, math.sqrt(n.toDouble).toInt)))
     val m = TrainedM
     val subDim = TrainedSubDim
     Tables.memoizedAtConstruction(s, dir, "embeddings",
@@ -231,13 +238,17 @@ object AnnIvfPq {
     trainedModel(s, dir)._1.length
 
   /** The trained model searched at an EXPLICIT nprobe (clamped to
-    * nlist) — the recall-vs-scan-fraction curve's knob. Everything
-    * else (centroids, codebook, kernel encode, LUT probe) is the
-    * `ivfPqTopKTrained` path verbatim, so the curve measures exactly
-    * the production index's probe-breadth trade. */
+    * nlist) — the recall-vs-scan-fraction curve's knob — and optionally
+    * at an EXPLICIT nlist (the curve's geometry alternative: the same
+    * training pipeline re-run at a pinned coarse-list count, so the
+    * report can separate routing loss, which more/finer cells change,
+    * from code loss, which they cannot). Everything else (centroids,
+    * codebook, kernel encode, LUT probe) is the `ivfPqTopKTrained`
+    * path verbatim, so the curves measure exactly the production
+    * index's trades. */
   def ivfPqTopKTrainedNprobe(s: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
-    val (cents, cbFlat, _, cbK, m) = trainedModel(s, dir)
+      nprobe: Int, nlistOverride: Int = 0): DataFrame = {
+    val (cents, cbFlat, _, cbK, m) = trainedModel(s, dir, nlistOverride)
     search(s, dir, cents, cbFlat, cbK,
       math.max(1, math.min(nprobe, cents.length)), m, Dim / m)
   }

@@ -102,7 +102,7 @@ object AnnLsh {
     * discover the broadcast at runtime works at bench scale but is
     * not guaranteed once the candidate stats pass the adaptive
     * threshold at 100 TB. */
-  private def rerank(s: SparkSession, dir: String, ids: DataFrame,
+  private[operators] def rerank(s: SparkSession, dir: String, ids: DataFrame,
       k: Int): DataFrame = {
     val vec = vecTable(s, dir)
     val qv = vec.filter(col("vec_id") < 10)
@@ -126,15 +126,22 @@ object AnnLsh {
     * when the true top-k sits near cosine ≈ 0.5. `bits` should grow
     * with log(corpus) at scale to keep buckets small. */
   def annTopK(s: SparkSession, dir: String, k: Int = 5,
-      tables: Int = 16, bits: Int = 6): DataFrame = {
+      tables: Int = 16, bits: Int = 6): DataFrame =
+    rerank(s, dir, candidatePairs(s, dir, tables, bits), k)
+
+  /** The distinct (qid, cid) candidate set a (tables, bits) index
+    * yields — the probe-cost side of the OR-amplification trade the
+    * recall report measures (candidate count is what the exact re-rank
+    * pays for; index rows per vector = tables is what storage pays). */
+  private[operators] def candidatePairs(s: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame = {
     val sig = sigTable(s, dir, tables, bits)
-    val ids = sig.filter(col("vec_id") >= 10)
+    sig.filter(col("vec_id") >= 10)
       .withColumnRenamed("vec_id", "cid")
       .join(sig.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid"),
         Seq("table", "bucket"))
       .select(col("qid"), col("cid"))
       .distinct()
-    rerank(s, dir, ids, k)
   }
 
   /** Occupancy-bounded signature width: bits must grow with

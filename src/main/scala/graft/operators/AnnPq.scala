@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorExpressions
+import graft.functions.GraftFunctions.md5CoinLong
 
 /** Product quantization with asymmetric-distance (ADC) top-k — the
   * third leg of the quantized-ANN family next to SQ8 (per-dimension
@@ -62,7 +63,6 @@ object AnnPq {
     }
 
   def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val cb = codebook(s, dir)
     // the LUT flatten below is POSITIONAL (offset m*K + k): a fixture
     // missing any vec_id < K would silently shift every slot while the
@@ -72,23 +72,91 @@ object AnnPq {
       s"PQ codebook needs all $K training vectors (vec_id 0..${K - 1}) " +
         s"present: got ${cb.size} of ${M * K} (code, subspace) rows — " +
         "the embeddings fixture is missing low vec_ids")
-    // encode candidates in ONE codegen'd per-row kernel pass
-    // ([[graft.functions.PqEncode]]): quantize + per-subspace integer
-    // argmin (ties to the lower code) + offset packing, all inside the
-    // scan projection. The first form fanned every vector to M
-    // sub-rows, joined the 128-row broadcast codebook (16x more), and
-    // paid TWO aggregations to reassemble the code array — 26M
-    // intermediate rows at the 200k-vector scale set for what is a
-    // per-row loop over 1024 ints.
     val flat = new Array[Long](M * K * SubDim)
     cb.foreach { case (k, m, v) =>
       v.zipWithIndex.foreach { case (x, d) => flat((m * K + k) * SubDim + d) = x }
     }
+    search(s, dir, flat, K)
+  }
+
+  /** Lloyd-TRAINED per-subspace codebook — the production training path
+    * and the BENCHED default since r15 (the repo's own planted-cluster
+    * recall table showed the untrained lowest-vec_id codebook losing to
+    * a trained sibling ~3-5x, an anti-default): one k-means run per
+    * subspace over the deterministic md5-coin sample's quantized
+    * sub-vectors, 256 entries (8-bit codes, the FAISS default) when the
+    * sample can support them, the 16-entry oracle width otherwise.
+    * Deterministic (rank-spaced init, fixed iterations, no RNG) but not
+    * SQL-replayable — Lloyd means are order-sensitive FP — so the
+    * oracle gate keeps [[pqAdcTopK]]'s replayable model and the bench
+    * runs this one. Trained in grid units, means rounded back to the
+    * grid, so the search path (kernel encode, integer LUT, exact ADC
+    * sums) is identical in kind to the replayable form's. */
+  private def trainedCodebook(s: SparkSession, dir: String)
+      : (Array[Long], Int) =
+    Tables.memoizedAtConstruction(s, dir, "embeddings",
+        s"pqcb-trained-$M") {
+      import s.implicits._
+      val n = AnnLsh.embeddingCount(s, dir)
+      val every = math.max(1L, n / 10000L)
+      val sample = Tables.embeddings(s, dir)
+        .filter(pmod(md5CoinLong(col("vec_id")), lit(every)) === 0)
+        .orderBy(col("vec_id"))
+        .select(expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"))
+        .as[Array[Long]].collect()
+        .map(_.map(_.toDouble))
+      // 8-bit codes need enough training sub-vectors to tell 256
+      // entries apart; below 4×256 samples keep the 4-bit oracle width
+      val cbK = if (sample.length >= 1024) 256 else K
+      val flat = new Array[Long](M * cbK * SubDim)
+      (0 until M).foreach { m =>
+        val subs = sample.map(_.slice(m * SubDim, (m + 1) * SubDim))
+        val cb = AnnIvf.kmeans(subs, cbK, iters = 5)
+        (0 until cbK).foreach { k =>
+          var d = 0
+          while (d < SubDim) {
+            flat((m * cbK + k) * SubDim + d) = math.round(cb(k)(d))
+            d += 1
+          }
+        }
+      }
+      System.err.println(s"[pq] trained codebook: n=$n k=$cbK " +
+        s"sample=${sample.length}")
+      (flat, cbK)
+    }
+
+  /** Bench twin: the trained production codebook through the identical
+    * ADC search path. */
+  def pqAdcTopKTrained(s: SparkSession, dir: String): DataFrame = {
+    val (flat, cbK) = trainedCodebook(s, dir)
+    search(s, dir, flat, cbK)
+  }
+
+  /** The shared ADC search path, model-agnostic (`cbK` = codebook
+    * entries per subspace; both training paths feed it). */
+  private def search(s: SparkSession, dir: String, flat: Array[Long],
+      cbK: Int): DataFrame = {
+    import s.implicits._
+    // encode candidates in ONE codegen'd per-row kernel pass
+    // ([[graft.functions.PqEncode]]): quantize + per-subspace integer
+    // argmin (ties to the lower code) + offset packing, all inside the
+    // scan projection. The first form fanned every vector to M
+    // sub-rows, joined the broadcast codebook (16x more rows), and
+    // paid TWO aggregations to reassemble the code array — 26M
+    // intermediate rows at the 200k-vector scale set for what is a
+    // per-row loop over the codebook ints.
     val codes = Tables.embeddings(s, dir)
       .filter(col("vec_id") >= NQueries)
       .select(col("vec_id"),
-        VectorExpressions.pqEncode(col("embedding"), flat.toSeq, M, K, SubDim)
-          .as("codes"))
+        VectorExpressions.pqEncode(col("embedding"), flat.toSeq, M, cbK,
+          SubDim).as("codes"))
+    val cb = (0 until cbK).flatMap { k =>
+      (0 until M).map { m =>
+        (k, m, (0 until SubDim)
+          .map(d => flat((m * cbK + k) * SubDim + d)): Seq[Long])
+      }
+    }
     val cbDf = broadcast(cb.toDF("k", "cm", "cv"))
     // the 10 query rows keep the explode shape (bounded): quantized
     // sub-vectors against the broadcast codebook

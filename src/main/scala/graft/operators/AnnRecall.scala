@@ -20,7 +20,8 @@ import graft.functions.{TopK, VectorExpressions}
   * INDEX error — candidate pruning + codebook approximation — from the
   * grid quantization both sides share). Baselines and approximate
   * results are all (queries × k)-bounded collects; each exact baseline
-  * is one broadcast-join corpus scan, computed at most once per call. */
+  * is computed at most once per report and shared across the legs, the
+  * control, and every curve point. */
 object AnnRecall {
 
   private val K = 5
@@ -47,15 +48,19 @@ object AnnRecall {
   }
 
   /** Leg name → (metric, BENCH form) — the same form the timed sweep
-    * runs, so the recall number describes the benched index. */
+    * runs, so the recall number describes the benched index. Since r15
+    * the canonical PQ legs are the TRAINED production models (the
+    * benched defaults); the untrained SQL-replayable oracle forms are
+    * the explicit `_baseline` rows. */
   private val legs
       : Map[String, (String, (SparkSession, String) => DataFrame)] = Map(
     "sim_ann_lsh" -> (("cos", AnnLsh.annTopKScaled _)),
     "sim_ann_multiprobe" -> (("cos", AnnLsh.annMultiProbeScaled _)),
     "sim_ann_ivf" -> (("cos", AnnIvf.annIvfQuery _)),
-    "sim_pq_adc_topk" -> (("l2", AnnPq.pqAdcTopK _)),
-    "sim_ivfpq_topk" -> (("l2", AnnIvfPq.ivfPqTopK _)),
-    "sim_ivfpq_trained" -> (("l2", AnnIvfPq.ivfPqTopKTrained _)))
+    "sim_pq_adc_topk" -> (("l2", AnnPq.pqAdcTopKTrained _)),
+    "sim_pq_adc_baseline" -> (("l2", AnnPq.pqAdcTopK _)),
+    "sim_ivfpq_topk" -> (("l2", AnnIvfPq.ivfPqTopKTrained _)),
+    "sim_ivfpq_baseline" -> (("l2", AnnIvfPq.ivfPqTopK _)))
 
   private def meanRecall(base: Map[Long, Set[Long]],
       approx: Map[Long, Set[Long]]): Double = {
@@ -66,19 +71,18 @@ object AnnRecall {
     if (per.isEmpty) 0.0 else per.sum / per.size
   }
 
-  /** Mean recall@5 per requested leg (legs not in `names` are
-    * skipped, and a baseline is only computed if a selected leg needs
-    * it). A leg that errors reports -1 rather than aborting the rest. */
-  def recallAtK(s: SparkSession, dir: String,
-      names: Set[String]): Seq[(String, Double)] = {
+  /** The leg loop against CALLER-OWNED lazy baselines, so one report
+    * computes each exact scan at most once no matter how many legs and
+    * curves consume it. A leg that errors reports -1 rather than
+    * aborting the rest. */
+  private def legRecalls(s: SparkSession, dir: String, names: Set[String],
+      cosSets: () => Map[Long, Set[Long]],
+      l2Sets: () => Map[Long, Set[Long]]): Seq[(String, Double)] = {
     val wanted = legs.filter(kv => names(kv._1))
-    if (wanted.isEmpty) return Seq.empty
-    lazy val cosSets = topSets(SimilarityQueries.cosineTopK(s, dir))
-    lazy val l2Sets = topSets(exactGridL2(s, dir))
     wanted.toSeq.sortBy(_._1).map { case (name, (metric, fn)) =>
       val r =
         try {
-          val base = if (metric == "cos") cosSets else l2Sets
+          val base = if (metric == "cos") cosSets() else l2Sets()
           meanRecall(base, topSets(fn(s, dir)))
         } catch { case e: Throwable =>
           System.err.println(s"[recall] $name failed: $e"); -1.0
@@ -87,49 +91,130 @@ object AnnRecall {
     }
   }
 
+  /** Mean recall@5 per requested leg (legs not in `names` are
+    * skipped, and a baseline is only computed if a selected leg needs
+    * it). */
+  def recallAtK(s: SparkSession, dir: String,
+      names: Set[String]): Seq[(String, Double)] = {
+    if (!legs.keySet.exists(names)) return Seq.empty
+    lazy val cosSets = topSets(SimilarityQueries.cosineTopK(s, dir))
+    lazy val l2Sets = topSets(exactGridL2(s, dir))
+    legRecalls(s, dir, names, () => cosSets, () => l2Sets)
+  }
+
   /** One curve point: probe breadth, the corpus fraction it scans,
     * and the recall@5 it buys. */
   final case class NprobePoint(nprobe: Int, scanFrac: Double,
       recall: Double)
 
+  /** One OR-amplification point: a (tables, bits) sign-LSH geometry,
+    * its index size (rows per vector = tables), the candidate pairs
+    * its buckets yield (what the exact re-rank pays for), and the
+    * recall@5 it buys. */
+  final case class OrAmpPoint(tables: Int, bits: Int, indexRows: Long,
+      candPairs: Long, recall: Double)
+
   /** Structured-fixture recall report: every leg's recall@5 on a
     * planted-cluster fixture, the trained IVF-PQ's DELIBERATELY
     * MIS-TRAINED negative control (must read ≈ 0 — proving the metric
     * detects a broken index, which iid-random fixtures cannot), the
-    * trained leg's nprobe → recall curve (the scan-fraction trade
-    * behind the nprobe = nlist/8 default), and the exact-rerank IVF
+    * trained leg's nprobe → recall curve INCLUDING the full-breadth
+    * point (nprobe = nlist probes every cell, so its recall is the PQ
+    * code's ceiling — everything below it on the curve is routing
+    * loss, the gap from 1.0 at full breadth is code loss), the same
+    * curve at an ALTERNATIVE nlist (2× the default: finer cells =
+    * different routing at the same code budget), the exact-rerank IVF
     * leg's own nprobe curve (its codes are exact floats, so unlike the
-    * PQ curve it must reach 1.0 at full probe breadth — separating
-    * routing loss, which breadth buys back, from code loss, which it
-    * can't). */
+    * PQ curves it must reach 1.0 at full probe breadth), and the
+    * sign-LSH OR-amplification experiment (recall vs index-rows vs
+    * candidate cost across (tables, bits) geometries — the measured
+    * trade behind the production default). */
   final case class StructuredReport(legs: Seq[(String, Double)],
       negControl: Double, nlist: Int, curve: Seq[NprobePoint],
-      ivfNlist: Int, ivfCurve: Seq[NprobePoint])
+      altNlist: Int, altCurve: Seq[NprobePoint],
+      ivfNlist: Int, ivfCurve: Seq[NprobePoint],
+      orAmp: Seq[OrAmpPoint])
+
+  /** The nprobe ladder for a given nlist: powers of two up to and
+    * INCLUDING nlist (the full-breadth code-loss ceiling point). */
+  private def nprobeLadder(nlist: Int): Seq[Int] =
+    (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toSeq :+ nlist)
+      .distinct
+
+  private def trainedCurve(s: SparkSession, dir: String,
+      l2Sets: () => Map[Long, Set[Long]], nlist: Int,
+      nlistOverride: Int): Seq[NprobePoint] =
+    nprobeLadder(nlist).map { np =>
+      val r =
+        try meanRecall(l2Sets(),
+          topSets(AnnIvfPq.ivfPqTopKTrainedNprobe(s, dir, np,
+            nlistOverride)))
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[recall] nlist=$nlist nprobe=$np failed: $e"); -1.0
+        }
+      NprobePoint(np, np.toDouble / nlist, r)
+    }
+
+  /** The sign-LSH OR-amplification experiment (VERDICT r14 "What's
+    * missing #1"): the production top-k default widens `bits` with
+    * log₂(n) to bound bucket occupancy, which collapses per-table
+    * collision probability — and with it recall — as the corpus grows
+    * (measured 0.84 → 0.10 across 2k → 200k vectors). The standard
+    * lever a user reaches for is OR-amplification: more independent
+    * tables and/or fewer bits per table, trading index rows and
+    * re-rank candidates for collision probability. This measures that
+    * trade on the planted fixture: the production default, the
+    * reduced-bits variants at L = 4 and L = 16, and double-tables at
+    * the default width — recall, index rows, and candidate pairs per
+    * point, so the default is a recorded decision instead of prose. */
+  private def orAmpExperiment(s: SparkSession, dir: String,
+      cosSets: () => Map[Long, Set[Long]]): Seq[OrAmpPoint] = {
+    val n = AnnLsh.embeddingCount(s, dir)
+    val auto = AnnLsh.bitsFor(s, n)
+    val reduced = math.max(4, auto - 2)
+    val configs = Seq(
+      (16, auto),     // production default: occupancy ≈ 32/table
+      (4, reduced),   // quarter the tables, 4× the occupancy
+      (16, reduced),  // default tables, 4× the occupancy
+      (32, auto))     // double the tables at default occupancy
+      .distinct
+    configs.map { case (t, b) =>
+      try {
+        val cands = AnnLsh.candidatePairs(s, dir, t, b)
+        val cp = cands.count()
+        val r = meanRecall(cosSets(),
+          topSets(AnnLsh.rerank(s, dir, cands, K)))
+        OrAmpPoint(t, b, n * t, cp, r)
+      } catch { case e: Throwable =>
+        System.err.println(s"[recall] or-amp ($t, $b) failed: $e")
+        OrAmpPoint(t, b, n * t, -1L, -1.0)
+      }
+    }
+  }
 
   /** Compute the structured-fixture report against `dir` (a
     * planted-cluster fixture from [[graft.tools
     * .MakeClusteredEmbeddings]]). Exact baselines are computed once
     * and shared across the legs, the control, and every curve point. */
   def structuredReport(s: SparkSession, dir: String): StructuredReport = {
-    val legRecalls = recallAtK(s, dir, legs.keySet)
-    val l2Sets = topSets(exactGridL2(s, dir))
+    lazy val cosSets = topSets(SimilarityQueries.cosineTopK(s, dir))
+    lazy val l2Sets = topSets(exactGridL2(s, dir))
+    val legRecallSeq =
+      legRecalls(s, dir, legs.keySet, () => cosSets, () => l2Sets)
     val neg =
       try meanRecall(l2Sets, topSets(AnnIvfPq.ivfPqTopKMistrained(s, dir)))
       catch { case e: Throwable =>
         System.err.println(s"[recall] negctrl failed: $e"); -1.0
       }
     val nlist = AnnIvfPq.trainedNlist(s, dir)
-    val curve = Seq(1, 2, 4, 8, 16, 32, 64, 128)
-      .filter(np => np <= math.max(1, nlist / 2))
-      .map { np =>
-        val r =
-          try meanRecall(l2Sets,
-            topSets(AnnIvfPq.ivfPqTopKTrainedNprobe(s, dir, np)))
-          catch { case e: Throwable =>
-            System.err.println(s"[recall] nprobe=$np failed: $e"); -1.0
-          }
-        NprobePoint(np, np.toDouble / nlist, r)
-      }
+    val curve = trainedCurve(s, dir, () => l2Sets, nlist, 0)
+    // the nlist ALTERNATIVE: the same training pipeline pinned at 2×
+    // the auto-sized cell count — if recall at matched scan FRACTIONS
+    // improves, the default's loss is routing (cells too coarse); if
+    // the full-breadth ceilings match, the loss is in the code bytes
+    val altNlist = nlist * 2
+    val altCurve = trainedCurve(s, dir, () => l2Sets, altNlist, altNlist)
     // IVF breadth curve: same iters = 0 quantizer config as the benched
     // sim_ann_ivf leg (centroids memoized, so the sweep pays only the
     // probe joins), scored against the exact-cosine baseline. The
@@ -137,9 +222,8 @@ object AnnRecall {
     // scan — so recall there is 1.0 by construction unless the index
     // assignment itself is broken, which is exactly what the point
     // detects.
-    lazy val cosSets = topSets(SimilarityQueries.cosineTopK(s, dir))
-    val ivfNlist = 16
-    val ivfCurve = Seq(1, 2, 4, 8, ivfNlist).map { np =>
+    val ivfNlist = AnnIvf.DefaultNlist
+    val ivfCurve = nprobeLadder(ivfNlist).map { np =>
       val r =
         try meanRecall(cosSets,
           topSets(AnnIvf.annTopK(s, dir, nprobe = np, iters = 0)))
@@ -148,6 +232,8 @@ object AnnRecall {
         }
       NprobePoint(np, np.toDouble / ivfNlist, r)
     }
-    StructuredReport(legRecalls, neg, nlist, curve, ivfNlist, ivfCurve)
+    val orAmp = orAmpExperiment(s, dir, () => cosSets)
+    StructuredReport(legRecallSeq, neg, nlist, curve, altNlist, altCurve,
+      ivfNlist, ivfCurve, orAmp)
   }
 }

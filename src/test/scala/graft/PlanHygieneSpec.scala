@@ -223,12 +223,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       assert(p.contains("ObjectHashAggregate"),
         s"$name lacks the bounded TopK aggregate:\n$p")
     }
-    // the trained bench twin shares the search path but builds its
-    // own (auto-sized) model — pin its plan invariants independently
+    // the trained forms (the benched defaults since r15) share the
+    // search paths but build their own auto-sized models — pin their
+    // plan invariants independently of the oracle forms above
     val pt = plan(operators.AnnIvfPq.ivfPqTopKTrained(spark, dir))
     assert(!pt.contains("Window") && pt.contains("ObjectHashAggregate") &&
       pt.contains("BroadcastHashJoin") && !pt.contains("CartesianProduct"),
-      s"sim_ivfpq_trained plan regressed:\n$pt")
+      s"trained IVF-PQ plan regressed:\n$pt")
+    val pp = plan(operators.AnnPq.pqAdcTopKTrained(spark, dir))
+    assert(!pp.contains("Window") && pp.contains("ObjectHashAggregate"),
+      s"trained PQ-ADC plan regressed:\n$pp")
     // knnLabel keeps one window (the majority vote), but every window
     // must sit ABOVE the bounded aggregate — its input is ≤ queries × k
     // vote rows, never the scored candidate stream

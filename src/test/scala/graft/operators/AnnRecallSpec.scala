@@ -22,11 +22,22 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("trained pure-PQ (ADC) returns a full top-5 per query") {
+    val rows = AnnPq.pqAdcTopKTrained(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L),
+        s"query $q ranks: ${rs.mkString(",")}")
+    }
+  }
+
   test("recall harness: bounds hold and exact-metric legs score high") {
     val r = AnnRecall.recallAtK(spark, dir,
       Set("sim_ann_lsh", "sim_ann_multiprobe", "sim_ann_ivf",
-        "sim_pq_adc_topk", "sim_ivfpq_topk", "sim_ivfpq_trained")).toMap
-    assert(r.size === 6, s"missing legs: $r")
+        "sim_pq_adc_topk", "sim_pq_adc_baseline",
+        "sim_ivfpq_topk", "sim_ivfpq_baseline")).toMap
+    assert(r.size === 7, s"missing legs: $r")
     r.foreach { case (name, v) =>
       assert(v >= 0.0 && v <= 1.0, s"$name recall out of range: $v")
     }

@@ -62,29 +62,75 @@ class ClusteredRecallSpec extends AnyFunSuite {
     // codebook, ADC-only) measured 0.76 — within a few points of the
     // exact-rerank legs, versus 0.16 for the tiny 8×16 oracle-form
     // model on the same fixture: the recall axis now separates model
-    // quality, which the iid-random fixture never could
-    assert(legs("sim_ivfpq_trained") >= 0.65,
+    // quality, which the iid-random fixture never could. Since r15 the
+    // trained model IS the canonical sim_ivfpq_topk bench leg and the
+    // untrained oracle form is the explicit _baseline row.
+    assert(legs("sim_ivfpq_topk") >= 0.65,
       s"trained IVF-PQ recall too low on planted clusters: $legs")
+    assert(legs("sim_ivfpq_topk") > legs("sim_ivfpq_baseline"),
+      s"trained default does not beat its untrained baseline: $legs")
     // NEGATIVE CONTROL: a zeroed codebook must collapse to ≈ 0 — if
     // it doesn't, the metric cannot detect index breakage
     assert(r.negControl >= 0.0 && r.negControl <= 0.2,
       s"negative control failed to fail: ${r.negControl}")
-    assert(legs("sim_ivfpq_trained") - r.negControl >= 0.4,
-      s"gate does not separate: trained=${legs("sim_ivfpq_trained")} " +
+    assert(legs("sim_ivfpq_topk") - r.negControl >= 0.4,
+      s"gate does not separate: trained=${legs("sim_ivfpq_topk")} " +
         s"negctrl=${r.negControl}")
   }
 
-  test("nprobe curve: >= 4 points, recall non-trivial and widening") {
+  test("nprobe curve: >= 4 points, widening, full-breadth ceiling last") {
     val r = report
     assert(r.curve.size >= 4, s"curve too short: ${r.curve}")
     assert(r.curve.map(_.nprobe) === r.curve.map(_.nprobe).sorted)
-    r.curve.foreach(p => assert(p.scanFrac > 0 && p.scanFrac <= 0.5))
+    r.curve.foreach(p => assert(p.scanFrac > 0 && p.scanFrac <= 1.0))
+    // the last point probes EVERY cell (scan_frac 1.0): recall there is
+    // the PQ code's ceiling — the routing-vs-code-loss discriminator
+    assert(r.curve.last.nprobe === r.nlist,
+      s"curve must end at full breadth: ${r.curve}")
     // probing wider can only add candidates — recall at the widest
     // point must be at least the narrowest point's
     assert(r.curve.last.recall >= r.curve.head.recall,
       s"recall shrank with probe breadth: ${r.curve}")
     assert(r.curve.last.recall >= 0.6,
       s"widest probe still can't retrieve planted structure: ${r.curve}")
+  }
+
+  test("alt-nlist curve: same pipeline at 2x cells, full breadth last") {
+    val r = report
+    assert(r.altNlist === 2 * r.nlist)
+    assert(r.altCurve.nonEmpty)
+    assert(r.altCurve.last.nprobe === r.altNlist)
+    r.altCurve.foreach(p =>
+      assert(p.recall >= -1.0 && p.recall <= 1.0, s"${r.altCurve}"))
+    // full breadth scans every cell regardless of geometry, so the two
+    // ceilings measure the same codes — they may differ only through
+    // residual geometry (finer cells = smaller residuals), never by
+    // routing; a collapse here means the pinned-nlist training broke
+    assert(r.altCurve.last.recall >= r.curve.last.recall - 0.25,
+      s"alt-nlist ceiling implausibly below default: alt=${r.altCurve} " +
+        s"default=${r.curve}")
+  }
+
+  test("or-amplification: measured trade with the default included") {
+    val r = report
+    assert(r.orAmp.size >= 3, s"experiment too small: ${r.orAmp}")
+    // the production default geometry must be one of the points so the
+    // trade is measured AGAINST something
+    val n = 2000L
+    val auto = 6 // bitsFor(2000) = max(6, ceil(log2(2000/32))) = 6
+    assert(r.orAmp.exists(p => p.tables == 16 && p.bits == auto),
+      s"default geometry missing: ${r.orAmp}")
+    r.orAmp.foreach { p =>
+      assert(p.recall >= 0.0 && p.recall <= 1.0, s"${r.orAmp}")
+      assert(p.indexRows === n * p.tables)
+      assert(p.candPairs >= 0L)
+    }
+    // fewer bits per table = more collisions = more candidates — the
+    // cost side of the amplification trade must actually move
+    val byBits = r.orAmp.filter(_.tables == 16).sortBy(_.bits)
+    if (byBits.size >= 2)
+      assert(byBits.head.candPairs >= byBits.last.candPairs,
+        s"reduced bits did not widen candidates: ${r.orAmp}")
   }
 
   test("ivf curve: exact-rerank recall reaches 1.0 at full breadth") {

@@ -18,7 +18,8 @@ def load(p):
     # ANN recall@5 per leg, the co-load/steal guard stamp, and the
     # per-row repeat counts (which rows used the fast-row 3-repeat rule)
     for k in ("recall", "recall_structured", "coload", "reps",
-              "calib_sec", "comparable_total", "comparable_n"):
+              "calib_sec", "calib_end_sec", "calib_mid", "calib_mid_limit",
+              "comparable_total", "comparable_n"):
         if k in d:
             out[k] = d[k]
     return out

@@ -10,13 +10,16 @@
 # degradation tripwire; a leg past SPARK_GRAFT_CALIB_LIMIT (default
 # 10 s) self-reports coload.flagged=true.
 #
-# Produces /tmp/bench_sf{01,1,10}.json; assemble with
-# tools/assemble_bench.py.
+# Produces /tmp/bench_sf{01,1,10}_<runid>.json — the run id defaults to
+# the epoch second so repeated sweeps can never silently clobber an
+# earlier record (r14 lost a clean record exactly that way and had to
+# reconstruct it from the log). Assemble with tools/assemble_bench.py.
 #
-# Usage: tools/run_sweep.sh [repeats]
+# Usage: tools/run_sweep.sh [repeats] [runid]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 REPEATS="${1:-2}"
+RUN_ID="${2:-$(date +%s)}"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -27,7 +30,7 @@ done
 java $OPENS -Xms48g -Xmx48g -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.BenchSweep "$REPEATS" \
-  /root/testdata/sf0.1:/tmp/bench_sf01.json \
-  /root/repo/benchdata/sf1:/tmp/bench_sf1.json \
-  /root/repo/benchdata/sf10:/tmp/bench_sf10.json
-echo "done: /tmp/bench_sf01.json /tmp/bench_sf1.json /tmp/bench_sf10.json"
+  "/root/testdata/sf0.1:/tmp/bench_sf01_${RUN_ID}.json" \
+  "/root/repo/benchdata/sf1:/tmp/bench_sf1_${RUN_ID}.json" \
+  "/root/repo/benchdata/sf10:/tmp/bench_sf10_${RUN_ID}.json"
+echo "done: /tmp/bench_sf01_${RUN_ID}.json /tmp/bench_sf1_${RUN_ID}.json /tmp/bench_sf10_${RUN_ID}.json"
