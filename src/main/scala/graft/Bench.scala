@@ -295,6 +295,38 @@ object Bench {
     val midProbes = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     var prevFamily: String = null
 
+    // Per-row HISTORY tripwire — the second mechanism closing the
+    // blind window (r14 showed family-boundary probes can read just
+    // under their limit while a fault-path event inflates the
+    // checkpoint-heavy rows 3x between two probes). Against the
+    // checked-in per-SF history (tools/bench_history.json, refreshed
+    // each round from the latest guard-clean sweep), any row reading
+    // >3x its history fires an IMMEDIATE untimed mini-probe: probe hot
+    // => host event, leg self-reports flagged; probe clean => the
+    // regression is real and the artifact says exactly which row to
+    // investigate. Rows under 0.3 s history are exempt (timer noise
+    // flips sub-second ratios; r11's rollup_returns measured 16.4x on
+    // one descheduled task).
+    val sfName = new java.io.File(sfDir).getName
+    val historyTimes: Map[String, Double] =
+      try {
+        val path = sys.env.getOrElse("SPARK_GRAFT_HISTORY",
+          "/root/repo/tools/bench_history.json")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val start = txt.indexOf("\"" + sfName + "\"")
+        if (start < 0) Map.empty
+        else {
+          val open = txt.indexOf('{', start)
+          val close = txt.indexOf('}', open)
+          "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+            .findAllMatchIn(txt.substring(open + 1, close))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val historyTrips =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+
     // Co-load guard: the r12 official sweep was distorted 23% by a
     // concurrent JVM the single-job calibration probe cannot see (it
     // saturates the box itself, so co-load only stretches it a little).
@@ -486,6 +518,17 @@ object Bench {
         System.err.println(f"[bench] WARNING: $name ran under " +
           f"${rowStealFrac * 100}%.1f%% hypervisor steal — treat its " +
           "time as contaminated")
+      val histPrev = historyTimes.getOrElse(name, 0.0)
+      if (ok && !skipped && histPrev >= 0.3 && sec > 3.0 * histPrev) {
+        val ratio = sec / histPrev
+        val probe = miniCalibProbe()
+        historyTrips += ((name, ratio, probe))
+        System.err.println(f"[bench] WARNING: $name read $sec%.3f s = " +
+          f"$ratio%.1fx its checked-in history ($histPrev%.3f s); " +
+          f"immediate probe $probe%.3f s (limit $calibMidLimit%.1f) — " +
+          (if (probe > calibMidLimit) "host degraded, leg self-reports flagged"
+           else "probe clean: investigate this row as a real regression"))
+      }
       (name, if (!ok) -1.0 else if (skipped) Double.NaN else sec, rep,
         rowStealFrac)
     }
@@ -518,7 +561,12 @@ object Bench {
     System.err.println(f"[bench] calibration probe (end): $calibEndSec%.3f s")
     val calibMidMax = if (midProbes.isEmpty) 0.0 else midProbes.map(_._2).max
     val calibFlag = calibSec > calibLimit || calibEndSec > calibLimit ||
-      calibMidMax > calibMidLimit
+      calibMidMax > calibMidLimit ||
+      // a history trip whose immediate probe also read hot is direct
+      // evidence the host was degraded WHILE that row ran; a trip with
+      // a clean probe stays in history_trips as a regression pointer
+      // without flagging the leg
+      historyTrips.exists(_._3 > calibMidLimit)
     val coloadFlag = coloadFrac > 0.05 || stealFrac > 0.05 || calibFlag
     if (coloadFlag)
       System.err.println(f"[bench] WARNING: co-load guard tripped — " +
@@ -654,12 +702,17 @@ object Bench {
     }
     val calibMidJson = midProbes
       .map { case (f, t) => q(f) + ":" + num(t) }.mkString("{", ",", "}")
+    val historyTripsJson = historyTrips
+      .map { case (n, r, p) =>
+        s"""{"row":${q(n)},"ratio":${num(r)},"probe_sec":${num(p)}}""" }
+      .mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
         s""""reps":$repsJson,"row_steal":$rowStealJson,""" +
         s""""skipped":${arr(skippedNames)},"errors":${arr(errorNames)},""" +
         s""""calib_sec":${num(calibSec)},"calib_end_sec":${num(calibEndSec)},""" +
         s""""calib_mid":$calibMidJson,"calib_mid_limit":${num(calibMidLimit)},""" +
+        s""""history_trips":$historyTripsJson,""" +
         s""""coload":$coloadJson,""" +
         s""""recall":$recallJson,"recall_structured":$structuredJson,""" +
         s"""$comparableJson,"sf":${q(sfDir)}}"""
@@ -679,6 +732,7 @@ object Bench {
         s""""errors":${arr(errorNames)},"calib_sec":${num(calibSec)},""" +
         s""""calib_end_sec":${num(calibEndSec)},""" +
         s""""calib_mid_max":${num(calibMidMax)},""" +
+        s""""history_trips_n":${historyTrips.size},""" +
         s""""coload":$coloadJson,"recall":$recallJson,""" +
         s""""recall_structured":$structuredJson,$comparableJson,""" +
         s""""full":${q(fullPath)},"sf":${q(sfDir)}}""")

@@ -147,7 +147,8 @@ object AnnIvfPq {
     * md5-coin sample, then a per-subspace Lloyd codebook over the
     * sample's residuals (classic FAISS IVFPQ training; Jégou TPAMI
     * 2011 §IV.A). The index is sized the way a production build would
-    * be — nlist ≈ √n (power of two, floor 16), nprobe = nlist/8
+    * be — nlist ≈ √n (log-nearest power of two, floor 16), nprobe =
+    * nlist/8
     * (fixed ~12.5% list-scan fraction), 256 codebook entries per
     * subspace (8-bit codes, the FAISS default) when the sample can
     * support them — versus the oracle form's deliberately tiny
@@ -179,10 +180,18 @@ object AnnIvfPq {
       nlistOverride: Int = 0)
       : (Array[Array[Long]], Array[Long], Int, Int, Int) = {
     val n = AnnLsh.embeddingCount(s, dir)
+    // log-NEAREST power of two of √n, not the floor: the r15 sf10
+    // planted-fixture sweep measured the pow2-floor (nlist=256 at
+    // n=200k, √n≈447) costing 0.14 recall vs 512 AT THE SAME
+    // nprobe/nlist scan fraction — finer cells shrink the residuals
+    // every PQ code encodes, so the code budget stretches further.
     val nlist =
       if (nlistOverride > 0) nlistOverride
-      else math.max(NList,
-        Integer.highestOneBit(math.max(1, math.sqrt(n.toDouble).toInt)))
+      else {
+        val r = math.max(1, math.sqrt(n.toDouble).toInt)
+        val h = Integer.highestOneBit(r)
+        math.max(NList, if (r.toLong * r > 2L * h * h) h * 2 else h)
+      }
     val m = TrainedM
     val subDim = TrainedSubDim
     Tables.memoizedAtConstruction(s, dir, "embeddings",

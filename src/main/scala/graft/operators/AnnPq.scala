@@ -79,6 +79,17 @@ object AnnPq {
     search(s, dir, flat, K)
   }
 
+  // Trained-leg geometry: 16 subspaces of 4 dims × 256 entries =
+  // 16-byte codes, the same byte budget as the trained IVF-PQ leg.
+  // The r15 sf10 planted-fixture curve showed the coarser 8×8 trained
+  // code PLATEAUING at 0.22 recall even at full scan breadth — pure
+  // code loss: flat PQ has no residual step, so within-cluster
+  // ranking (the planted fixture's top-k is ~100 cluster siblings)
+  // needs finer subspace cells, not more probes. Halving SubDim
+  // quarters the per-subspace volume each 256-entry codebook covers.
+  private val TrainedM = 16
+  private val TrainedSubDim = 4
+
   /** Lloyd-TRAINED per-subspace codebook — the production training path
     * and the BENCHED default since r15 (the repo's own planted-cluster
     * recall table showed the untrained lowest-vec_id codebook losing to
@@ -92,10 +103,10 @@ object AnnPq {
     * runs this one. Trained in grid units, means rounded back to the
     * grid, so the search path (kernel encode, integer LUT, exact ADC
     * sums) is identical in kind to the replayable form's. */
-  private def trainedCodebook(s: SparkSession, dir: String)
-      : (Array[Long], Int) =
+  private def trainedCodebook(s: SparkSession, dir: String,
+      tm: Int, tSubDim: Int): (Array[Long], Int) =
     Tables.memoizedAtConstruction(s, dir, "embeddings",
-        s"pqcb-trained-$M") {
+        s"pqcb-trained-$tm") {
       import s.implicits._
       val n = AnnLsh.embeddingCount(s, dir)
       val every = math.max(1L, n / 10000L)
@@ -109,34 +120,36 @@ object AnnPq {
       // 8-bit codes need enough training sub-vectors to tell 256
       // entries apart; below 4×256 samples keep the 4-bit oracle width
       val cbK = if (sample.length >= 1024) 256 else K
-      val flat = new Array[Long](M * cbK * SubDim)
-      (0 until M).foreach { m =>
-        val subs = sample.map(_.slice(m * SubDim, (m + 1) * SubDim))
+      val flat = new Array[Long](tm * cbK * tSubDim)
+      (0 until tm).foreach { m =>
+        val subs = sample.map(_.slice(m * tSubDim, (m + 1) * tSubDim))
         val cb = AnnIvf.kmeans(subs, cbK, iters = 5)
         (0 until cbK).foreach { k =>
           var d = 0
-          while (d < SubDim) {
-            flat((m * cbK + k) * SubDim + d) = math.round(cb(k)(d))
+          while (d < tSubDim) {
+            flat((m * cbK + k) * tSubDim + d) = math.round(cb(k)(d))
             d += 1
           }
         }
       }
-      System.err.println(s"[pq] trained codebook: n=$n k=$cbK " +
+      System.err.println(s"[pq] trained codebook: n=$n m=$tm k=$cbK " +
         s"sample=${sample.length}")
       (flat, cbK)
     }
 
-  /** Bench twin: the trained production codebook through the identical
-    * ADC search path. */
+  /** Bench twin: the trained production codebook (16×4×256 geometry)
+    * through the identical ADC search path. */
   def pqAdcTopKTrained(s: SparkSession, dir: String): DataFrame = {
-    val (flat, cbK) = trainedCodebook(s, dir)
-    search(s, dir, flat, cbK)
+    val (flat, cbK) = trainedCodebook(s, dir, TrainedM, TrainedSubDim)
+    search(s, dir, flat, cbK, TrainedM, TrainedSubDim)
   }
 
   /** The shared ADC search path, model-agnostic (`cbK` = codebook
-    * entries per subspace; both training paths feed it). */
+    * entries per subspace, `m`×`subDim` = the code geometry; both
+    * training paths feed it — the oracle form at 8×8, the trained
+    * bench form at 16×4). */
   private def search(s: SparkSession, dir: String, flat: Array[Long],
-      cbK: Int): DataFrame = {
+      cbK: Int, m: Int = M, subDim: Int = SubDim): DataFrame = {
     import s.implicits._
     // encode candidates in ONE codegen'd per-row kernel pass
     // ([[graft.functions.PqEncode]]): quantize + per-subspace integer
@@ -149,12 +162,12 @@ object AnnPq {
     val codes = Tables.embeddings(s, dir)
       .filter(col("vec_id") >= NQueries)
       .select(col("vec_id"),
-        VectorExpressions.pqEncode(col("embedding"), flat.toSeq, M, cbK,
-          SubDim).as("codes"))
+        VectorExpressions.pqEncode(col("embedding"), flat.toSeq, m, cbK,
+          subDim).as("codes"))
     val cb = (0 until cbK).flatMap { k =>
-      (0 until M).map { m =>
-        (k, m, (0 until SubDim)
-          .map(d => flat((m * cbK + k) * SubDim + d)): Seq[Long])
+      (0 until m).map { mi =>
+        (k, mi, (0 until subDim)
+          .map(d => flat((mi * cbK + k) * subDim + d)): Seq[Long])
       }
     }
     val cbDf = broadcast(cb.toDF("k", "cm", "cv"))
@@ -165,10 +178,10 @@ object AnnPq {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
         .as("v"))
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("m"),
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})")).as("m"),
         col("v"))
       .select(col("vec_id"), col("m"),
-        expr(s"slice(v, m * $SubDim + 1, $SubDim)").as("sv"))
+        expr(s"slice(v, m * $subDim + 1, $subDim)").as("sv"))
     // per-query ADC lookup table: exact distance from the query's
     // sub-vector to every codebook entry, flattened in m*K + k order
     // (the same offsets the code array carries)

@@ -19,7 +19,7 @@ def load(p):
     # per-row repeat counts (which rows used the fast-row 3-repeat rule)
     for k in ("recall", "recall_structured", "coload", "reps",
               "calib_sec", "calib_end_sec", "calib_mid", "calib_mid_limit",
-              "comparable_total", "comparable_n"):
+              "history_trips", "comparable_total", "comparable_n"):
         if k in d:
             out[k] = d[k]
     return out
