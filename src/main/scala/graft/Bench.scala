@@ -519,7 +519,17 @@ object Bench {
           f"${rowStealFrac * 100}%.1f%% hypervisor steal — treat its " +
           "time as contaminated")
       val histPrev = historyTimes.getOrElse(name, 0.0)
-      if (ok && !skipped && histPrev >= 0.3 && sec > 3.0 * histPrev) {
+      // Long rows get a TIGHTER ratio: the r15c sweep measured a host
+      // event hiding +142 s inside the 471 s converged-pagerank row at
+      // 1.43x its history — under the 3x threshold that guards short
+      // rows against timer/first-repeat noise. A >=30 s-history row's
+      // run-to-run noise is percent-scale, so 1.4x is already signal;
+      // its trip usually lands AFTER the event ended, so the immediate
+      // probe reads clean and the trip records as a regression POINTER
+      // (ratio + clean probe) rather than flagging the leg — exactly
+      // the honest middle ground for evidence the probes cannot reach.
+      val tripRatio = if (histPrev >= 30.0) 1.4 else 3.0
+      if (ok && !skipped && histPrev >= 0.3 && sec > tripRatio * histPrev) {
         val ratio = sec / histPrev
         val probe = miniCalibProbe()
         historyTrips += ((name, ratio, probe))
