@@ -100,6 +100,8 @@ object Bench {
         // models stay benched as the explicit _baseline rows below.
         "sim_ivfpq_topk" -> ((s, d) =>
           graft.operators.AnnIvfPq.ivfPqTopKTrained(s, d)),
+        "sim_ivfpq_refine" -> ((s, d) =>
+          graft.operators.AnnIvfPq.ivfPqRefineTopKTrained(s, d)),
         "sim_pq_adc_topk" -> ((s, d) =>
           graft.operators.AnnPq.pqAdcTopKTrained(s, d)))
 
@@ -200,7 +202,7 @@ object Bench {
         // k-means) is construction-memoized — first repeat pays it.
         // Since r15 these canonical names BENCH the trained models
         // (benchForms), so the training cost lands here.
-        "sim_ivfpq_topk", "sim_pq_adc_topk",
+        "sim_ivfpq_topk", "sim_ivfpq_refine", "sim_pq_adc_topk",
         // quantileSelect's CONSTRUCTION runs its driver-side control
         // jobs (bounds + histogram + sub-histogram — 3 corpus scans);
         // not memoized (each repeat honestly rebuilds), but the

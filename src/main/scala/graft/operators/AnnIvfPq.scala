@@ -288,6 +288,20 @@ object AnnIvfPq {
       cents: Array[Array[Long]], cbFlat: Array[Long],
       cbK: Int = K, nprobe: Int = NProbe,
       m: Int = M, subDim: Int = SubDim): DataFrame = {
+    val scored = adcScored(s, dir, cents, cbFlat, cbK, nprobe, m, subDim)
+    TopK.perQueryTopK(scored, col("adc_d2"), TopKN, desc = false,
+        scoreName = "adc_d2_d")
+      .select(col("qid"), col("rank"), col("cid"),
+        col("adc_d2_d").cast("long").as("adc_d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The ADC-scored candidate frame (qid, cid, adc_d2) both finishes
+    * share: the plain top-k takes the ADC order as final; the REFINE
+    * finish treats it as a shortlist generator. */
+  private def adcScored(s: SparkSession, dir: String,
+      cents: Array[Array[Long]], cbFlat: Array[Long],
+      cbK: Int, nprobe: Int, m: Int, subDim: Int): DataFrame = {
     require(m * subDim == Dim, s"PQ geometry $m x $subDim != $Dim")
     val centsFlat = cents.flatten.toSeq
 
@@ -337,13 +351,73 @@ object AnnIvfPq {
     // the probe IS an equi-join on the inverted-list key; ADC sums are
     // integers ≤ 64·(4e4)² ≈ 1e11 ≪ 2^53, exact through the TopK
     // aggregate's double and back
-    val scored = enc.join(broadcast(lutDf), "cell")
+    enc.join(broadcast(lutDf), "cell")
       .select(col("qid"), col("cid"),
         VectorExpressions.sumLookup(col("codes"), col("lut")).as("adc_d2"))
-    TopK.perQueryTopK(scored, col("adc_d2"), TopKN, desc = false,
-        scoreName = "adc_d2_d")
+  }
+
+  // ADC-shortlist width for the refine finish: 4x the answer size —
+  // the FAISS IndexRefineFlat k_factor convention (Jégou TPAMI 2011
+  // §V.D reranking; Johnson et al. 2017). The planted-fixture curves
+  // showed the code, not the routing, binds IVF-PQ recall at scale
+  // (full-breadth plateaus 0.48@256 / 0.66@512 cells at sf10), which
+  // is exactly the loss an exact re-rank of the shortlist removes.
+  private val RefineC = 4 * TopKN
+
+  /** IVF-PQ with EXACT RE-RANK — the production "refine" topology:
+    * the ADC scan picks a per-query shortlist of RefineC candidates
+    * (cheap, code-width distances), then ONLY those rows' true vectors
+    * are scored exactly and re-ranked. Scale shape: the shortlist is
+    * bounded (|queries| x RefineC), so the refine pass is ONE more
+    * corpus scan projecting (vec_id, embedding) into a broadcast-hash
+    * join against the shortlist — no shuffle, no window; at 100 TB the
+    * candidate float-vector reads are the only full-width reads on the
+    * whole path (the index scan stays m code-bytes/vector). Distances
+    * are exact integers on the 1e4 grid end to end, so the oracle form
+    * below replays bit-identically in DuckDB. */
+  def ivfPqRefineTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(s, dir)
+    val cbFlat = residualCodebook(s, dir, cents)
+    refineSearch(s, dir,
+      adcScored(s, dir, cents, cbFlat, K, NProbe, M, SubDim))
+  }
+
+  /** Bench twin: the trained auto-sized model through the identical
+    * refine finish. */
+  def ivfPqRefineTopKTrained(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cbFlat, nprobe, cbK, m) = trainedModel(s, dir)
+    refineSearch(s, dir,
+      adcScored(s, dir, cents, cbFlat, cbK, nprobe, m, Dim / m))
+  }
+
+  /** Shared refine finish: bounded ADC shortlist -> broadcast join to
+    * the true vectors -> exact integer L2 -> bounded top-k. */
+  private def refineSearch(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    val short = TopK.perQueryTopK(scored, col("adc_d2"), RefineC,
+        desc = false, scoreName = "adc_d2_d")
+      .select(col("qid"), col("cid"))
+    // bounded query vectors, driver-side like the LUT build
+    val qRows = Tables.embeddings(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .collect()
+      .map(r => Row(r.getLong(0), quantize(r.getSeq[Float](1)).toSeq))
+    val qDf = s.createDataFrame(
+      java.util.Arrays.asList(qRows: _*),
+      StructType(Seq(
+        StructField("qid", LongType),
+        StructField("qv", ArrayType(LongType, containsNull = false)))))
+    val cand = broadcast(short.join(broadcast(qDf), "qid"))
+    val exact = Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cid"), quantExpr.as("cv"))
+      .join(cand, "cid")
+      .select(col("qid"), col("cid"),
+        VectorExpressions.quantL2Sq(col("qv"), col("cv")).as("exact_d2"))
+    TopK.perQueryTopK(exact, col("exact_d2"), TopKN, desc = false,
+        scoreName = "exact_d2_d")
       .select(col("qid"), col("rank"), col("cid"),
-        col("adc_d2_d").cast("long").as("adc_d2"))
+        col("exact_d2_d").cast("long").as("exact_d2"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -353,8 +427,9 @@ object AnnIvfPq {
 
   /** Exact DuckDB replay. Assumes the corpus is ≤10k vectors (true at
     * oracle scale), so the centroid training sample is the full table
-    * ordered by vec_id — the [[AnnIvf.annIvfSql]] convention. */
-  val ivfPqTopKSql: String =
+    * ordered by vec_id — the [[AnnIvf.annIvfSql]] convention. The CTE
+    * chain through `adc` is shared with [[ivfPqRefineSql]]. */
+  private val ivfPqSqlPrefix: String =
     s"""WITH qv AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
@@ -414,16 +489,47 @@ object AnnIvfPq {
        |  SELECT l.qid, e.vec_id AS cid, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
        |  FROM enc e JOIN lut l
        |    ON e.cell = l.cell AND e.m = l.m AND e.code = l.k
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val ivfPqTopKSql: String = ivfPqSqlPrefix +
+    s"""
        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, adc_d2 FROM (
        |  SELECT qid, cid, adc_d2,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rank
        |  FROM adc)
        |WHERE rank <= $TopKN ORDER BY qid, rank""".stripMargin
 
+  /** Refine replay: the shared chain's ADC ranking truncated at
+    * RefineC per query, exact grid-integer L2 on the shortlist only,
+    * re-ranked — mirrors [[refineSearch]]'s (score, cid) total order
+    * at both cuts. */
+  val ivfPqRefineSql: String = ivfPqSqlPrefix +
+    s""",
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS srk
+       |    FROM adc)
+       |  WHERE srk <= $RefineC),
+       |refined AS (
+       |  SELECT s.qid, s.cid,
+       |    CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])),
+       |      (a, b) -> a + b) AS BIGINT) AS exact_d2
+       |  FROM short s
+       |  JOIN qv q ON q.vec_id = s.qid
+       |  JOIN qv c ON c.vec_id = s.cid)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, exact_d2 FROM (
+       |  SELECT qid, cid, exact_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact_d2, cid) AS rank
+       |  FROM refined)
+       |WHERE rank <= $TopKN ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_ivfpq_topk" -> (ivfPqTopK _))
+    "sim_ivfpq_topk" -> (ivfPqTopK _),
+    "sim_ivfpq_refine" -> (ivfPqRefineTopK _))
 
   val oracles: Map[String, String] = Map(
-    "sim_ivfpq_topk" -> ivfPqTopKSql)
+    "sim_ivfpq_topk" -> ivfPqTopKSql,
+    "sim_ivfpq_refine" -> ivfPqRefineSql)
 }

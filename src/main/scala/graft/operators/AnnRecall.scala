@@ -60,6 +60,7 @@ object AnnRecall {
     "sim_pq_adc_topk" -> (("l2", AnnPq.pqAdcTopKTrained _)),
     "sim_pq_adc_baseline" -> (("l2", AnnPq.pqAdcTopK _)),
     "sim_ivfpq_topk" -> (("l2", AnnIvfPq.ivfPqTopKTrained _)),
+    "sim_ivfpq_refine" -> (("l2", AnnIvfPq.ivfPqRefineTopKTrained _)),
     "sim_ivfpq_baseline" -> (("l2", AnnIvfPq.ivfPqTopK _)))
 
   private def meanRecall(base: Map[Long, Set[Long]],

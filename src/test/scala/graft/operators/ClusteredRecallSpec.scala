@@ -76,6 +76,15 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(legs("sim_ivfpq_topk") - r.negControl >= 0.4,
       s"gate does not separate: trained=${legs("sim_ivfpq_topk")} " +
         s"negctrl=${r.negControl}")
+    // REFINE (r15): exact re-rank of the 4k ADC shortlist removes code
+    // loss, so the refine leg must dominate its ADC-only sibling and
+    // approach the exact legs — the full-breadth curve ceilings showed
+    // code loss binds IVF-PQ recall, and this is the topology that
+    // spends one bounded exact pass to buy it back
+    assert(legs("sim_ivfpq_refine") >= legs("sim_ivfpq_topk"),
+      s"refine does not dominate ADC-only: $legs")
+    assert(legs("sim_ivfpq_refine") >= 0.8,
+      s"refined IVF-PQ recall too low on planted clusters: $legs")
   }
 
   test("nprobe curve: >= 4 points, widening, full-breadth ceiling last") {
