@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Print the formatted physical plan of one registered query (or a
+  * bench form by name via graft.Bench's maps is out of scope — pass
+  * any SparkEntry.queries key, or "refine_trained" for the r15 bench
+  * twin). Plan-audit loop: grep the output for Exchange / Broadcast /
+  * PushedFilters instead of paying a timed run. */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q1_pricing_summary")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = name match {
+      case "refine_trained" =>
+        graft.operators.AnnIvfPq.ivfPqRefineTopKTrained(spark, dir)
+      case n => graft.SparkEntry.queries(n)(spark, dir)
+    }
+    df.explain("formatted")
+    spark.stop()
+  }
+}
