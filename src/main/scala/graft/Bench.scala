@@ -44,7 +44,8 @@ object Bench {
     val spark = session()
     runLeg(spark, matches, repeats,
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"),
+      filtered = tokens.nonEmpty)
     spark.stop()
   }
 
@@ -58,7 +59,7 @@ object Bench {
     * One JVM touches the heap once and keeps it. */
   private[graft] def runLeg(spark: SparkSession,
       matches: String => Boolean, repeats: Int, sfDir: String,
-      fullPath: String): Unit = {
+      fullPath: String, filtered: Boolean = false): Unit = {
 
     // warm the JVM + parquet footers once with the flagship query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -316,16 +317,39 @@ object Bench {
           "/root/repo/tools/bench_history.json")
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
-        val start = txt.indexOf("\"" + sfName + "\"")
+        // the SF key must be a KEY (next non-space char is ':'), not an
+        // SF name quoted inside a string field like "source"
+        val start = Iterator.iterate(txt.indexOf("\"" + sfName + "\""))(
+            i => txt.indexOf("\"" + sfName + "\"", i + 1))
+          .takeWhile(_ >= 0)
+          .find { i =>
+            val after = txt.drop(i + sfName.length + 2).dropWhile(_.isWhitespace)
+            after.startsWith(":")
+          }.getOrElse(-1)
         if (start < 0) Map.empty
         else {
+          // brace-DEPTH scan, not first-'}': a nested object inside the
+          // per-SF map would otherwise truncate the entries silently
           val open = txt.indexOf('{', start)
-          val close = txt.indexOf('}', open)
+          var depth = 0
+          var close = open
+          while (close < txt.length &&
+              { val c = txt.charAt(close)
+                if (c == '{') depth += 1 else if (c == '}') depth -= 1
+                depth != 0 }) close += 1
           "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
             .findAllMatchIn(txt.substring(open + 1, close))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
+    // a guard that silently disables itself contradicts the repo's
+    // self-announcing-guard rule: an empty history map means the
+    // tripwire is OFF for this whole leg — say so next to the artifact
+    if (historyTimes.isEmpty)
+      System.err.println(s"[bench] WARNING: history tripwire disabled " +
+        s"for this leg — no entries for '$sfName' in " +
+        sys.env.getOrElse("SPARK_GRAFT_HISTORY",
+          "/root/repo/tools/bench_history.json"))
     val historyTrips =
       scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
 
@@ -531,7 +555,16 @@ object Bench {
       // (ratio + clean probe) rather than flagging the leg — exactly
       // the honest middle ground for evidence the probes cannot reach.
       val tripRatio = if (histPrev >= 30.0) 1.4 else 3.0
-      if (ok && !skipped && histPrev >= 0.3 && sec > tripRatio * histPrev) {
+      // heavyConstruction rows' first-repeat accounting depends on which
+      // memo-sharing siblings ran earlier in the sweep; a NAME-FILTERED
+      // run can change that warmth (e.g. graph_pagerank_converged
+      // without graph_pagerank pays the adjacency build its history
+      // recorded warm), so the tripwire would fire on an accounting
+      // artifact, not the host or the code. Full sweeps — the ones
+      // history is refreshed from — keep the tripwire for every row.
+      val warmthComparable = !(filtered && heavyConstruction(name))
+      if (ok && !skipped && warmthComparable &&
+          histPrev >= 0.3 && sec > tripRatio * histPrev) {
         val ratio = sec / histPrev
         val probe = miniCalibProbe()
         historyTrips += ((name, ratio, probe))

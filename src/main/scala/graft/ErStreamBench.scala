@@ -59,14 +59,16 @@ object ErStreamBench {
       }
       .toDF("src_id", "dname")
 
-    val r = StreamBench.measure(spark, rate, seconds) {
-      EntityResolution.bestMatchStream(stream, spark, dir)
-        .writeStream.format("noop").outputMode("append").start()
-    }
+    val (r, g) = StreamGuard.guarded(spark, "er_stream") {
+      StreamBench.measure(spark, rate, seconds) {
+        EntityResolution.bestMatchStream(stream, spark, dir)
+          .writeStream.format("noop").outputMode("append").start()
+      }
+    }(_.meanRps)
     val line =
       s"""{"metric":"er_stream_rows_per_sec","value":${r.meanRps.round},""" +
         s""""unit":"rows/sec","config":{"rate":$rate,"registry_rows":${replay.length},"dir":"$dir"},""" +
-        s""""result":${r.json}}"""
+        s""""result":${r.json},"guard":${g.json}}"""
     println(line)
     outFile.foreach(f => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f), line + "\n"))

@@ -139,22 +139,26 @@ object NexmarkStreamBench {
       ("q11_sessions", q11 _, "append"))
 
     val results = queries.map { case (name, build, mode) =>
-      val r = StreamBench.measure(spark, amplitude, seconds) {
-        build(sineBids(spark, base = 0, amplitude, cycleSec))
-          .writeStream.format("noop").outputMode(mode).start()
-      }
+      val (r, g) = StreamGuard.guarded(spark, s"nexmark_$name") {
+        StreamBench.measure(spark, amplitude, seconds) {
+          build(sineBids(spark, base = 0, amplitude, cycleSec))
+            .writeStream.format("noop").outputMode(mode).start()
+        }
+      }(_.meanRps)
       System.err.println(s"[nexmark-stream] $name ${r.json}")
-      s""""$name":${r.json}"""
+      s""""$name":${r.json},"${name}_guard":${g.json}"""
     } :+ {
       // Q3 runs the reference's own two-stream rates (Query3.java:
       // 60-62), constant not sine: 20k auctions/s + 10k persons/s
       val (aRate, pRate) = (20000, 10000)
-      val r = StreamBench.measure(spark, aRate + pRate, seconds) {
-        q3(spark, aRate, pRate)
-          .writeStream.format("noop").outputMode("append").start()
-      }
+      val (r, g) = StreamGuard.guarded(spark, "nexmark_q3_join") {
+        StreamBench.measure(spark, aRate + pRate, seconds) {
+          q3(spark, aRate, pRate)
+            .writeStream.format("noop").outputMode("append").start()
+        }
+      }(_.meanRps)
       System.err.println(s"[nexmark-stream] q3_join ${r.json}")
-      s""""q3_join":${r.json}"""
+      s""""q3_join":${r.json},"q3_join_guard":${g.json}"""
     }
     val line =
       s"""{"metric":"nexmark_stream_rates","config":{"src_rate":$amplitude,"cycle_sec":$cycleSec,"seconds_per_query":$seconds,"offered":"(sin(2pi*epoch/cycle)+1)*src_rate, mean = src_rate","q3_offered":"CONSTANT 20000 auctions/s + 10000 persons/s (Query3.java:60-62), not sine"},"queries":{${results.mkString(",")}}}"""

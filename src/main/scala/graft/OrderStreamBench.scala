@@ -50,11 +50,13 @@ object OrderStreamBench {
     // the shared measurement harness (StreamBench.measure) carries the
     // runId filter, the died-mid-run check, and the percentile summary
     // — an earlier inline copy here had none of them
-    val r = StreamBench.measure(spark, rate, seconds) {
-      trades.writeStream.format("noop").outputMode("append").start()
-    }
     val mode = if (tws) "tws" else "fmgws"
-    s"""{"mode":"$mode","config":{"rate":$rate,"securities":$nSecs},"result":${r.json}}"""
+    val (r, g) = StreamGuard.guarded(spark, s"order_$mode") {
+      StreamBench.measure(spark, rate, seconds) {
+        trades.writeStream.format("noop").outputMode("append").start()
+      }
+    }(_.meanRps)
+    s"""{"mode":"$mode","config":{"rate":$rate,"securities":$nSecs},"result":${r.json},"guard":${g.json}}"""
   }
 
   /** Warm-start leg — the StateLoader path end-to-end (reference
@@ -85,10 +87,14 @@ object OrderStreamBench {
       .select(col("value")).as[Long]
       .map(v => orderOf(v + warmOrders, nSecs))
     val trades = TransformWithStateOps.orderBookWarm(orders, snapshot)
-    val r = StreamBench.measure(spark, rate, seconds) {
-      trades.writeStream.format("noop").outputMode("append").start()
-    }
-    f"""{"mode":"tws_warm","config":{"rate":$rate,"securities":$nSecs,"warm_orders":$warmOrders,"snapshot_build_sec":$snapSec%.1f,"resting_orders":$resting},"result":${r.json}}"""
+    // the guard brackets only the LIVE stream window — the snapshot
+    // build is the offline job, reported beside it, never inside it
+    val (r, g) = StreamGuard.guarded(spark, "order_tws_warm") {
+      StreamBench.measure(spark, rate, seconds) {
+        trades.writeStream.format("noop").outputMode("append").start()
+      }
+    }(_.meanRps)
+    f"""{"mode":"tws_warm","config":{"rate":$rate,"securities":$nSecs,"warm_orders":$warmOrders,"snapshot_build_sec":$snapSec%.1f,"resting_orders":$resting},"result":${r.json},"guard":${g.json}}"""
   }
 
   def main(args: Array[String]): Unit = {

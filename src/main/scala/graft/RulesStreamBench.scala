@@ -79,33 +79,39 @@ object RulesStreamBench {
     val (pk, pv) = TransformWithStateOps.RocksDbProvider
     spark.conf.set(pk, pv)
     val ckpt = Files.createTempDirectory("rules-bench-ckpt").toString
-    val tws = StreamBench.measure(spark, rate, seconds) {
-      RulesTws.alerts(events(spark, rate, nKeys), () => rules)
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[graft.streaming.RuleAlert],
-              _: Long) => alertCount.addAndGet(b.count()): Unit
-        }
-        .start()
-    }
+    val (tws, twsG) = StreamGuard.guarded(spark, "rules_tws") {
+      StreamBench.measure(spark, rate, seconds) {
+        RulesTws.alerts(events(spark, rate, nKeys), () => rules)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.RuleAlert],
+                _: Long) => alertCount.addAndGet(b.count()): Unit
+          }
+          .start()
+      }
+    }(_.meanRps)
     val twsAlerts = alertCount.getAndSet(0L)
     System.err.println(s"[rules-bench] tws: ${tws.json} alerts=$twsAlerts")
 
     // --- foreachBatch accumulator twin ---
-    val fb = StreamBench.measure(spark, rate, seconds) {
-      graft.operators.DynamicRules.streaming(
-        events(spark, rate, nKeys), () => rules,
-        (alerts, _) => alertCount.addAndGet(alerts.count()): Unit)
-    }
+    val (fb, fbG) = StreamGuard.guarded(spark, "rules_foreach_batch") {
+      StreamBench.measure(spark, rate, seconds) {
+        graft.operators.DynamicRules.streaming(
+          events(spark, rate, nKeys), () => rules,
+          (alerts, _) => alertCount.addAndGet(alerts.count()): Unit)
+      }
+    }(_.meanRps)
     val fbAlerts = alertCount.get()
     System.err.println(s"[rules-bench] foreach_batch: ${fb.json} alerts=$fbAlerts")
 
     val line =
       s"""{"metric":"rules_stream_rows_per_sec","tws":${tws.json},""" +
-        s""""tws_alerts":$twsAlerts,"foreach_batch":${fb.json},""" +
+        s""""tws_alerts":$twsAlerts,"tws_guard":${twsG.json},""" +
+        s""""foreach_batch":${fb.json},""" +
         s""""foreach_batch_alerts":$fbAlerts,""" +
+        s""""foreach_batch_guard":${fbG.json},""" +
         s""""config":{"rate":$rate,"keys":$nKeys,"rules":$nRules,""" +
         s""""seconds":$seconds}}"""
     println(line)

@@ -152,8 +152,13 @@ object StreamBench {
 
     val line =
       if (!sweep) {
-        val r = runOnce(spark, rate, nKeys, perKeyBytes, seconds)
-        f"""{"metric":"stream_rows_per_sec","value":${r.meanRps}%.0f,"unit":"rows/sec","batches":${r.batches},"total_rows":${r.totalRows},"busy_fraction":${r.busyFraction}%.2f,"duration_ms":{"p50":${r.durP50},"p95":${r.durP95},"p99":${r.durP99}},"latency_ms":{"p50":${r.latP50},"p95":${r.latP95},"p99":${r.latP99}},"config":{"rate":$rate,"keys":$nKeys,"state_bytes":$perKeyBytes}}"""
+        // guard name keys the per-leg history tripwire
+        // (tools/stream_history.json): micro_1k / micro_10k / micro_100k
+        val legName = s"micro_${perKeyBytes / 1024}k"
+        val (r, g) = StreamGuard.guarded(spark, legName) {
+          runOnce(spark, rate, nKeys, perKeyBytes, seconds)
+        }(_.meanRps)
+        f"""{"metric":"stream_rows_per_sec","value":${r.meanRps}%.0f,"unit":"rows/sec","batches":${r.batches},"total_rows":${r.totalRows},"busy_fraction":${r.busyFraction}%.2f,"duration_ms":{"p50":${r.durP50},"p95":${r.durP95},"p99":${r.durP99}},"latency_ms":{"p50":${r.latP50},"p95":${r.latP95},"p99":${r.latP99}},"config":{"rate":$rate,"keys":$nKeys,"state_bytes":$perKeyBytes},"guard":${g.json}}"""
       } else {
         // double the offered rate until saturation: busy ≥ 0.9, or
         // throughput gained < 20% of the previous step (plateau)
@@ -176,5 +181,40 @@ object StreamBench {
     outFile.foreach(f => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f), line + "\n"))
     spark.stop()
+  }
+}
+
+/** The whole streaming suite in ONE JVM — [[BenchSweep]]'s rationale
+  * applied to the rate harnesses: the r15 protocol launched seven
+  * JVMs, each re-paying a 16 GiB pre-touch on a host whose first-touch
+  * fault path intermittently degrades ~100×, and the suite had no way
+  * to say which legs a host event hit. One JVM touches the heap once;
+  * every leg then runs under [[StreamGuard]]'s probe/steal/history
+  * brackets (each main attaches its own), so a contaminated leg
+  * self-reports `flagged` in its artifact. Each main stops its
+  * SparkSession; the next `getOrCreate` rebuilds a local context in
+  * the same warmed JVM (~2 s, untimed — outside every leg's guard
+  * window... the pre-leg probe runs after the rebuild).
+  *
+  * Usage: runMain graft.StreamBenchAll <outDir> [secondsPerLeg]
+  */
+object StreamBenchAll {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StreamBenchAll <outDir> [seconds]")
+    val outDir = args(0)
+    val seconds = args.lift(1).getOrElse("45")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def p(n: String) = s"$outDir/$n.json"
+    // reference micro-bench.sh:74,100-106,137-140 protocol: 60k ev/s x
+    // 10k keys, per-key state 1/10/100 KiB; then the operator suites
+    StreamBench.main(Array("60000", "10000", "1024", seconds, p("micro1k")))
+    StreamBench.main(Array("60000", "10000", "10240", seconds, p("micro10k")))
+    StreamBench.main(Array("60000", "10000", "102400", seconds,
+      p("micro100k")))
+    ErStreamBench.main(Array("60000", seconds, p("er")))
+    RulesStreamBench.main(Array("60000", "10000", "10", seconds, p("rules")))
+    OrderStreamBench.main(Array("all", "60000", "1000", seconds, p("order")))
+    NexmarkStreamBench.main(Array("100000", "60", seconds, p("nexmark")))
+    System.err.println(s"[stream-bench-all] done: $outDir")
   }
 }

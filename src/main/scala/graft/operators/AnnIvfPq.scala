@@ -175,9 +175,14 @@ object AnnIvfPq {
   /** `nlistOverride > 0` pins the coarse-list count (the recall
     * report's nlist-alternative sweep); 0 = auto-size nlist ≈ √n. The
     * memo key carries nlist, so alternative geometries never collide
-    * with the default model. */
+    * with the default model. `memoTag` gives a caller a PRIVATE memo
+    * slot: the benched refine leg trains its own (identical) model
+    * instead of sharing the plain top-k leg's, so each bench row's
+    * first-repeat accounting is self-contained — alphabetical order or
+    * a name filter can never shift the k-means training cost from one
+    * row's history onto the other (the r15→r16 ADVICE medium). */
   private def trainedModel(s: SparkSession, dir: String,
-      nlistOverride: Int = 0)
+      nlistOverride: Int = 0, memoTag: String = "")
       : (Array[Array[Long]], Array[Long], Int, Int, Int) = {
     val n = AnnLsh.embeddingCount(s, dir)
     // log-NEAREST power of two of √n, not the floor: the r15 sf10
@@ -195,7 +200,7 @@ object AnnIvfPq {
     val m = TrainedM
     val subDim = TrainedSubDim
     Tables.memoizedAtConstruction(s, dir, "embeddings",
-        s"ivfpq-trained-$nlist-$m") {
+        s"ivfpq-trained-$nlist-$m$memoTag") {
       import s.implicits._
       val every = math.max(1L, n / 10000L)
       val sample = Tables.embeddings(s, dir)
@@ -383,9 +388,12 @@ object AnnIvfPq {
   }
 
   /** Bench twin: the trained auto-sized model through the identical
-    * refine finish. */
+    * refine finish. Trains into its OWN memo slot (see trainedModel's
+    * memoTag) so this row's first repeat always pays its own training
+    * regardless of sweep order or name filters. */
   def ivfPqRefineTopKTrained(s: SparkSession, dir: String): DataFrame = {
-    val (cents, cbFlat, nprobe, cbK, m) = trainedModel(s, dir)
+    val (cents, cbFlat, nprobe, cbK, m) =
+      trainedModel(s, dir, memoTag = "-refine")
     refineSearch(s, dir,
       adcScored(s, dir, cents, cbFlat, cbK, nprobe, m, Dim / m))
   }

@@ -22,12 +22,14 @@ import graft.Tables
   *
   * Scale: the classic DataFrame-Pregel shape. Edges and out-degrees
   * join ONCE outside the loop into a (src, dst, d) table that is
-  * repartitioned on src and persisted — each iteration then joins only
-  * the (id, r) rank frame against it on that same key (one shuffle of
-  * the small rank frame per iteration; the big edge table never moves
-  * again) and aggregates on dst (partial aggregation map-side). Skewed
-  * high-degree nodes are a sum on the dst side — AQE splits those
-  * reducers. GraphX was considered and declined: RDD-based, no
+  * clustered on the iteration's HOT key and persisted — under the
+  * default broadcast-rank regime that key is dst, the aggregation key,
+  * so each iteration is a broadcast probe of the in-place edge blocks
+  * followed by an exchange-FREE groupBy(dst): after construction the
+  * edge table never crosses the wire again and the only per-iteration
+  * movement is the node-sized rank broadcast. Skewed high-degree nodes
+  * are a sum on the dst side — partial aggregation absorbs them
+  * map-side. GraphX was considered and declined: RDD-based, no
   * Catalyst, and the whole loop here stays in whole-stage codegen.
   */
 /** [[GraphQueries.pageRankConverged]] result: the rank frame, the
@@ -48,16 +50,36 @@ object GraphQueries {
   // same constant, so the gate could not see it)
   private[graft] val SuppOffset = 1L << 40
 
-  /** The persisted (src, dst, d) adjacency — already clustered on src
-    * (the loop's join key; an explicit repartition would be a
-    * redundant second exchange). Construction-MEMOIZED per (session,
-    * table versions): repeated constructions share ONE cache entry
-    * instead of leaking a fresh edge-scale persist per call (the
-    * [[DedupQueries]] cluster-table convention; in Bench this puts
-    * graph_pagerank in the heavyConstruction first-repeat set). */
-  private[graft] def adjacency(s: SparkSession, dir: String): DataFrame =
+  /** The persisted (src, dst, d) adjacency. Its physical LAYOUT follows
+    * the iteration's join strategy (see [[joinStrategy]]):
+    *
+    *  - `broadcast` (the default under the node bound): clustered on
+    *    **dst** — the per-iteration AGGREGATION key. The broadcast rank
+    *    join preserves the streamed side's partitioning, so every
+    *    iteration's `groupBy(dst)` finds its required distribution
+    *    already satisfied and runs WITHOUT an exchange: the edge-scale
+    *    frame is shuffled exactly once, here at construction, instead
+    *    of once per iteration (~47 edge-scale shuffles saved on the
+    *    converged sf10 run — the r15 verdict's one remaining plan
+    *    target). The degree join rides the same broadcast bound (one
+    *    row per node), so construction costs ONE edge exchange total.
+    *  - `shuffle_hash`/`smj` (node set past the driver bound):
+    *    clustered on **src**, the join key, so the per-iteration join
+    *    re-exchanges only the node-sized rank frame; the aggregation
+    *    pays the edge-scale exchange (you cannot have both without
+    *    broadcasting one side — exactly the regime split the strategy
+    *    bound encodes).
+    *
+    * Construction-MEMOIZED per (session, table versions, layout):
+    * repeated constructions share ONE cache entry instead of leaking a
+    * fresh edge-scale persist per call (the [[DedupQueries]]
+    * cluster-table convention; in Bench this puts graph_pagerank in
+    * the heavyConstruction first-repeat set). */
+  private[graft] def adjacency(s: SparkSession, dir: String): DataFrame = {
+    val clusterOnDst = joinStrategy(s, dir) == "broadcast"
+    val layout = if (clusterOnDst) "dst" else "src"
     Tables.memoizedAtConstruction(s, dir, "orders",
-        s"pagerank-adj-${Tables.tableStamp(s, dir, "lineitem")}") {
+        s"pagerank-adj-$layout-${Tables.tableStamp(s, dir, "lineitem")}") {
       val pairs = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, dir)
@@ -69,9 +91,13 @@ object GraphQueries {
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      edges.join(deg, "src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val adj =
+        if (clusterOnDst) edges.repartition(col("dst"))
+          .join(broadcast(deg), "src")
+        else edges.join(deg, "src")
+      adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+  }
 
   /** Release the session's cached adjacency for `dir`: unpersist the
     * 2|E|-row frame and EVICT its construction memo. Both halves
@@ -109,32 +135,40 @@ object GraphQueries {
     * per node). Past the bound — a graph whose node set outgrows the
     * driver — the hint drops away and the shuffled join is the
     * correct plan. */
-  private def rankJoinHint(s: SparkSession, dir: String)
-      : DataFrame => DataFrame = {
-    val nodeBound =
-      Tables.memoizedAtConstruction(s, dir, "customer", "count") {
-        Tables.customer(s, dir).count()
-      } + Tables.memoizedAtConstruction(s, dir, "supplier", "count") {
-        Tables.supplier(s, dir).count()
-      }
-    val bcastMax = s.conf
-      .get("spark.graft.pagerank.broadcastNodesMax", "20000000").toLong
-    // strategy override for A/B runs. Measured at sf10 (3-iteration
-    // pageRank incl. adjacency build, local[32]): broadcast 39.7 s vs
-    // shuffle_hash 52.1 s — the per-iteration driver-side hash-relation
-    // build is CHEAPER than re-exchanging the rank frame against the
-    // cached adjacency, so broadcast stays the default under the node
-    // bound; past it (a rank frame the driver can't hold) shuffle_hash
-    // is the fallback — it beats SMJ by not re-SORTING the cached
-    // edge-scale side every iteration.
+  /** The per-iteration rank-join strategy — also the adjacency-layout
+    * switch (see [[adjacency]]). Measured at sf10 (3-iteration pageRank
+    * incl. adjacency build, local[32]): broadcast 39.7 s vs
+    * shuffle_hash 52.1 s — the per-iteration driver-side hash-relation
+    * build is CHEAPER than re-exchanging the rank frame against the
+    * cached adjacency, so broadcast is the default while the rank frame
+    * (one row per node, bounded by |customer| + |supplier| — cheap
+    * memoized metadata counts) fits the driver
+    * (spark.graft.pagerank.broadcastNodesMax, default 20M ≈ 320 MB);
+    * past it shuffle_hash is the fallback — it beats SMJ by not
+    * re-SORTING the cached edge-scale side every iteration. Explicit
+    * values of spark.graft.pagerank.join override for A/B runs. */
+  private def joinStrategy(s: SparkSession, dir: String): String =
     s.conf.get("spark.graft.pagerank.join", "auto") match {
-      case "broadcast" => broadcast(_)
-      case "shuffle_hash" => (df: DataFrame) => df.hint("shuffle_hash")
-      case "smj" => identity
-      case _ => if (nodeBound <= bcastMax) broadcast(_)
-        else (df: DataFrame) => df.hint("shuffle_hash")
+      case "auto" =>
+        val nodeBound =
+          Tables.memoizedAtConstruction(s, dir, "customer", "count") {
+            Tables.customer(s, dir).count()
+          } + Tables.memoizedAtConstruction(s, dir, "supplier", "count") {
+            Tables.supplier(s, dir).count()
+          }
+        val bcastMax = s.conf
+          .get("spark.graft.pagerank.broadcastNodesMax", "20000000").toLong
+        if (nodeBound <= bcastMax) "broadcast" else "shuffle_hash"
+      case explicit => explicit
     }
-  }
+
+  private def rankJoinHint(s: SparkSession, dir: String)
+      : DataFrame => DataFrame =
+    joinStrategy(s, dir) match {
+      case "broadcast" => broadcast(_)
+      case "smj" => identity
+      case _ => (df: DataFrame) => df.hint("shuffle_hash")
+    }
 
   private def nextIteration(adj: DataFrame, ranks: DataFrame,
       hint: DataFrame => DataFrame): DataFrame =

@@ -22,7 +22,16 @@ object ExplainQuery {
         graft.operators.AnnIvfPq.ivfPqRefineTopKTrained(spark, dir)
       case n => graft.SparkEntry.queries(n)(spark, dir)
     }
-    df.explain("formatted")
+    // "exec" third arg: run the query and print the FINAL adaptive
+    // plan — AQE's runtime re-planning (e.g. exchange elision over a
+    // materialized cached relation) is invisible to a static explain
+    if (args.lift(2).contains("exec")) {
+      // drive df's OWN query execution (count() would plan a separate
+      // one and the printed plan would never have executed), then print
+      // the adaptive plan's FINAL stages
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
+    } else df.explain("formatted")
     spark.stop()
   }
 }
