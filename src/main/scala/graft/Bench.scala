@@ -212,6 +212,22 @@ object Bench {
         // every repeat pays the identical build
         "t_quantile_select")
 
+    // Memo-reusing row -> the earlier row whose timed construction its
+    // checked-in history assumes already ran (full sweeps guarantee it
+    // by alphabetical order). Used to exempt exactly these rows from
+    // the history tripwire when a name filter drops their provider —
+    // their first repeat then pays a construction the history recorded
+    // warm, an accounting artifact no probe should flag. Rows NOT here
+    // are warmth-comparable in any filter: they train into their own
+    // memo slot (the PQ legs since r16), release-and-rebuild
+    // explicitly (graph_pagerank_converged), or get their provider's
+    // work done untimed by the warm-only guard (layout_..._warm).
+    val memoProviders: Map[String, String] = Map(
+      "dedup_simhash_pairs" -> "dedup_clusters",
+      "pipeline_keep" -> "dedup_clusters",
+      "pipeline_keep_best" -> "dedup_clusters",
+      "sim_sem_dedup" -> "sim_near_dup_lsh")
+
     // Warm-up sweep (untimed): construct every query once against the
     // bench dir — this performs the construction-time memo scans (LSH
     // width gate, overlap index, CC materialization key) and Catalyst
@@ -555,14 +571,18 @@ object Bench {
       // (ratio + clean probe) rather than flagging the leg — exactly
       // the honest middle ground for evidence the probes cannot reach.
       val tripRatio = if (histPrev >= 30.0) 1.4 else 3.0
-      // heavyConstruction rows' first-repeat accounting depends on which
-      // memo-sharing siblings ran earlier in the sweep; a NAME-FILTERED
-      // run can change that warmth (e.g. graph_pagerank_converged
-      // without graph_pagerank pays the adjacency build its history
-      // recorded warm), so the tripwire would fire on an accounting
-      // artifact, not the host or the code. Full sweeps — the ones
-      // history is refreshed from — keep the tripwire for every row.
-      val warmthComparable = !(filtered && heavyConstruction(name))
+      // Memo-REUSING rows' first-repeat accounting assumes their
+      // PROVIDER row ran earlier in the sweep (full sweeps — the runs
+      // history is refreshed from — guarantee it by alphabetical
+      // order); a NAME-FILTERED run that drops the provider makes the
+      // reuser pay a construction its history recorded warm, so its
+      // tripwire would fire on an accounting artifact, not the host or
+      // the code. Exempt exactly those rows — every self-contained
+      // heavyConstruction row (its own memo slot, or an explicit
+      // release-and-rebuild like graph_pagerank_converged) keeps its
+      // tripwire on filtered runs too.
+      val warmthComparable =
+        !(filtered && memoProviders.get(name).exists(p => !matches(p)))
       if (ok && !skipped && warmthComparable &&
           histPrev >= 0.3 && sec > tripRatio * histPrev) {
         val ratio = sec / histPrev
@@ -736,6 +756,10 @@ object Bench {
           s"""{"tables":${p.tables},"bits":${p.bits},""" +
             s""""index_rows":${p.indexRows},"cand_pairs":${p.candPairs},""" +
             s""""recall":${j(p.recall)}}""").mkString("[", ",", "]")
+        val refineJ = r.refineCurve.map(p =>
+          s"""{"k_factor":${p.kFactor},"nprobe":${p.nprobe},""" +
+            s""""scan_frac":${num(p.scanFrac)},"recall":${j(p.recall)}}""")
+          .mkString("[", ",", "]")
         s"""{"dir":${q(d)},"legs":$legsJ,""" +
           s""""negctrl_ivfpq_trained":${j(r.negControl)},""" +
           s""""nlist":${r.nlist},"nprobe_curve":${curveJ(r.curve)},""" +
@@ -743,7 +767,7 @@ object Bench {
           s""""alt_nprobe_curve":${curveJ(r.altCurve)},""" +
           s""""ivf_nlist":${r.ivfNlist},""" +
           s""""ivf_nprobe_curve":${curveJ(r.ivfCurve)},""" +
-          s""""lsh_or_amp":$orAmpJ}"""
+          s""""lsh_or_amp":$orAmpJ,"refine_curve":$refineJ}"""
     }
     val calibMidJson = midProbes
       .map { case (f, t) => q(f) + ":" + num(t) }.mkString("{", ",", "}")

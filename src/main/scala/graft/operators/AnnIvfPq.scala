@@ -398,11 +398,27 @@ object AnnIvfPq {
       adcScored(s, dir, cents, cbFlat, cbK, nprobe, m, Dim / m))
   }
 
+  /** The trained refine topology at an EXPLICIT (k_factor, nprobe) —
+    * the shortlist-width-vs-routing-breadth curve's knob (VERDICT r15
+    * ask #8: the 0.84 ceiling at the FAISS-convention k_factor=4 was
+    * unattributed between shortlist width and probe breadth; this
+    * measures both axes on the production model). Shares the refine
+    * leg's own memo slot, so a curve sweep trains once. */
+  def ivfPqRefineTopKTrainedParams(s: SparkSession, dir: String,
+      kFactor: Int, nprobe: Int): DataFrame = {
+    val (cents, cbFlat, _, cbK, m) =
+      trainedModel(s, dir, memoTag = "-refine")
+    refineSearch(s, dir,
+      adcScored(s, dir, cents, cbFlat, cbK,
+        math.max(1, math.min(nprobe, cents.length)), m, Dim / m),
+      shortC = kFactor * TopKN)
+  }
+
   /** Shared refine finish: bounded ADC shortlist -> broadcast join to
     * the true vectors -> exact integer L2 -> bounded top-k. */
   private def refineSearch(s: SparkSession, dir: String,
-      scored: DataFrame): DataFrame = {
-    val short = TopK.perQueryTopK(scored, col("adc_d2"), RefineC,
+      scored: DataFrame, shortC: Int = RefineC): DataFrame = {
+    val short = TopK.perQueryTopK(scored, col("adc_d2"), shortC,
         desc = false, scoreName = "adc_d2_d")
       .select(col("qid"), col("cid"))
     // bounded query vectors, driver-side like the LUT build

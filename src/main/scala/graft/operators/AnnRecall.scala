@@ -130,11 +130,19 @@ object AnnRecall {
     * sign-LSH OR-amplification experiment (recall vs index-rows vs
     * candidate cost across (tables, bits) geometries — the measured
     * trade behind the production default). */
+  /** One refine-grid point: ADC-shortlist width factor (shortlist =
+    * kFactor·k), probe breadth, the corpus fraction the ADC pass
+    * scans, and the recall@5 the exact re-rank of that shortlist
+    * reaches. */
+  final case class RefinePoint(kFactor: Int, nprobe: Int,
+      scanFrac: Double, recall: Double)
+
   final case class StructuredReport(legs: Seq[(String, Double)],
       negControl: Double, nlist: Int, curve: Seq[NprobePoint],
       altNlist: Int, altCurve: Seq[NprobePoint],
       ivfNlist: Int, ivfCurve: Seq[NprobePoint],
-      orAmp: Seq[OrAmpPoint])
+      orAmp: Seq[OrAmpPoint],
+      refineCurve: Seq[RefinePoint] = Seq.empty)
 
   /** The nprobe ladder for a given nlist: powers of two up to and
     * INCLUDING nlist (the full-breadth code-loss ceiling point). */
@@ -234,7 +242,30 @@ object AnnRecall {
       NprobePoint(np, np.toDouble / ivfNlist, r)
     }
     val orAmp = orAmpExperiment(s, dir, () => cosSets)
+    // Refine (k_factor × nprobe) grid — attributes the refine leg's
+    // recall ceiling between SHORTLIST WIDTH (k_factor: how many ADC
+    // candidates the exact re-rank sees) and ROUTING BREADTH (nprobe:
+    // how many cells feed the ADC scan). A ceiling that rises with
+    // k_factor at fixed nprobe is ADC-ordering loss (cheap to buy
+    // back: candidate reads are bounded-per-query); one that only
+    // rises with nprobe is routing loss (costs a larger corpus scan
+    // fraction). k_factor=4 at nprobe=nlist/8 is the production
+    // default (FAISS IndexRefineFlat convention).
+    val refineCurve =
+      for {
+        np <- Seq(math.max(1, nlist / 8), math.max(1, nlist / 4))
+        kf <- Seq(2, 4, 8, 16)
+      } yield {
+        val r =
+          try meanRecall(l2Sets,
+            topSets(AnnIvfPq.ivfPqRefineTopKTrainedParams(s, dir, kf, np)))
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[recall] refine kf=$kf nprobe=$np failed: $e"); -1.0
+          }
+        RefinePoint(kf, np, np.toDouble / nlist, r)
+      }
     StructuredReport(legRecallSeq, neg, nlist, curve, altNlist, altCurve,
-      ivfNlist, ivfCurve, orAmp)
+      ivfNlist, ivfCurve, orAmp, refineCurve)
   }
 }

@@ -31,6 +31,9 @@ object RecallProbe {
     println(s"  or_amp=" + r.orAmp.map(p =>
       s"L${p.tables}xb${p.bits}:r${p.recall} rows=${p.indexRows} " +
         s"pairs=${p.candPairs}").mkString(" | "))
+    println(s"  refine_curve=" + r.refineCurve.map(p =>
+      f"kf${p.kFactor}%d@np${p.nprobe}%d:${p.recall}%.2f")
+      .mkString(","))
     spark.stop()
   }
 }
