@@ -104,11 +104,23 @@ object StreamGuard {
     m
   }
 
+  // the FIRST probe in a fresh JVM reads cold (JIT + first-touch of
+  // the sort path — measured 3.8 s vs 0.5-0.8 s steady on a healthy
+  // box), which would flag leg 1 of every suite on probe noise. One
+  // discarded warm-up probe per process pays that cost untimed; the
+  // host-health reading starts from the second probe, like the
+  // probe-twice rule the batch recipe documents for idle hosts.
+  private val warmed = new java.util.concurrent.atomic.AtomicBoolean
+
   /** Bracket one measured leg with the full guard. `rowsPerSec` maps
     * the leg's result to its headline rate for the history check. */
   def guarded[T](spark: SparkSession, name: String)(run: => T)(
       rowsPerSec: T => Double): (T, Stamp) = {
     val limit = probeLimit
+    if (warmed.compareAndSet(false, true)) {
+      val w = probe(spark)
+      System.err.println(f"[stream-guard] warm-up probe (discarded): $w%.3f s")
+    }
     val p0 = probe(spark)
     if (p0 > limit)
       System.err.println(f"[stream-guard] WARNING: pre-leg probe for " +
