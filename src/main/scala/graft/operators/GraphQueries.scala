@@ -178,6 +178,26 @@ object GraphQueries {
       .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
       .select(col("dst").as("id"), col("r"))
 
+  /** [[nextIteration]] plus an in-plan delta column: a SECOND probe of
+    * the same broadcast rank frame — on the aggregated node id this
+    * time — attaches each node's previous rank, so dr = r − prev lands
+    * in the checkpointed frame itself. Node-scale rows after the agg,
+    * broadcast-hash probe in the same stage: the convergence check
+    * then needs only a scan-aggregate of blocks the checkpoint already
+    * materialized, replacing the old per-iteration union→groupBy probe
+    * that re-shuffled two node-sized frames (~46 node-scale exchanges
+    * on the sf10 converged run — the floor the r16 dst-clustered
+    * adjacency exposed). The inner join drops no rows: the symmetric
+    * edge union makes src-set = dst-set = the node set, and every rank
+    * frame carries exactly that node set. */
+  private def nextIterationDelta(adj: DataFrame, ranks: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
+    val prev = ranks.select(col("id").as("pid"), col("r").as("prev_r"))
+    nextIteration(adj, ranks, hint)
+      .join(hint(prev), col("id") === col("pid"))
+      .select(col("id"), col("r"), (col("r") - col("prev_r")).as("dr"))
+  }
+
   def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val adj = adjacency(s, dir)
     require(iters >= 1, "pageRank needs at least one iteration")
@@ -203,10 +223,12 @@ object GraphQueries {
     * delta probe read its blocks instead of replaying the chain, and
     * the predecessor's blocks are dropped as soon as its successor's
     * delta is known — at most two node-sized frames are ever pinned
-    * beyond the shared adjacency. The delta probe is
-    * union→groupBy(id)→(max−min, max), never a self-join of two
-    * frames that share lineage (which Spark would have to
-    * disambiguate), and is bounded by the NODE count, not the edges.
+    * beyond the shared adjacency. The delta COLUMN is computed inside
+    * the iteration plan ([[nextIterationDelta]] — a second probe of
+    * the already-broadcast rank frame, node-scale, same stage), so the
+    * convergence check is a shuffle-free scan-aggregate of the frame
+    * the checkpoint just materialized, bounded by the NODE count, not
+    * the edges.
     * The final frame's blocks stay pinned (the caller is about to
     * consume it) and are released through the result's `release()`
     * handle, plus [[releaseAdjacency]] for the shared adjacency. The
@@ -258,15 +280,16 @@ object GraphQueries {
     var iters = 1
     var converged = false
     while (!converged && iters < maxIters) {
-      val (next, nextIds) = checkpointed(nextIteration(adj, ranks, hint))
-      // the node set is identical every iteration (all dst nodes of
-      // the fixed adjacency), so each id groups exactly two rows and
-      // max−min IS |Δ|; the same single probe also carries the max
-      // rank the relative tolerance needs
-      val probe = next.unionAll(ranks)
-        .groupBy(col("id")).agg((max(col("r")) - min(col("r"))).as("d"),
-          max(col("r")).as("mr"))
-        .agg(max(col("d")), max(col("mr"))).head()
+      // dr rides in the checkpointed frame itself (nextIterationDelta's
+      // second broadcast probe), so the convergence check is a bare
+      // scan-aggregate of blocks the checkpoint just materialized — the
+      // previous union→groupBy(id) probe re-SHUFFLED two node-sized
+      // frames every iteration, which the r16 exchange-free adjacency
+      // left as the loop's dominant per-iteration exchange
+      val (next, nextIds) =
+        checkpointed(nextIterationDelta(adj, ranks, hint))
+      val probe = next
+        .agg(max(abs(col("dr"))), max(col("r"))).head()
       // an EMPTY graph (no edges at this dir) aggregates to nulls —
       // zero deltas below declare immediate convergence instead of NPE
       val (delta, maxRank) =
