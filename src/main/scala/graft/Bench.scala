@@ -29,6 +29,25 @@ object Bench {
     spark
   }
 
+  /** History-tripwire ratio threshold for a row whose checked-in
+    * history is `histPrev` seconds. Multi-second rows get the TIGHT
+    * 1.4x ratio: the r15c sweep measured a host event hiding +142 s
+    * inside the 471 s converged-pagerank row at 1.43x its history —
+    * under the 3x threshold that guards short rows against
+    * timer/first-repeat noise — and r16 shipped an unflagged ~2x
+    * regression on layout_bucketed_join (12.5→24.3 s, history 13.3 s)
+    * precisely because the 1.4x band used to start at 30 s: a
+    * [10 s, 30 s)-history row could double silently. A >=10 s-history
+    * row's run-to-run noise is already percent-scale (these are
+    * multi-second means over fixed work), so 1.4x is signal there
+    * too. A trip's immediate probe still arbitrates: hot probe =>
+    * leg self-reports flagged; clean probe => the trip records as a
+    * regression POINTER (ratio + clean probe) without flagging the
+    * leg — the honest middle ground for evidence the probes cannot
+    * reach. */
+  private[graft] def tripRatioFor(histPrev: Double): Double =
+    if (histPrev >= 10.0) 1.4 else 3.0
+
   def main(args: Array[String]): Unit = {
     // local profiling knobs (driver passes no args): args(0) = comma-
     // separated substring filters on query names ("-" prefix excludes;
@@ -135,6 +154,12 @@ object Bench {
         // the recall section both sides' retrieval quality
         "sim_ivfpq_baseline" -> ((s, d) =>
           graft.operators.AnnIvfPq.ivfPqTopK(s, d)),
+        // the recall-hungry routing point (nprobe = nlist/4, kf=4 —
+        // 0.92 recall where the default breadth plateaus at 0.84 on
+        // the planted fixture): recorded as a row so the recall/cost
+        // knee is measured at the bench SFs, not just the curve grid
+        "sim_ivfpq_refine_wide" -> ((s, d) =>
+          graft.operators.AnnIvfPq.ivfPqRefineTopKTrainedWide(s, d)),
         "sim_pq_adc_baseline" -> ((s, d) =>
           graft.operators.AnnPq.pqAdcTopK(s, d)),
         // the production convergence form beside the fixed-3-iteration
@@ -204,6 +229,12 @@ object Bench {
         // Since r15 these canonical names BENCH the trained models
         // (benchForms), so the training cost lands here.
         "sim_ivfpq_topk", "sim_ivfpq_refine", "sim_pq_adc_topk",
+        // here for the warm-up EXCLUSION only (like the _warm layout
+        // row): constructing it at the bench SF during warm-up would
+        // train the shared -refine model untimed and rob
+        // sim_ivfpq_refine's first repeat; in the timed sweep it runs
+        // after that provider, timing pure wide-breadth search
+        "sim_ivfpq_refine_wide",
         // quantileSelect's CONSTRUCTION runs its driver-side control
         // jobs (bounds + histogram + sub-histogram — 3 corpus scans);
         // not memoized (each repeat honestly rebuilds), but the
@@ -226,7 +257,8 @@ object Bench {
       "dedup_simhash_pairs" -> "dedup_clusters",
       "pipeline_keep" -> "dedup_clusters",
       "pipeline_keep_best" -> "dedup_clusters",
-      "sim_sem_dedup" -> "sim_near_dup_lsh")
+      "sim_sem_dedup" -> "sim_near_dup_lsh",
+      "sim_ivfpq_refine_wide" -> "sim_ivfpq_refine")
 
     // Warm-up sweep (untimed): construct every query once against the
     // bench dir — this performs the construction-time memo scans (LSH
@@ -561,16 +593,7 @@ object Bench {
           f"${rowStealFrac * 100}%.1f%% hypervisor steal — treat its " +
           "time as contaminated")
       val histPrev = historyTimes.getOrElse(name, 0.0)
-      // Long rows get a TIGHTER ratio: the r15c sweep measured a host
-      // event hiding +142 s inside the 471 s converged-pagerank row at
-      // 1.43x its history — under the 3x threshold that guards short
-      // rows against timer/first-repeat noise. A >=30 s-history row's
-      // run-to-run noise is percent-scale, so 1.4x is already signal;
-      // its trip usually lands AFTER the event ended, so the immediate
-      // probe reads clean and the trip records as a regression POINTER
-      // (ratio + clean probe) rather than flagging the leg — exactly
-      // the honest middle ground for evidence the probes cannot reach.
-      val tripRatio = if (histPrev >= 30.0) 1.4 else 3.0
+      val tripRatio = Bench.tripRatioFor(histPrev)
       // Memo-REUSING rows' first-repeat accounting assumes their
       // PROVIDER row ran earlier in the sweep (full sweeps — the runs
       // history is refreshed from — guarantee it by alphabetical
@@ -588,6 +611,12 @@ object Bench {
         val ratio = sec / histPrev
         val probe = miniCalibProbe()
         historyTrips += ((name, ratio, probe))
+        // machine-readable marker FIRST — external harnesses
+        // (tools/tripwire_demo.sh) key off this line, not the prose
+        // warning below, so rewording the prose can't silently break
+        // them (the r16 ADVICE low on the demo's grep)
+        System.err.println(f"[bench-trip] $name ratio=$ratio%.2f " +
+          f"probe=$probe%.3f")
         System.err.println(f"[bench] WARNING: $name read $sec%.3f s = " +
           f"$ratio%.1fx its checked-in history ($histPrev%.3f s); " +
           f"immediate probe $probe%.3f s (limit $calibMidLimit%.1f) — " +

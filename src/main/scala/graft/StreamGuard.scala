@@ -91,33 +91,56 @@ object StreamGuard {
     val path = sys.env.getOrElse("SPARK_GRAFT_STREAM_HISTORY",
       "/root/repo/tools/stream_history.json")
     val m =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
-        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-          .findAllMatchIn(txt)
-          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      try parseRates(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+      catch { case _: Throwable => Map.empty[String, Double] }
     if (m.isEmpty)
       System.err.println("[stream-guard] WARNING: rate tripwire " +
         s"disabled — no history at $path")
     m
   }
 
-  // the FIRST probe in a fresh JVM reads cold (JIT + first-touch of
-  // the sort path — measured 3.8 s vs 0.5-0.8 s steady on a healthy
-  // box), which would flag leg 1 of every suite on probe noise. One
-  // discarded warm-up probe per process pays that cost untimed; the
-  // host-health reading starts from the second probe, like the
-  // probe-twice rule the batch recipe documents for idle hosts.
-  private val warmed = new java.util.concurrent.atomic.AtomicBoolean
+  /** Parse ONLY the "rates" object (brace-depth scan, the batch
+    * guard's per-SF parser shape) — a whole-file regex would turn any
+    * numeric metadata field ("round": 17) into a phantom leg entry in
+    * the tripwire map. */
+  private[graft] def parseRates(txt: String): Map[String, Double] = {
+    val keyAt = txt.indexOf("\"rates\"")
+    val open = if (keyAt < 0) -1 else txt.indexOf('{', keyAt)
+    if (open < 0) Map.empty[String, Double]
+    else {
+      var depth = 0
+      var close = open
+      while (close < txt.length &&
+          { val c = txt.charAt(close)
+            if (c == '{') depth += 1 else if (c == '}') depth -= 1
+            depth != 0 }) close += 1
+      "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findAllMatchIn(txt.substring(open + 1, close))
+        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+    }
+  }
+
+  // the FIRST probe against a fresh SparkContext reads cold (JIT +
+  // first-touch of the sort path — measured 3.8 s vs 0.5-0.8 s steady
+  // on a healthy box), which would flag leg 1 of every suite on probe
+  // noise. One discarded warm-up probe per CONTEXT (not per JVM —
+  // StreamBenchAll rebuilds the SparkSession between suites, and each
+  // rebuilt context's first probe re-pays scheduler/codegen warm-up
+  // for rebuild reasons unrelated to host health) pays that cost
+  // untimed; the host-health reading starts from the second probe,
+  // like the probe-twice rule the batch recipe documents for idle
+  // hosts.
+  private val warmedApp =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** Bracket one measured leg with the full guard. `rowsPerSec` maps
     * the leg's result to its headline rate for the history check. */
   def guarded[T](spark: SparkSession, name: String)(run: => T)(
       rowsPerSec: T => Double): (T, Stamp) = {
     val limit = probeLimit
-    if (warmed.compareAndSet(false, true)) {
+    val appId = spark.sparkContext.applicationId
+    if (warmedApp.getAndSet(appId) != appId) {
       val w = probe(spark)
       System.err.println(f"[stream-guard] warm-up probe (discarded): $w%.3f s")
     }

@@ -398,6 +398,22 @@ object AnnIvfPq {
       adcScored(s, dir, cents, cbFlat, cbK, nprobe, m, Dim / m))
   }
 
+  /** The recall-hungry routing point the r16 refine_curve grid
+    * identified: nprobe = nlist/4 at the FAISS-convention k_factor=4
+    * reached 0.92 recall on the 200k planted fixture where the
+    * default breadth plateaued at 0.84 — shortlist width was flat
+    * (kf 4→16), so routing breadth is the binding axis. Benched as
+    * its own row so the recall/cost knee (~2x the code-scan fraction
+    * for +0.08 recall) is a recorded trade, not a curve footnote.
+    * Shares the refine leg's memo slot: in a full sweep
+    * sim_ivfpq_refine (alphabetically earlier) pays the training and
+    * this row times pure search at the wider breadth. */
+  def ivfPqRefineTopKTrainedWide(s: SparkSession, dir: String): DataFrame = {
+    val (cents, _, _, _, _) = trainedModel(s, dir, memoTag = "-refine")
+    ivfPqRefineTopKTrainedParams(s, dir, kFactor = 4,
+      nprobe = math.max(1, cents.length / 4))
+  }
+
   /** The trained refine topology at an EXPLICIT (k_factor, nprobe) —
     * the shortlist-width-vs-routing-breadth curve's knob (VERDICT r15
     * ask #8: the 0.84 ceiling at the FAISS-convention k_factor=4 was

@@ -27,9 +27,11 @@ object ExplainQuery {
     // materialized cached relation) is invisible to a static explain
     if (args.lift(2).contains("exec")) {
       // drive df's OWN query execution (count() would plan a separate
-      // one and the printed plan would never have executed), then print
-      // the adaptive plan's FINAL stages
-      df.collect()
+      // one and the printed plan would never have executed) WITHOUT
+      // materializing the result on the driver — an edge-scale query
+      // at sf10 would OOM a 16g driver through collect(); toRdd is
+      // still this df's executedPlan, counted executor-side
+      df.queryExecution.toRdd.count()
       println(df.queryExecution.executedPlan.toString)
     } else df.explain("formatted")
     spark.stop()

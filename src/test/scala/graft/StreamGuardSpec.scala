@@ -24,6 +24,29 @@ class StreamGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("history parser is scoped to the rates object") {
+    // a numeric metadata field OUTSIDE "rates" must not become a
+    // phantom leg entry (the r16 ADVICE low: the old whole-file regex
+    // would have read "round": 17 as a leg named round)
+    val txt =
+      """{"source": "spec", "round": 17,
+        |"rates": {"micro_1k": 86891, "er_stream": 244500},
+        |"epilogue_count": 3}""".stripMargin
+    val m = StreamGuard.parseRates(txt)
+    assert(m == Map("micro_1k" -> 86891.0, "er_stream" -> 244500.0), m)
+  }
+
+  test("batch tripwire ratio: 1.4x band starts at 10 s history") {
+    // r16 shipped an unflagged ~2x regression on a 13 s-history row
+    // because [10 s, 30 s) rows only tripped at 3x — the band now
+    // starts at 10 s (VERDICT r16 ask #2)
+    assert(Bench.tripRatioFor(5.0) == 3.0)
+    assert(Bench.tripRatioFor(9.99) == 3.0)
+    assert(Bench.tripRatioFor(10.0) == 1.4)
+    assert(Bench.tripRatioFor(13.26) == 1.4) // layout_bucketed_join sf10
+    assert(Bench.tripRatioFor(300.0) == 1.4)
+  }
+
   test("guarded run returns the result and a well-formed stamp") {
     val ((r, stamp), _) = (StreamGuard.guarded(spark, "spec_leg") {
       42

@@ -70,9 +70,11 @@ if [ "$MODE" = pointer ]; then
   stop_spinners
   echo "[demo] spinners stopped mid-row; waiting for the trip"
 else
-  # keep degrading until the trip warning fires, so its immediate
-  # probe reads the still-hot box
-  until grep -q "WARNING: graph_pagerank_converged read" "$LOG" 2>/dev/null; do
+  # keep degrading until the trip fires, so its immediate probe reads
+  # the still-hot box. Key off the machine-readable [bench-trip]
+  # marker Bench emits for exactly this purpose — the prose WARNING
+  # wording can change without breaking the demo.
+  until grep -q "\[bench-trip\] graph_pagerank_converged" "$LOG" 2>/dev/null; do
     sleep 2
     kill -0 "$BENCH_PID" 2>/dev/null && continue
     break
