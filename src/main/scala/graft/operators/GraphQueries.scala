@@ -132,10 +132,8 @@ object GraphQueries {
     * deg(src)) with no rank join and no initial-node-set distinct —
     * two shuffles saved vs joining a materialized r0. */
   private def firstIteration(adj: DataFrame): DataFrame = adj
-    .select(col("dst"), expr("1000000 div d").as("contrib"))
-    .groupBy(col("dst"))
-    .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
-    .select(col("dst").as("id"), col("r"))
+    .groupBy(col("dst").as("id"))
+    .agg((lit(Base) + expr(s"($Damp * sum(1000000 div d)) div 100")).as("r"))
 
   /** Per-iteration join shape: the rank frame has exactly one row per
     * node, and the node count is bounded above by |customer| +
@@ -185,11 +183,17 @@ object GraphQueries {
 
   private def nextIteration(adj: DataFrame, ranks: DataFrame,
       hint: DataFrame => DataFrame): DataFrame =
+    // one Dataset step fewer on each side of the aggregate (the
+    // contrib projection folds into sum(), the id rename into the
+    // grouping key): every Dataset construction is an eager analyzer
+    // pass, and this plan is re-analyzed once per iteration — ~47
+    // times per converged run — so driver-side plan cost is part of
+    // the iteration cost here, not a one-off. The optimizer plants
+    // the same pre-agg projection either way; the physical plan is
+    // unchanged (partial sum below, exchange-free final agg on dst).
     adj.join(hint(ranks), adj("src") === ranks("id"))
-      .select(col("dst"), expr("r div d").as("contrib"))
-      .groupBy(col("dst"))
-      .agg((lit(Base) + expr(s"($Damp * sum(contrib)) div 100")).as("r"))
-      .select(col("dst").as("id"), col("r"))
+      .groupBy(adj("dst").as("id"))
+      .agg((lit(Base) + expr(s"($Damp * sum(r div d)) div 100")).as("r"))
 
   /** [[nextIteration]] plus an in-plan delta column: a SECOND probe of
     * the same broadcast rank frame — on the aggregated node id this
@@ -205,10 +209,24 @@ object GraphQueries {
     * frame carries exactly that node set. */
   private def nextIterationDelta(adj: DataFrame, ranks: DataFrame,
       hint: DataFrame => DataFrame): DataFrame = {
-    val prev = ranks.select(col("id").as("pid"), col("r").as("prev_r"))
-    nextIteration(adj, ranks, hint)
-      .join(hint(prev), col("id") === col("pid"))
-      .select(col("id"), col("r"), (col("r") - col("prev_r")).as("dr"))
+    // Join the UNPROJECTED rank frame (renames happen after): both
+    // probes of the iteration — the src join inside [[nextIteration]]
+    // and this prev attach — then broadcast the IDENTICAL plan
+    // (same LogicalRDD child, same id build key), so the physical
+    // plan's second BroadcastExchange canonicalizes equal to the
+    // first and becomes a ReusedExchange: ONE node-sized hash
+    // relation is built per iteration instead of two. The old form
+    // renamed (id→pid, r→prev_r) BEFORE the broadcast, and that
+    // alias-only Project defeated exchange reuse.
+    // `next` carries `ranks` in its lineage (the src join), so bare
+    // df("col") disambiguation trips DetectAmbiguousSelfJoin — the
+    // dataset aliases resolve it; EliminateSubqueryAliases removes
+    // them before physical planning, so the broadcast child stays
+    // canonically equal to the src join's and reuse still fires.
+    val next = nextIteration(adj, ranks, hint).as("nx")
+    next.join(hint(ranks.as("pv")), col("nx.id") === col("pv.id"))
+      .select(col("nx.id").as("id"), col("nx.r").as("r"),
+        (col("nx.r") - col("pv.r")).as("dr"))
   }
 
   def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
@@ -231,9 +249,10 @@ object GraphQueries {
     * `epsPpm` ppm of the current max rank or `maxIters`, returning
     * the rank frame, the iteration count actually run, and whether
     * the tolerance (vs the cap) ended the loop. Each iteration's
-    * frame is materialized through an EAGER localCheckpoint (plan
-    * truncation — see the body comment) so the NEXT iteration and the
-    * delta probe read its blocks instead of replaying the chain, and
+    * frame is materialized through a LAZY localCheckpoint (plan
+    * truncation — see the body comment) whose materializing action is
+    * the convergence probe itself — one fused job per iteration — so
+    * the NEXT iteration reads its blocks instead of replaying, and
     * the predecessor's blocks are dropped as soon as its successor's
     * delta is known — at most two node-sized frames are ever pinned
     * beyond the shared adjacency. The delta COLUMN is computed inside
@@ -263,8 +282,19 @@ object GraphQueries {
     require(maxIters >= 1, "pageRankConverged needs at least one iteration")
     val adj = adjacency(s, dir)
     val hint = rankJoinHint(s, dir)
+    // AQE off for the iteration loop only (restored in the finally):
+    // the per-iteration plan is STATIC — explicit broadcast hints, an
+    // exchange-free groupBy over the dst-clustered cached adjacency,
+    // and a ReusedExchange the static ReuseExchangeAndSubquery rule
+    // already plans — so adaptive re-planning can change nothing,
+    // while its per-query stage orchestration (TableCacheQueryStage /
+    // BroadcastQueryStage / ResultQueryStage creation + replan rounds
+    // on the driver event loop) is a fixed driver tax paid ~47 times.
+    // The adjacency itself (and everything outside this loop) still
+    // builds under AQE.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     val sc = s.sparkContext
-    // Each iteration is materialized through an EAGER localCheckpoint,
+    // Each iteration is materialized through a localCheckpoint,
     // not a bare persist: persist caches the DATA but the logical plan
     // keeps growing — by iteration k the delta probe's tree nests k
     // levels of cached-plan innerChildren with TWO branches each
@@ -281,9 +311,19 @@ object GraphQueries {
     // ids so the PREDECESSOR's blocks are dropped deterministically —
     // at most two node-sized frames are ever pinned beyond the
     // adjacency (the promise the release() contract documents).
+    // LAZY localCheckpoint: the logical-plan truncation to a
+    // LogicalRDD happens at the call either way, but eager=true would
+    // spend a dedicated job materializing the blocks and the probe
+    // below would then pay a SECOND job to scan them. Lazy defers
+    // materialization to the first action — the probe aggregate —
+    // so one job per iteration computes the edge-scale
+    // join+agg, caches the node blocks, and folds the convergence
+    // aggregate, instead of two (r16 shape: checkpoint job + probe
+    // job). The persist registration still happens at the call, so
+    // the registry snapshot captures the block ids as before.
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
+      val out = df.localCheckpoint(false)
       (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     def drop(ids: Set[Int]): Unit =
@@ -294,13 +334,15 @@ object GraphQueries {
     // spark.graft.pagerank.profile — the instrument behind the
     // "remaining floor = checkpoint-write + genuinely sequential
     // iterations" claim (r16 verdict asked for the breakdown, not the
-    // assertion). `iterate` fuses join+agg COMPUTE with the eager
-    // localCheckpoint's block write — they are one job by design, so
-    // the honest split this loop can measure without running the job
-    // twice is iterate-vs-probe-vs-drop.
+    // assertion). Since the r17 lazy-checkpoint fusion the whole
+    // iteration — join+agg compute, block write AND the convergence
+    // maxima — is ONE job timed by the probe pair; the `plan` pair
+    // times only driver-side plan construction.
     val profile =
       s.conf.get("spark.graft.pagerank.profile", "false").toBoolean
     var iterateSec, probeSec, dropSec = 0.0
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var (ranks, ranksIds) = checkpointed(firstIteration(adj))
     var iters = 1
     var converged = false
@@ -312,9 +354,13 @@ object GraphQueries {
       // frames every iteration, which the r16 exchange-free adjacency
       // left as the loop's dominant per-iteration exchange
       val t0 = System.nanoTime()
-      val (next, nextIds) =
-        checkpointed(nextIterationDelta(adj, ranks, hint))
+      val iterPlan = nextIterationDelta(adj, ranks, hint)
+      val (next, nextIds) = checkpointed(iterPlan)
       val t1 = System.nanoTime()
+      // the probe aggregate IS the materializing action of the lazy
+      // checkpoint above: one job computes the edge-scale iteration,
+      // caches the node blocks, and reduces the convergence maxima —
+      // t1-t0 is now just plan construction, t2-t1 the fused job
       val probe = next
         .agg(max(abs(col("dr"))), max(col("r"))).head()
       val t2 = System.nanoTime()
@@ -328,11 +374,20 @@ object GraphQueries {
       iterateSec += (t1 - t0) / 1e9
       probeSec += (t2 - t1) / 1e9
       dropSec += (t3 - t2) / 1e9
-      if (profile)
+      if (profile) {
         System.err.println(f"[pagerank] iter=${iters + 1}%d " +
-          f"iterate_checkpoint=${(t1 - t0) / 1e9}%.3f " +
-          f"probe=${(t2 - t1) / 1e9}%.3f drop=${(t3 - t2) / 1e9}%.3f " +
+          f"plan=${(t1 - t0) / 1e9}%.3f " +
+          f"iterate_checkpoint_probe=${(t2 - t1) / 1e9}%.3f " +
+          f"drop=${(t3 - t2) / 1e9}%.3f " +
           f"delta=$delta%d max_rank=$maxRank%d")
+        // one-time plan audit: the EXECUTED adaptive plan of the
+        // iteration job (the probe above materialized it), where the
+        // prev attach must show a ReusedExchange of the src join's
+        // node-rank broadcast — the claim behind [[nextIterationDelta]]
+        if (iters == 1)
+          System.err.println("[pagerank] iteration executed plan:\n" +
+            iterPlan.queryExecution.executedPlan.toString)
+      }
       ranks = next
       ranksIds = nextIds
       iters += 1
@@ -341,9 +396,10 @@ object GraphQueries {
       converged = delta.toDouble <= maxRank.toDouble * epsPpm / 1e6
     }
     System.err.println(f"[pagerank] breakdown: iters=$iters%d " +
-      f"iterate_checkpoint=$iterateSec%.1fs probe=$probeSec%.1fs " +
-      f"drop=$dropSec%.1fs (iterate fuses join+agg with the eager " +
-      "localCheckpoint block write — one job)")
+      f"plan=$iterateSec%.1fs iterate_checkpoint_probe=$probeSec%.1fs " +
+      f"drop=$dropSec%.1fs (the lazy checkpoint makes the probe " +
+      "aggregate the materializing action — join+agg, block write " +
+      "and convergence maxima are ONE job per iteration)")
     val pinned = ranksIds
     ConvergedRanks(
       ranks.select(col("id").as("node_id"), col("r").as("rank_scaled"))
@@ -351,6 +407,7 @@ object GraphQueries {
       iters,
       () => drop(pinned),
       converged)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   private def rankCte(prev: String, cur: String): String =
