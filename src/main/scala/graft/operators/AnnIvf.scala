@@ -32,13 +32,27 @@ object AnnIvf {
     var cents = Array.tabulate(k)(i => sample((i * sample.length / k)
       .min(sample.length - 1)).clone())
     (0 until iters).foreach { _ =>
+      // the assignment pass is iters × |sample| × k × dim — the whole
+      // training cost (several driver-seconds at nlist=1024/dim=64
+      // while every executor core idles). Each sample's argmin is
+      // independent and FP-pure, so compute assignments in PARALLEL;
+      // the centroid SUMS then accumulate sequentially in sample
+      // order, keeping the FP addition order — and therefore the
+      // trained model, its codes and the recall table — bit-identical
+      // to the single-threaded trainer.
+      val assign = new Array[Int](sample.length)
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach(i => assign(i) = nearest(cents, sample(i)))
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = nearest(cents, v)
+      var si = 0
+      while (si < sample.length) {
+        val c = assign(si)
+        val v = sample(si)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        si += 1
       }
       cents = Array.tabulate(k) { c =>
         if (counts(c) == 0) cents(c)

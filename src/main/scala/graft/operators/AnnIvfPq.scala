@@ -216,10 +216,16 @@ object AnnIvfPq {
       val cents = centsD.map(_.map(math.round))
       // residuals of the whole sample w.r.t. their own cells, per
       // subspace; one Lloyd run per subspace over subDim-dim sub-vectors
-      val resid = sample.map { v =>
-        val cell = nearestCell(cents, v.map(_.toLong))
-        Array.tabulate(Dim)(i => v(i) - cents(cell)(i))
-      }
+      // per-sample independent (argmin + subtraction, no cross-sample
+      // accumulation), so the cell-assignment pass parallelizes with
+      // bit-identical output — same rationale as [[AnnIvf.kmeans]]
+      val resid = new Array[Array[Double]](sample.length)
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach { i =>
+          val v = sample(i)
+          val cell = nearestCell(cents, v.map(_.toLong))
+          resid(i) = Array.tabulate(Dim)(j => v(j) - cents(cell)(j))
+        }
       val flat = new Array[Long](m * cbK * subDim)
       (0 until m).foreach { mi =>
         val subs = resid.map(_.slice(mi * subDim, (mi + 1) * subDim))

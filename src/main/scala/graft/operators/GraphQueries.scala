@@ -158,18 +158,22 @@ object GraphQueries {
     * past it shuffle_hash is the fallback — it beats SMJ by not
     * re-SORTING the cached edge-scale side every iteration. Explicit
     * values of spark.graft.pagerank.join override for A/B runs. */
+  /** Upper bound on the node count: |customer| + |supplier|, from
+    * cheap memoized metadata counts. Shared by the join-strategy
+    * switch and the loop-AQE switch. */
+  private def nodeBound(s: SparkSession, dir: String): Long =
+    Tables.memoizedAtConstruction(s, dir, "customer", "count") {
+      Tables.customer(s, dir).count()
+    } + Tables.memoizedAtConstruction(s, dir, "supplier", "count") {
+      Tables.supplier(s, dir).count()
+    }
+
   private def joinStrategy(s: SparkSession, dir: String): String =
     s.conf.get("spark.graft.pagerank.join", "auto") match {
       case "auto" =>
-        val nodeBound =
-          Tables.memoizedAtConstruction(s, dir, "customer", "count") {
-            Tables.customer(s, dir).count()
-          } + Tables.memoizedAtConstruction(s, dir, "supplier", "count") {
-            Tables.supplier(s, dir).count()
-          }
         val bcastMax = s.conf
           .get("spark.graft.pagerank.broadcastNodesMax", "20000000").toLong
-        if (nodeBound <= bcastMax) "broadcast" else "shuffle_hash"
+        if (nodeBound(s, dir) <= bcastMax) "broadcast" else "shuffle_hash"
       case explicit => explicit
     }
 
@@ -341,7 +345,29 @@ object GraphQueries {
     val profile =
       s.conf.get("spark.graft.pagerank.profile", "false").toBoolean
     var iterateSec, probeSec, dropSec = 0.0
-    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // spark.graft.pagerank.loopAqe: "auto" (default) keeps AQE OFF
+    // inside the loop while the node set is small and turns it back
+    // ON past spark.graft.pagerank.loopAqeNodesMin (default 500k).
+    // Why scale-dependent: the second broadcast probe (the prev
+    // attach) is a ReusedExchange only under AQE's runtime stage
+    // reuse — the static reuse rule does not canonicalize the two
+    // node-frame scans equal (the checkpointed LogicalRDD's preserved
+    // outputPartitioning differs by expr id) — so AQE-off builds the
+    // node-rank hash relation twice per iteration. At small node
+    // counts that duplicate build is microseconds while AQE's stage
+    // orchestration is a fixed driver tax paid ~47 times (measured
+    // sf0.1: off 12.8 s vs on 13.7 s); at sf10's 1.65M nodes the
+    // duplicate build dominates (measured: ~44 s of per-iteration
+    // driver/broadcast phase, ~halved by reuse) and AQE wins.
+    // Explicit true/false overrides for A/B runs.
+    val loopAqe = s.conf.get("spark.graft.pagerank.loopAqe", "auto") match {
+      case "auto" =>
+        val minNodes = s.conf
+          .get("spark.graft.pagerank.loopAqeNodesMin", "500000").toLong
+        (nodeBound(s, dir) >= minNodes).toString
+      case explicit => explicit
+    }
+    s.conf.set("spark.sql.adaptive.enabled", loopAqe)
     try {
     var (ranks, ranksIds) = checkpointed(firstIteration(adj))
     var iters = 1
