@@ -818,22 +818,59 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write failed: $e") }
+    // A second, (sf, cpus)-keyed copy of the full record: the driver
+    // runs the bench twice (32-core then low-core scaling leg) with the
+    // default fullPath, and the second run silently overwrites the
+    // first — the r17 32-core per-query record was lost exactly that
+    // way and had to be reconstructed from git. The keyed copy makes
+    // each leg's per-query ground truth survive in the working tree.
+    try {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sfLeaf = new java.io.File(sfDir).getName
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = Option(new java.io.File(fullPath).getParentFile)
+        .map(_.getPath + "/").getOrElse("")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"${dir}bench_full_${sfLeaf}_${cpus}c.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] keyed full-record write failed: $e") }
     println(full) // kept on stdout too for local runs; summary is LAST
     val fams = measured.groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(-_._2)
       .map { case (f, v) => q(f) + ":" + j(v) }.mkString("{", ",", "}")
     val worst = measured.sortBy(-_._2).take(5)
       .map { case (k, v, _, _) => q(k) + ":" + j(v) }.mkString("{", ",", "}")
-    println(
+    // Driver tail contract: the driver keeps only the LAST 2000 chars
+    // of stdout and parses the last complete JSON line found there.
+    // r15-r17 lost their bench records because recall_structured grew
+    // this line past 2000 chars (r17: 3387). The structured recall
+    // curves now live ONLY in the full record (fullPath, printed
+    // above); the summary is length-guarded — if it ever outgrows the
+    // budget, progressively heavy optional fields are dropped rather
+    // than silently breaking the driver's parse. A full per-query map
+    // can never fit: the 123 query names alone sum to 1915 chars.
+    def summaryLine(withRecall: Boolean, withWorst: Boolean): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${measured.size},""" +
-        s""""families":$fams,"worst5":$worst,"skipped":${arr(skippedNames)},""" +
+        s""""families":$fams,""" +
+        (if (withWorst) s""""worst5":$worst,""" else "") +
+        s""""skipped":${arr(skippedNames)},""" +
         s""""errors":${arr(errorNames)},"calib_sec":${num(calibSec)},""" +
         s""""calib_end_sec":${num(calibEndSec)},""" +
         s""""calib_mid_max":${num(calibMidMax)},""" +
         s""""history_trips_n":${historyTrips.size},""" +
-        s""""coload":$coloadJson,"recall":$recallJson,""" +
-        s""""recall_structured":$structuredJson,$comparableJson,""" +
-        s""""full":${q(fullPath)},"sf":${q(sfDir)}}""")
+        s""""coload":$coloadJson,""" +
+        (if (withRecall) s""""recall":$recallJson,""" else "") +
+        s"""$comparableJson,""" +
+        s""""full":${q(fullPath)},"sf":${q(sfDir)}}"""
+    val summary = Seq(summaryLine(true, true), summaryLine(false, true),
+      summaryLine(false, false)).find(_.length <= 1900)
+      .getOrElse(summaryLine(false, false))
+    if (summary.length > 1900)
+      System.err.println(s"[bench] WARNING: summary line is " +
+        s"${summary.length} chars even after dropping optional fields " +
+        "— the driver's 2000-char tail capture may truncate it")
+    println(summary)
   }
 }
 
