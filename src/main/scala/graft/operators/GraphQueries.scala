@@ -294,9 +294,32 @@ object GraphQueries {
     // while its per-query stage orchestration (TableCacheQueryStage /
     // BroadcastQueryStage / ResultQueryStage creation + replan rounds
     // on the driver event loop) is a fixed driver tax paid ~47 times.
-    // The adjacency itself (and everything outside this loop) still
-    // builds under AQE.
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    // The adjacency itself (and everything outside this loop) builds
+    // under AQE when warm; on a COLD session the persisted adjacency
+    // is first materialized by the first probe job inside the toggled
+    // window, so its one-time edge-scale build runs under the loop's
+    // AQE setting — acceptable (the build is a bounded distinct +
+    // repartition; forcing a pre-toggle materializing action would
+    // charge every warm call an extra cached-adjacency scan to help
+    // only the cold one).
+    //
+    // CONCURRENCY CONTRACT: the toggle below mutates the SESSION conf
+    // for the loop's duration (restored in the finally, which also
+    // unset()s if the key was never explicitly set, so a library
+    // default is not frozen into an explicit value). A concurrent
+    // query planned on the SAME SparkSession during the loop would
+    // plan under the flipped value. This operator therefore assumes a
+    // single planning thread per session — the bench, Verify and the
+    // streaming mains all satisfy it. Callers that share one session
+    // across threads (e.g. batch + streaming at 100 TB) must wrap the
+    // call in their own session clone; a clone is not done here
+    // because the memoized adjacency/codebook caches are keyed per
+    // session and a silent clone would rebuild them per call.
+    // GraphAqeScopeSpec pins the restore semantics.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    // getAll lists only EXPLICITLY-set entries; getOption would fall
+    // through to the default and make the restore freeze it
+    val aqeExplicit: Option[String] = s.conf.getAll.get(aqeKey)
     val sc = s.sparkContext
     // Each iteration is materialized through a localCheckpoint,
     // not a bare persist: persist caches the DATA but the logical plan
@@ -309,7 +332,13 @@ object GraphQueries {
     // a LogicalRDD scan, so every iteration plans and renders O(1).
     // On a cluster, localCheckpoint trades HDFS durability for speed —
     // the right call for an iterative loop whose restart replays from
-    // the (persisted) adjacency anyway.
+    // the (persisted) adjacency anyway. FAULT-TOLERANCE CAVEAT (load-
+    // bearing since the lazy-checkpoint fusion): local checkpoint
+    // blocks live only on their executor and the lineage is truncated,
+    // so an executor loss mid-loop FAILS the query rather than
+    // recomputing — the documented trade is "re-run the loop from the
+    // adjacency", not transparent recovery. Use reliable checkpoints
+    // if executors are preemptible.
     // localCheckpoint registers its blocks in the persistent-RDD
     // registry; snapshotting the registry around the call captures the
     // ids so the PREDECESSOR's blocks are dropped deterministically —
@@ -365,9 +394,16 @@ object GraphQueries {
         val minNodes = s.conf
           .get("spark.graft.pagerank.loopAqeNodesMin", "500000").toLong
         (nodeBound(s, dir) >= minNodes).toString
-      case explicit => explicit
+      case explicit @ ("true" | "false") => explicit
+      case bad =>
+        // fail HERE naming the graft conf — an unvalidated pass-through
+        // surfaces as an IllegalArgumentException from conf.set with no
+        // hint which setting caused it
+        throw new IllegalArgumentException(
+          s"spark.graft.pagerank.loopAqe must be one of true/false/auto, " +
+            s"got '$bad'")
     }
-    s.conf.set("spark.sql.adaptive.enabled", loopAqe)
+    s.conf.set(aqeKey, loopAqe)
     try {
     var (ranks, ranksIds) = checkpointed(firstIteration(adj))
     var iters = 1
@@ -385,8 +421,13 @@ object GraphQueries {
       val t1 = System.nanoTime()
       // the probe aggregate IS the materializing action of the lazy
       // checkpoint above: one job computes the edge-scale iteration,
-      // caches the node blocks, and reduces the convergence maxima —
-      // t1-t0 is now just plan construction, t2-t1 the fused job
+      // caches the node blocks, and reduces the convergence maxima.
+      // Bucket caveat: with loopAqe OFF, t1-t0 is pure driver-side
+      // plan construction and t2-t1 the fused job; with loopAqe ON,
+      // localCheckpoint(false) calls queryExecution.toRdd and
+      // AdaptiveSparkPlanExec eagerly materializes broadcast stages
+      // at that point, so the AQE-on `plan=` bucket also carries the
+      // node-rank broadcast build, not just planning
       val probe = next
         .agg(max(abs(col("dr"))), max(col("r"))).head()
       val t2 = System.nanoTime()
@@ -433,7 +474,10 @@ object GraphQueries {
       iters,
       () => drop(pinned),
       converged)
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally aqeExplicit match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None => s.conf.unset(aqeKey)
+    }
   }
 
   private def rankCte(prev: String, cur: String): String =
