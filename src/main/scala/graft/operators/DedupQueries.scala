@@ -49,7 +49,7 @@ object DedupQueries {
     * cache is harness-scoped — Bench/Verify clear it after each
     * query — and at 100 TB it would be materialized to scratch
     * parquet instead. */
-  private def docShingleArrays(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingleArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         shingleHashes(tokens(col("text")), 3).as("khs"))
@@ -208,10 +208,12 @@ object DedupQueries {
     * Each signature slot is an `array_min` over the doc's hash array —
     * computed NARROWLY per document row, no (doc, shingle) explosion
     * and no aggregation shuffle at all. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, bucket) LSH band-bucket rows of [[minhashLsh]] —
+    * extracted so [[graft.tools.ProfileDedupSkew]] can measure bucket
+    * population skew on exactly the production construction. */
+  private[graft] def minhashBuckets(docs: DataFrame): DataFrame = {
     val numHashes = 16
     val rowsPerBand = 4
-    val docs = docShingleArrays(s, dir)
     // shingle-less docs have no hashes to min over (the oracle's
     // per-shingle form never emits them either) — and without the
     // guard they'd all share one degenerate bucket
@@ -224,10 +226,14 @@ object DedupQueries {
       struct(lit(b).as("band"),
         concat_ws("_", cols: _*).as("bucket"))
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingleArrays(s, dir)
+    val buckets = minhashBuckets(docs)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
